@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Conventions used throughout:
+  * every computed double column is rounded to 6 decimals on BOTH
+    sides (Spark ``F.round`` / SQL ``ROUND``) so parallel-summation
+    ulp differences can't flip the value hash;
+  * whole-table sums (large magnitudes) round to 2 decimals instead;
+  * column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,306 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.fixtures import (
+    EVENT_ZONES,
+    SCHEMA_A_SQL,
+    events_to_schema_a,
+    events_to_schema_b,
+    load_events,
+)
+from mape_calculation_and_anonymization_spark.operators.mape import (
+    daily_mape_aggregation,
+    hourly_aggregation,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _round_doubles(df: DataFrame, scale: int = 6) -> DataFrame:
+    """Round every double column (value-hash stability, see module doc)."""
+    return df.select(
+        *[
+            F.round(F.col(f.name), scale).alias(f.name)
+            if f.dataType.typeName() == "double"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAPE pipeline queries (SURVEY.md §2.2-2.9: P1,P2,C1,C2,A1,A2,X1,X2,F1-F3,O1,R1)
+# ---------------------------------------------------------------------------
+
+
+def _q_mape_hourly_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = hourly_aggregation(events_to_schema_a(load_events(spark, sf_dir)))
+    return _round_doubles(hourly)
+
+
+def _q_mape_hourly_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = hourly_aggregation(events_to_schema_a(load_events(spark, sf_dir)), zone=True)
+    return _round_doubles(hourly)
+
+
+def _q_mape_daily_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_to_schema_a(load_events(spark, sf_dir))
+    return _round_doubles(daily_mape_aggregation(hourly_aggregation(raw, sort=False)))
+
+
+def _q_mape_daily_zone_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_to_schema_a(load_events(spark, sf_dir))
+    hourly = hourly_aggregation(raw, zone=True, sort=False)
+    return _round_doubles(
+        daily_mape_aggregation(hourly, zone=True, zones=EVENT_ZONES)
+    )
+
+
+def _q_mape_daily_portfolio_gross_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = events_to_schema_b(load_events(spark, sf_dir))
+    return _round_doubles(daily_mape_aggregation(hourly_aggregation(raw, sort=False)))
+
+
+_HOURLY_SQL = f"""
+    SELECT proxy_date, CAST(hour AS INTEGER) AS hour,
+           SUM(forecast) AS forecast,
+           SUM(backcast) AS backcast,
+           SUM(settlement) AS settlement
+    FROM ({SCHEMA_A_SQL})
+    GROUP BY proxy_date, hour
+"""
+
+_HOURLY_ERR_SQL = f"""
+    SELECT proxy_date, hour, forecast, backcast, settlement,
+           ABS(forecast - settlement) AS forecast_abs_error,
+           ABS(backcast - settlement) AS backcast_abs_error,
+           ABS(settlement) AS settlement_abs
+    FROM ({_HOURLY_SQL})
+"""
+
+_DAILY_SQL = f"""
+    SELECT proxy_date,
+           SUM(forecast) AS forecast,
+           SUM(backcast) AS backcast,
+           SUM(settlement) AS settlement,
+           SUM(forecast_abs_error) AS forecast_abs_error,
+           SUM(backcast_abs_error) AS backcast_abs_error,
+           SUM(settlement_abs) AS settlement_abs
+    FROM ({_HOURLY_ERR_SQL})
+    GROUP BY proxy_date
+"""
+
+_DAILY_MAPE_SQL = f"""
+    SELECT proxy_date,
+           forecast_abs_error / NULLIF(settlement_abs, 0.0) AS forecast_mape,
+           backcast_abs_error / NULLIF(settlement_abs, 0.0) AS backcast_mape,
+           forecast, backcast, settlement,
+           forecast_abs_error, backcast_abs_error, settlement_abs
+    FROM ({_DAILY_SQL})
+"""
+
+_DAILY_PORTFOLIO_ORACLE = f"""
+    SELECT proxy_date,
+           ROUND(forecast_mape, 6) AS forecast_mape,
+           ROUND(backcast_mape, 6) AS backcast_mape,
+           ROUND(forecast, 6) AS forecast,
+           ROUND(backcast, 6) AS backcast,
+           ROUND(settlement, 6) AS settlement,
+           ROUND(forecast_abs_error, 6) AS forecast_abs_error,
+           ROUND(backcast_abs_error, 6) AS backcast_abs_error,
+           ROUND(settlement_abs, 6) AS settlement_abs
+    FROM ({_DAILY_MAPE_SQL})
+    WHERE forecast_mape IS NOT NULL AND backcast_mape IS NOT NULL
+      AND NOT (forecast = 0.0 AND backcast = 0.0)
+      AND NOT (forecast_abs_error = 0.0 AND backcast_abs_error = 0.0)
+"""
+
+_HOURLY_PORTFOLIO_ORACLE = f"""
+    SELECT proxy_date, hour,
+           ROUND(forecast, 6) AS forecast,
+           ROUND(backcast, 6) AS backcast,
+           ROUND(settlement, 6) AS settlement,
+           ROUND(forecast_abs_error, 6) AS forecast_abs_error,
+           ROUND(backcast_abs_error, 6) AS backcast_abs_error,
+           ROUND(settlement_abs, 6) AS settlement_abs
+    FROM ({_HOURLY_ERR_SQL})
+"""
+
+_HOURLY_ZONE_SQL = f"""
+    SELECT proxy_date, CAST(hour AS INTEGER) AS hour, zone,
+           SUM(forecast) AS forecast,
+           SUM(backcast) AS backcast,
+           SUM(settlement) AS settlement
+    FROM ({SCHEMA_A_SQL})
+    GROUP BY proxy_date, hour, zone
+"""
+
+_HOURLY_ZONE_ORACLE = f"""
+    SELECT proxy_date, hour, zone,
+           ROUND(forecast, 6) AS forecast,
+           ROUND(backcast, 6) AS backcast,
+           ROUND(settlement, 6) AS settlement,
+           ROUND(ABS(forecast - settlement), 6) AS forecast_abs_error,
+           ROUND(ABS(backcast - settlement), 6) AS backcast_abs_error,
+           ROUND(ABS(settlement), 6) AS settlement_abs
+    FROM ({_HOURLY_ZONE_SQL})
+"""
+
+_DAILY_ZONE_MAPE_SQL = f"""
+    SELECT proxy_date, zone,
+           forecast_abs_error / NULLIF(settlement_abs, 0.0) AS forecast_mape,
+           backcast_abs_error / NULLIF(settlement_abs, 0.0) AS backcast_mape,
+           forecast, backcast, settlement,
+           forecast_abs_error, backcast_abs_error, settlement_abs
+    FROM (
+        SELECT proxy_date, zone,
+               SUM(forecast) AS forecast,
+               SUM(backcast) AS backcast,
+               SUM(settlement) AS settlement,
+               SUM(ABS(forecast - settlement)) AS forecast_abs_error,
+               SUM(ABS(backcast - settlement)) AS backcast_abs_error,
+               SUM(ABS(settlement)) AS settlement_abs
+        FROM ({_HOURLY_ZONE_SQL})
+        GROUP BY proxy_date, zone
+    )
+"""
+
+_DAILY_ZONE_FILTERED_SQL = f"""
+    SELECT * FROM ({_DAILY_ZONE_MAPE_SQL})
+    WHERE forecast_mape IS NOT NULL AND backcast_mape IS NOT NULL
+      AND NOT (forecast = 0.0 AND backcast = 0.0)
+      AND NOT (forecast_abs_error = 0.0 AND backcast_abs_error = 0.0)
+"""
+
+# R1 pivot as conditional aggregation, {value}_{zone} value-major (Q5).
+_PIVOT_VALUES = [
+    "forecast_mape", "backcast_mape",
+    "forecast", "backcast", "settlement",
+    "forecast_abs_error", "backcast_abs_error", "settlement_abs",
+]
+
+
+def _zone_pivot_oracle() -> str:
+    cols = ",\n           ".join(
+        f"ROUND(MAX(CASE WHEN zone = '{z}' THEN {v} END), 6) AS {v}_{z}"
+        for v in _PIVOT_VALUES
+        for z in EVENT_ZONES
+    )
+    return f"""
+        SELECT proxy_date,
+           {cols}
+        FROM ({_DAILY_ZONE_FILTERED_SQL})
+        GROUP BY proxy_date
+    """
+
+
+def _gross_net_oracle() -> str:
+    schema_b = """
+        SELECT CAST(ts AS DATE) AS proxy_date,
+               EXTRACT(hour FROM ts) AS hour,
+               event_type AS zone,
+               value * 1.05 AS forecast_gross,
+               value * 0.97 AS backcast_gross,
+               value AS usage_final_gross,
+               value * 1.02 AS forecast_net,
+               value * 0.99 AS backcast_net,
+               value * 0.95 AS usage_final_net
+        FROM events
+    """
+    fam = {
+        "gross": ("forecast_gross", "backcast_gross", "usage_final_gross",
+                  "forecast_gross_abs_error", "backcast_gross_abs_error",
+                  "usage_final_gross_abs", "forecast_gross_mape", "backcast_gross_mape"),
+        "net": ("forecast_net", "backcast_net", "usage_final_net",
+                "forecast_net_abs_error", "backcast_net_abs_error",
+                "usage_final_net_abs", "forecast_net_mape", "backcast_net_mape"),
+    }
+    hourly_sums = ", ".join(
+        f"SUM({c}) AS {c}" for f8 in fam.values() for c in f8[:3]
+    )
+    hourly_errs = ", ".join(
+        f"ABS({f8[0]} - {f8[2]}) AS {f8[3]}, ABS({f8[1]} - {f8[2]}) AS {f8[4]}, "
+        f"ABS({f8[2]}) AS {f8[5]}"
+        for f8 in fam.values()
+    )
+    daily_sums = ", ".join(
+        f"SUM({c}) AS {c}" for f8 in fam.values() for c in f8[:6]
+    )
+    mapes = ", ".join(
+        f"{f8[3]} / NULLIF({f8[5]}, 0.0) AS {f8[6]}, "
+        f"{f8[4]} / NULLIF({f8[5]}, 0.0) AS {f8[7]}"
+        for f8 in fam.values()
+    )
+    # reference column order after P2 reorder: proxy_date, mapes, others
+    out_cols = (
+        ["proxy_date"]
+        + [f8[i] for f8 in fam.values() for i in (6, 7)]
+        + [c for f8 in fam.values() for c in f8[:6]]
+    )
+    sel = ", ".join(
+        c if c == "proxy_date" else f"ROUND({c}, 6) AS {c}" for c in out_cols
+    )
+    zero_pairs = " AND ".join(
+        f"NOT ({f} = 0.0 AND {b} = 0.0)"
+        for f, b in [
+            ("forecast_gross", "backcast_gross"),
+            ("forecast_gross_abs_error", "backcast_gross_abs_error"),
+            ("forecast_net", "backcast_net"),
+            ("forecast_net_abs_error", "backcast_net_abs_error"),
+        ]
+    )
+    not_null = " AND ".join(
+        f"{f8[i]} IS NOT NULL" for f8 in fam.values() for i in (6, 7)
+    )
+    return f"""
+        WITH raw AS ({schema_b}),
+        hourly AS (
+            SELECT proxy_date, hour, {hourly_sums}
+            FROM raw GROUP BY proxy_date, hour
+        ),
+        hourly_err AS (
+            SELECT *, {hourly_errs} FROM hourly
+        ),
+        daily AS (
+            SELECT proxy_date, {daily_sums}
+            FROM hourly_err GROUP BY proxy_date
+        ),
+        mape AS (
+            SELECT *, {mapes} FROM daily
+        )
+        SELECT {sel} FROM mape
+        WHERE {not_null} AND {zero_pairs}
+    """
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full daily portfolio WAPE pipeline on sf0.001
+    (two hash-aggregate shuffles, zero UDFs, zero collects)."""
+    return _q_mape_daily_portfolio(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "mape_hourly_portfolio": _q_mape_hourly_portfolio,
+        "mape_hourly_zone": _q_mape_hourly_zone,
+        "mape_daily_portfolio": _q_mape_daily_portfolio,
+        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
+        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mape_hourly_portfolio": _HOURLY_PORTFOLIO_ORACLE,
+        "mape_hourly_zone": _HOURLY_ZONE_ORACLE,
+        "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,
+        "mape_daily_zone_pivot": _zone_pivot_oracle(),
+        "mape_daily_portfolio_gross_net": _gross_net_oracle(),
+    }

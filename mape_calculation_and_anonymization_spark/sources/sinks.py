@@ -1,0 +1,69 @@
+"""Sinks: snappy parquet, multi-sheet Excel, output naming.
+
+Reference parity (SURVEY.md §2.1):
+  K1  Parquet snappy sink — reference/anonymize_datasets.py:66,78,180,207
+  K2  Multi-sheet Excel   — reference/main.py:147-153
+  K3  Output filename     — reference/anonymize_datasets.py:175,202
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_snappy(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — distributed snappy parquet write.
+
+    Unlike the reference (single ``df.to_parquet`` file) this writes a
+    directory of part files — the scalable layout. Partition count
+    follows the upstream plan / AQE coalesce.
+    """
+    df.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+def anonymized_output_name(filename: str, client: str, client_demo: str = "client_demo") -> str:
+    """K3 — rewrite ``{client}*.csv`` → ``{client_demo}*.snappy.parquet``."""
+    return filename.replace(client, client_demo).replace(".csv", ".snappy.parquet")
+
+
+def write_excel_workbook(filepath: str, **sheets: DataFrame) -> str:
+    """K2 — one sheet per kwarg, like the reference's
+    ``save_to_excelspreadsheet`` (reference/main.py:147-153).
+
+    Excel is inherently a single-file, driver-side format, so each
+    sheet DataFrame is collected via ``toPandas()``. Callers must only
+    pass post-aggregation results (daily MAPE tables are ≤ a few
+    thousand rows); raw fact tables would OOM the driver by design.
+
+    If no Excel writer engine (openpyxl/xlsxwriter) is installed, the
+    sink degrades to one CSV per sheet (``{filepath}.{sheet}.csv``) and
+    returns the first fallback path — same data, portable format.
+    """
+    import pandas as pd  # driver-side only
+
+    pdfs = {
+        name[:31]: (df.toPandas() if isinstance(df, DataFrame) else df)
+        for name, df in sheets.items()
+    }
+    try:
+        import openpyxl  # noqa: F401
+        engine_ok = True
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+            engine_ok = True
+        except ImportError:
+            engine_ok = False
+
+    if engine_ok:
+        with pd.ExcelWriter(filepath, mode="w") as writer:
+            for sheet_name, pdf in pdfs.items():
+                pdf.to_excel(writer, sheet_name=sheet_name, index=False)
+        return filepath
+
+    first = None
+    for sheet_name, pdf in pdfs.items():
+        csv_path = f"{filepath}.{sheet_name}.csv"
+        pdf.to_csv(csv_path, index=False)
+        first = first or csv_path
+    return first

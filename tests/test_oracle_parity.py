@@ -1,0 +1,30 @@
+"""Every queries() entry with an oracle must match DuckDB at sf0.01 —
+the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_utils import compare_query
+
+SF_DIR = "/root/testdata/sf0.01"
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, name):
+    assert name in _QUERIES, f"oracle_sql has {name} but queries() does not"
+    ok, msg = compare_query(spark, SF_DIR, _QUERIES[name], _ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_every_query_runs(spark):
+    for name, fn in _QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
