@@ -26,7 +26,14 @@ from mape_calculation_and_anonymization_spark.fixtures import (
     events_to_schema_a,
     events_to_schema_b,
     load_events,
+    load_table,
 )
+from mape_calculation_and_anonymization_spark.functions.hashing import blake2b_10hex
+from mape_calculation_and_anonymization_spark.functions.labels import (
+    anonymize_label_column,
+    label_universe,
+)
+from mape_calculation_and_anonymization_spark.operators.anonymize import perturb_values
 from mape_calculation_and_anonymization_spark.operators.mape import (
     daily_mape_aggregation,
     hourly_aggregation,
@@ -293,6 +300,122 @@ def _gross_net_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Anonymization operators (SURVEY.md §2: X3, X4, X5, J1, F4, U1/A4)
+# ---------------------------------------------------------------------------
+
+
+def _q_x3_perturb_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ×1.0125 perturbation through the engine's value-column
+    probe (lineitem price exposed under the probed name 'amount')."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("amount")
+    )
+    return _round_doubles(perturb_values(li))
+
+
+_X3_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 1.0125, 6) AS amount
+    FROM lineitem
+"""
+
+
+def _q_x4_label_anonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — exact-match path over customer.c_mktsegment (5 labels, no
+    substring collisions → strict and fixed modes agree)."""
+    cust = load_table(spark, sf_dir, "customer")
+    labels = label_universe(cust, "c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        anonymize_label_column("c_mktsegment", labels).alias("c_mktsegment"),
+    )
+
+
+_X4_ORACLE = """
+    WITH m AS (
+        SELECT lbl, ROW_NUMBER() OVER (ORDER BY lbl) AS i
+        FROM (SELECT DISTINCT c_mktsegment AS lbl FROM customer)
+    )
+    SELECT c.c_custkey, 'ANON_CLIENT ' || CAST(m.i AS VARCHAR) AS c_mktsegment
+    FROM customer c JOIN m ON c.c_mktsegment = m.lbl
+"""
+
+
+def _q_j1_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left equi join of a fact table against a key-table-shaped
+    dimension (broadcast hint, as the key-table join does)."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.concat(F.lit("K"), F.col("o_custkey").cast("string")).alias("pseudonym"),
+        )
+    )
+    return cust.join(F.broadcast(key), on="c_custkey", how="left").select(
+        "c_custkey", "c_name", "pseudonym"
+    )
+
+
+_J1_ORACLE = """
+    SELECT c.c_custkey, c.c_name, k.pseudonym
+    FROM customer c
+    LEFT JOIN (
+        SELECT DISTINCT o_custkey, 'K' || CAST(o_custkey AS VARCHAR) AS pseudonym
+        FROM orders
+    ) k ON c.c_custkey = k.o_custkey
+"""
+
+
+def _q_f4_unmatched_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — distinct uids with no key-table match (left_anti = the
+    reference's null-filter after a left join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    seen = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.distinct().join(seen, on="c_custkey", how="left_anti")
+
+
+_F4_ORACLE = """
+    SELECT DISTINCT c.c_custkey
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+"""
+
+
+def _q_u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A4 — key-table growth: union + dropDuplicates."""
+    a = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.unionByName(b).dropDuplicates(["k"])
+
+
+_U1_ORACLE = """
+    SELECT DISTINCT k FROM (
+        SELECT c_custkey AS k FROM customer
+        UNION ALL
+        SELECT o_custkey AS k FROM orders
+    )
+"""
+
+
+def _q_x5_uid_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — blake2b pseudonyms, distributed via Arrow pandas UDF.
+    No SQL oracle (DuckDB lacks blake2b) → rows-only check; digests
+    are pinned by tests/test_anonymize.py instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        blake2b_10hex(F.col("c_custkey").cast("string")).alias("pseudonym"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -310,6 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_daily_portfolio": _q_mape_daily_portfolio,
         "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
         "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
+        "x3_perturb_values": _q_x3_perturb_values,
+        "x4_label_anonymization": _q_x4_label_anonymization,
+        "j1_key_join": _q_j1_key_join,
+        "f4_unmatched_uids": _q_f4_unmatched_uids,
+        "u1_union_dedup": _q_u1_union_dedup,
+        "x5_uid_pseudonym": _q_x5_uid_pseudonym,
     }
 
 
@@ -320,4 +449,10 @@ def oracle_sql() -> dict[str, str]:
         "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,
         "mape_daily_zone_pivot": _zone_pivot_oracle(),
         "mape_daily_portfolio_gross_net": _gross_net_oracle(),
+        "x3_perturb_values": _X3_ORACLE,
+        "x4_label_anonymization": _X4_ORACLE,
+        "j1_key_join": _J1_ORACLE,
+        "f4_unmatched_uids": _F4_ORACLE,
+        "u1_union_dedup": _U1_ORACLE,
+        # x5_uid_pseudonym: intentionally no oracle (rows-only check)
     }
