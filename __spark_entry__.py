@@ -34,9 +34,20 @@ from mape_calculation_and_anonymization_spark.functions.labels import (
     label_universe,
 )
 from mape_calculation_and_anonymization_spark.operators.anonymize import perturb_values
+from mape_calculation_and_anonymization_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    tokens,
+)
 from mape_calculation_and_anonymization_spark.operators.mape import (
     daily_mape_aggregation,
     hourly_aggregation,
+)
+from mape_calculation_and_anonymization_spark.operators.similarity import (
+    brute_force_top_k,
+    embedding_near_duplicates,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -404,6 +415,136 @@ _U1_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extensions: dedup + similarity search
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup bookkeeping: kept id + duplicate count per key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, ["lang", "source"], "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = """
+    SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY lang, source
+"""
+
+
+def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (unigram-set) Jaccard over in-group candidate
+    pairs — the verification primitive the LSH paths share."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", tokens("text").alias("toks")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.toks"), F.col("b.toks")), 6).alias("jaccard_sim"),
+        )
+    )
+
+
+_DEDUP_JACCARD_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+               6
+           ) AS jaccard_sim
+    FROM t a
+    JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def _docs_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ lightly-edited copies (doc_id+1_000_000) — gives the
+    near-dup operators a non-empty, deterministic answer set on a
+    corpus whose original texts are all distinct."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: not SQL-expressible; recall/
+    precision pinned by tests/test_dedup.py against brute force)."""
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    return minhash_near_duplicates(
+        corpus, shingle_k=3, threshold=0.6, shingle_mode="word"
+    )
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only; exact-equivalence pinned by tests)."""
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    return simhash_near_duplicates(corpus, max_hamming=3)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for every 100th vector (exact ANN
+    baseline; deterministic ties via rounded-sim + neighbor id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_top_k(emb, queries, k=3)
+
+
+_ANN_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    elems AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM q CROSS JOIN embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               SUM(qe * ce) / (SQRT(SUM(qe * qe)) * SQRT(SUM(ce * ce))) AS cos
+        FROM elems GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(cos, 6) DESC, neighbor_id
+               ) AS INTEGER) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH + exact verify (rows-only;
+    planted twins = each vector scaled ×1.01 keeps cosine ≈ 1)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    return embedding_near_duplicates(emb.unionByName(twins), threshold=0.98)
+
+
 def _q_x5_uid_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — blake2b pseudonyms, distributed via Arrow pandas UDF.
     No SQL oracle (DuckDB lacks blake2b) → rows-only check; digests
@@ -439,6 +580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_unmatched_uids": _q_f4_unmatched_uids,
         "u1_union_dedup": _q_u1_union_dedup,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -454,5 +601,10 @@ def oracle_sql() -> dict[str, str]:
         "j1_key_join": _J1_ORACLE,
         "f4_unmatched_uids": _F4_ORACLE,
         "u1_union_dedup": _U1_ORACLE,
-        # x5_uid_pseudonym: intentionally no oracle (rows-only check)
+        "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
+        "dedup_jaccard_pairs": _DEDUP_JACCARD_ORACLE,
+        "ann_cosine_topk": _ANN_ORACLE,
+        # rows-only (non-SQL-expressible, pinned by unit tests instead):
+        # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
+        # embedding_near_dup
     }

@@ -1,0 +1,399 @@
+"""Deduplication operators for large-scale document corpora.
+
+North-star extension surface (BASELINE.json): the reference itself has
+only row-level dedup on tiny key tables (A4); a 100 TB training-data
+pipeline needs corpus dedup. Everything here is expressed with
+built-in array/hash functions so it stays inside whole-stage codegen —
+the ONLY Python on a hot path is the simhash signature (bit-twiddling
+over token arrays, vectorized with numpy over Arrow batches).
+
+Operators:
+  * exact dedup           — hash groupBy on content (or any key set)
+  * MinHash + LSH near-dup — shingle → minhash signature → banded
+    bucket join → exact-Jaccard verification
+  * SimHash near-dup       — 64-bit signature + chunk banding +
+    popcount Hamming verification
+  * n-gram Jaccard         — exact set similarity on token shingles
+
+Scale notes: the LSH bucket join shuffles on (band, hash) — candidate
+generation is linear in corpus size, never a cross join. Pathological
+buckets (a value duplicated millions of times) are capped with
+``max_bucket_size`` before the pair expansion to bound the quadratic
+blowup; capped buckets are all-duplicates anyway and are reported via
+the exact path.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# shingling (all JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: str | Column, lowercase: bool = True) -> Column:
+    """Distinct whitespace tokens as an array (unigram set)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.array_distinct(F.split(F.trim(c), r"\s+"))
+
+
+def char_shingles(col: str | Column, k: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character k-grams. Built from sequence+transform so the
+    whole shingling stays in codegen (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    # substring is 1-based; guard short strings with greatest(…,1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def word_ngrams(col: str | Column, n: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word n-grams (space-joined)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    toks = F.split(F.trim(c), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays — built-in
+    array_intersect; union via |A|+|B|−|A∩B| to avoid a second pass."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.try_divide(inter.cast("double"), union.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct key with the
+    kept (minimum) id and the duplicate count. Partial aggregation
+    collapses duplicates map-side before the shuffle."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly the min-id row per duplicate group (deterministic,
+    unlike dropDuplicates). Window-free: min-id join back."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) as a
+    single column expression.
+
+    NOTE: higher-order functions (transform/array_min lambdas) are
+    interpreted, not codegen'd, and the base-hash transform inlines
+    into every permutation — fine for small frames and tests, but the
+    corpus-scale path is :func:`minhash_signatures` (explode +
+    hash-aggregate, fully codegen'd with map-side combine).
+    """
+    base = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+    )
+    comps = [
+        F.array_min(
+            F.transform(base, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_31))
+        )
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    return F.array(*comps)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-scale MinHash: explode shingles → one xxhash per
+    (doc, shingle) → groupBy(doc) with ``num_hashes`` min-aggregates.
+
+    Identical signatures to :func:`minhash_signature` (same
+    permutation parameters), but the whole computation is plain
+    arithmetic inside whole-stage codegen, and the partial aggregation
+    collapses each document's shingle set map-side — the shuffle
+    carries only (id, num_hashes longs) per document.
+    Documents whose shingle set is empty/null are dropped.
+
+    Output: (id_col, sig: array<bigint>).
+    """
+    base = docs.select(
+        F.col(id_col), F.explode(shingles).alias("_sh")
+    ).select(
+        id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_31)).alias("_h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+    return (
+        base.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def signature_agreement(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature components."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.try_divide(
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double"),
+        F.size(sig_a).cast("double"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` equal slices,
+    hash each slice, self-join on (band index, slice hash).
+
+    Returns distinct candidate pairs (id_a < id_b). The join shuffles
+    on the bucket key — linear scan, no cross join. Buckets larger
+    than ``max_bucket_size`` are dropped before pair expansion (they
+    are near-identical floods; route those through exact dedup)."""
+    sig_len_row = sigs.select(F.size(sig_col).alias("n")).first()
+    if sig_len_row is None:
+        return sigs.sparkSession.createDataFrame(
+            [], T.StructType([T.StructField("id_a", T.LongType()),
+                              T.StructField("id_b", T.LongType())])
+        )
+    rows_per_band = max(1, sig_len_row["n"] // bands)
+
+    band_hash = F.posexplode(
+        F.array(
+            *[
+                F.hash(F.slice(F.col(sig_col), j * rows_per_band + 1, rows_per_band))
+                for j in range(bands)
+            ]
+        )
+    )
+    buckets = sigs.select(F.col(id_col).alias("_id"), band_hash.alias("band", "bh"))
+
+    if max_bucket_size:
+        ok = (
+            buckets.groupBy("band", "bh")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        buckets = buckets.join(ok, on=["band", "bh"], how="left_semi")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates →
+    EXACT Jaccard verification on the candidates only.
+
+    ``shingle_mode``: 'char' (k-grams, robust to small edits inside
+    words) or 'word' (word shingle_k-grams — the right signal for
+    corpora that share vocabulary but differ in word order; char
+    shingles over such corpora are dense, which floods the candidate
+    set with genuinely-similar-at-char-level pairs).
+
+    Output: (id_a, id_b, jaccard_sim) for verified pairs ≥ threshold.
+    """
+    shingler = char_shingles if shingle_mode == "char" else word_ngrams
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingler(text_col, shingle_k).alias("sh")
+    )
+    sigs = minhash_signatures(sh, "_id", F.col("sh"), num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, "_id", "sig", bands)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens.
+
+    Python is justified here: the per-bit weighted-majority needs 64
+    bitplane accumulations per document, which as built-in expressions
+    would be a 64-branch aggregate per row (codegen blowup measured in
+    the MAPE pipeline). Vectorized numpy over Arrow batches instead.
+    Deterministic: token hash = blake2b-8byte (stable across runs,
+    unlike Python's salted hash()).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # token → 64 unpacked hash bits, memoized across the batch (real
+    # corpora have far fewer distinct tokens than token instances)
+    memo: dict[str, "np.ndarray"] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def bits_of(tok: str) -> "np.ndarray":
+        b = memo.get(tok)
+        if b is None:
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            b = ((h >> shifts) & np.uint64(1)).astype(np.int32)
+            memo[tok] = b
+        return b
+
+    def one(text):
+        if text is None:
+            return None
+        toks = set(text.lower().split())
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            votes += bits_of(t)
+        votes = votes * 2 - len(toks)  # (+1/-1 majority per bitplane)
+        sim = 0
+        for i in np.nonzero(votes > 0)[0]:
+            sim |= 1 << int(i)
+        return sim - (1 << 64) if sim >= (1 << 63) else sim  # signed long
+
+    return pd.Series([one(t) for t in texts])
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup: by pigeonhole, two signatures within Hamming
+    distance ``chunks-1`` share at least one identical chunk — so
+    bucket-join on chunks, then verify with bit_count(xor) ≤ max.
+
+    ``chunks`` defaults to ``max_hamming+1`` (the smallest count with
+    guaranteed recall). Narrow chunks mean bigger buckets — keep
+    max_hamming small (≤3 typical) at corpus scale, where 4 chunks of
+    16 bits keep bucket-join fan-out tiny.
+    """
+    if chunks is None:
+        chunks = min(64, max_hamming + 1)
+    if max_hamming >= chunks:
+        raise ValueError("guaranteed recall requires max_hamming < chunks")
+    # nearly-equal chunk widths covering all 64 bits
+    base_w, extra = divmod(64, chunks)
+    widths = [base_w + (1 if j < extra else 0) for j in range(chunks)]
+    offsets = [sum(widths[:j]) for j in range(chunks)]
+    sigs = docs.select(
+        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
+    )
+    chunk = F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("sim"), offsets[j])
+                % F.lit(1 << widths[j])
+                for j in range(chunks)
+            ]
+        )
+    )
+    buckets = sigs.select("_id", "sim", chunk.alias("chunk_idx", "chunk_val"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension: approximate-nearest-neighbor machinery for a
+training-data pipeline — brute-force cosine top-k as the exact
+baseline, random-hyperplane LSH bucketing as the scale path.
+
+All vector math is built-in (``zip_with`` product + ``aggregate``
+sum, cast to double element-wise) so it runs inside codegen; no UDFs.
+
+Scale notes: brute-force is a broadcast of the (small) query set
+against the full corpus — linear scan, no shuffle of the corpus. The
+LSH path buckets the corpus once (linear) and only scores within
+buckets. Top-k uses a window over the query id — partition count =
+#queries; for huge query sets swap in a groupBy+min_by-k instead.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, summed in element order (keeps the
+    result bit-stable across engines for oracle comparison)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_scale: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus
+    vector, rank per query.
+
+    Ties break on (rounded similarity desc, neighbor id asc) so the
+    result is fully deterministic. Self-matches are excluded.
+    Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_scale is not None:
+        sim = F.round(sim, round_scale)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit bucket id: bit i = [dot(v, plane_i) > 0]. One long.
+
+    Column-expression form (interpreted HOF lambdas) — fine for a few
+    planes; the corpus-scale path is :func:`hyperplane_buckets_udf`.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec, lit_plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def hyperplane_buckets_udf(n_tables: int, n_bits: int, dim: int, seed: int):
+    """All LSH tables' buckets in one Arrow-batched matmul.
+
+    Higher-order-function dot products are interpreted row-by-row by
+    Spark (no codegen for lambda expressions), which made the
+    expression form ~n_tables·n_bits·dim interpreted ops per vector.
+    One numpy ``(batch,dim) @ (dim,n_tables·n_bits)`` restores BLAS
+    speed; output is ``array<long>`` of length n_tables.
+    """
+    import numpy as np
+
+    mat = np.array(
+        [p for t in range(n_tables) for p in _hyperplanes(dim, n_bits, seed + 1000 * t)],
+        dtype=np.float64,
+    )  # (n_tables*n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(arr) == 0:
+            return pd.Series([], dtype=object)
+        proj = arr @ mat.T  # (batch, n_tables*n_bits)
+        bits = (proj > 0).astype(np.int64).reshape(len(arr), n_tables, n_bits)
+        vals = (bits * weights).sum(axis=2)  # (batch, n_tables)
+        return pd.Series([[int(x) for x in row] for row in vals])
+
+    return buckets
+
+
+def _bucketed(df: DataFrame, vec_col: str, n_tables: int, n_bits: int, dim: int, seed: int) -> DataFrame:
+    """Attach (table idx, bucket id) rows: one posexplode over the
+    per-vector bucket array → single join key for all tables."""
+    b = hyperplane_buckets_udf(n_tables, n_bits, dim, seed)
+    return df.select(
+        "*", F.posexplode(b(F.col(vec_col))).alias("_table", "_bucket")
+    )
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    round_scale: int | None = 6,
+) -> DataFrame:
+    """ANN top-k: ``n_tables`` independent sign-LSH bucketings; score
+    exact cosine only within matching buckets, union candidates, rank.
+
+    Recall is probabilistic (near vectors agree on sign bits with
+    probability 1−θ/π per bit); more tables → higher recall. Output
+    schema matches :func:`brute_force_top_k` — rank may include fewer
+    than k rows per query when buckets are sparse.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+
+    qb = _bucketed(q, "_qv", n_tables, n_bits, dim, seed)
+    cb = _bucketed(c, "_cv", n_tables, n_bits, dim, seed)
+    cand = (
+        qb.join(cb, on=["_table", "_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_scale is not None:
+        sim = F.round(sim, round_scale)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ τ) via
+    sign-LSH candidate buckets + exact verification — the
+    embedding-space analogue of MinHash near-dup."""
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return corpus.sparkSession.createDataFrame([], "id_a long, id_b long, cosine_sim double")
+    dim = dim_row["d"]
+
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    b = _bucketed(base, "_v", n_tables, n_bits, dim, seed)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l._table") == F.col("r._table"),
+                F.col("l._bucket") == F.col("r._bucket"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("l._v").alias("_va"),
+            F.col("r._id").alias("id_b"),
+            F.col("r._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,87 @@
+"""Similarity search: exact baseline vs numpy ground truth; LSH
+recall against the exact baseline."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.similarity import (
+    brute_force_top_k,
+    cosine,
+    dot,
+    embedding_near_duplicates,
+    lsh_top_k,
+)
+
+DIM = 16
+
+
+def _vectors(n=80, seed=3, planted_pairs=5):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    # plant near-duplicates: small perturbations of earlier vectors
+    for i in range(planted_pairs):
+        vecs[n - 1 - i] = vecs[i] + rng.normal(scale=0.01, size=DIM).astype(np.float32)
+    return [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+def _np_cosine_matrix(rows):
+    m = np.array([v for _, v in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    return (m @ m.T) / np.outer(norms, norms)
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("a")).alias("self"),
+    ).collect()[0]
+    assert row["d"] == pytest.approx(32.0)
+    assert row["self"] == pytest.approx(1.0)
+
+
+def test_brute_force_matches_numpy(spark):
+    rows = _vectors()
+    sims = _np_cosine_matrix(rows)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5)
+    got = brute_force_top_k(df, queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine_sim"]))
+    for qid, items in by_query.items():
+        items.sort()
+        expect = sorted(
+            ((round(sims[qid][j], 6), j) for j in range(len(rows)) if j != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert [(n, s) for _, n, s in items] == [(j, pytest.approx(s)) for s, j in expect]
+
+
+def test_lsh_recall_on_planted_neighbors(spark):
+    rows = _vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n = len(rows)
+    # queries = the originals of the planted twins
+    queries = df.filter(F.col("vec_id") < 5)
+    got = lsh_top_k(df, queries, dim=DIM, k=1, n_bits=6, n_tables=8)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got.filter(F.col("rank") == 1).collect()}
+    for i in range(5):
+        assert top1[i] == n - 1 - i  # its planted twin
+
+
+def test_embedding_near_duplicates(spark):
+    rows = _vectors()
+    n = len(rows)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    planted = {(i, n - 1 - i) for i in range(5)}
+    assert planted <= pairs
+    # random gaussian vectors in 16-d essentially never hit 0.95 cosine
+    assert pairs == planted
