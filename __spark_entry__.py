@@ -49,6 +49,29 @@ from mape_calculation_and_anonymization_spark.operators.similarity import (
     brute_force_top_k,
     embedding_near_duplicates,
 )
+from mape_calculation_and_anonymization_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+)
+from mape_calculation_and_anonymization_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    stateful_distinct_users,
+    streaming_hourly_wape,
+    user_session_windows,
+)
+from mape_calculation_and_anonymization_spark.operators.text import (
+    STOPWORDS,
+    bpeish_token_count,
+    fingerprint,
+    language_id,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -545,6 +568,278 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb.unionByName(twins), threshold=0.98)
 
 
+# ---------------------------------------------------------------------------
+# Text analysis extensions
+# ---------------------------------------------------------------------------
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpeish_token_count("text").alias("n_bpeish"),
+    )
+
+
+_TEXT_TOKEN_ORACLE = r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish
+    FROM documents
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+def _sw_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_TEXT_QUALITY_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) AS p_ratio
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, p_ratio,
+               CAST(len(list_filter(toks, x -> list_contains({_sw_list_sql('en')}, x))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS sw_ratio,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS mean_len
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(p_ratio, 6) AS punct_ratio,
+           ROUND(sw_ratio, 6) AS stopword_ratio,
+           ROUND(mean_len, 6) AS mean_token_len,
+           ROUND(
+               LEAST(length(text) / 500.0, 1.0) * 0.3
+               + LEAST(sw_ratio * 4.0, 1.0) * 0.2
+               + GREATEST(1.0 - p_ratio * 5.0, 0.0) * 0.3
+               + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2,
+               6
+           ) AS quality
+    FROM m
+"""
+
+
+def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(STOPWORDS)
+    hits = ",\n               ".join(
+        f"len(list_filter(toks, x -> list_contains({_sw_list_sql(lang)}, x))) AS s_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+               {hits}
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN {best} <= 0 THEN 'und'
+                {cases}
+                END AS lang_pred
+        FROM s
+    """
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+_TEXT_FP_ORACLE = """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))
+               ),
+               (a, b) -> (a * 31 + b) % 2147483647
+           ) AS fp
+    FROM documents
+"""
+
+
+def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (from_json surface)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_EVENTS_JSON_ORACLE = """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming queries (executed with Trigger.AvailableNow into
+# a memory sink so the batch-shaped contract can compare results)
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_hourly_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_memory(
+        streaming_hourly_wape(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    return _round_doubles(out)
+
+
+_STREAM_HOURLY_ORACLE = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS proxy_date,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           event_type AS zone,
+           ROUND(SUM(value * 1.05), 6) AS forecast,
+           ROUND(SUM(value * 0.97), 6) AS backcast,
+           ROUND(SUM(value), 6) AS settlement,
+           ROUND(ABS(SUM(value * 1.05) - SUM(value)), 6) AS forecast_abs_error,
+           ROUND(ABS(SUM(value * 0.97) - SUM(value)), 6) AS backcast_abs_error,
+           ROUND(ABS(SUM(value)), 6) AS settlement_abs
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_memory(
+        user_session_windows(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+    return _round_doubles(out)
+
+
+# gaps-and-islands twin of F.session_window: a new session starts when
+# the gap from the previous event is ≥ 5 minutes. Timestamps go through
+# make_timestamp(epoch_ns // 1000) to match Spark's nanos→micros floor.
+_STREAM_SESSION_ORACLE = """
+    WITH e AS (
+        SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        FROM events
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM d
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS volume
+    FROM s
+    GROUP BY user_id, sess_id
+"""
+
+
+def _q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stateful_distinct_users(read_events_stream(spark, sf_dir))
+    )
+
+
+_STREAM_DISTINCT_ORACLE = "SELECT DISTINCT user_id FROM events"
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+
+def _q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return attach_binary_payload(docs).select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.modality").alias("modality"),
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+    SELECT doc_id,
+           'utf8-text' AS format,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text' AS modality
+    FROM documents
+"""
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = frame_sample(attach_binary_payload(docs), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+    )
+
+
+_MULTIMODAL_FRAMES_ORACLE = """
+    SELECT d.doc_id, CAST(j.j AS INTEGER) AS frame_idx,
+           CAST(octet_length(encode(d.text)) // 4 AS INTEGER) AS frame_bytes
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(4)) AS j) j
+"""
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas featurizer plumbing (rows-only: fake encoder output
+    is pinned deterministic by tests, not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_features(attach_binary_payload(docs))
+
+
 def _q_x5_uid_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — blake2b pseudonyms, distributed via Arrow pandas UDF.
     No SQL oracle (DuckDB lacks blake2b) → rows-only check; digests
@@ -586,6 +881,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_language_id": _q_text_language_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "events_json_props": _q_events_json_props,
+        "stream_hourly_wape": _q_stream_hourly_wape,
+        "stream_session_windows": _q_stream_session_windows,
+        "stream_distinct_users": _q_stream_distinct_users,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -604,6 +910,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "dedup_jaccard_pairs": _DEDUP_JACCARD_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
+        "text_token_stats": _TEXT_TOKEN_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "text_language_id": _lang_id_oracle(),
+        "text_fingerprint": _TEXT_FP_ORACLE,
+        "events_json_props": _EVENTS_JSON_ORACLE,
+        "stream_hourly_wape": _STREAM_HOURLY_ORACLE,
+        "stream_session_windows": _STREAM_SESSION_ORACLE,
+        "stream_distinct_users": _STREAM_DISTINCT_ORACLE,
+        "multimodal_metadata": _MULTIMODAL_META_ORACLE,
+        "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

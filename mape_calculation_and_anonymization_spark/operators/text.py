@@ -1,0 +1,131 @@
+"""Text analysis operators for document corpora.
+
+North-star extension: language-ID (stopword-hit heuristic), quality
+scoring (length/punctuation/stopword ratios), token counting
+(whitespace + BPE-ish regex), and document fingerprinting (polynomial
+rolling hash). Every operator is a pure column expression — regexp,
+array ops, arithmetic — so the whole surface is SQL-expressible for
+the DuckDB oracle and shuffle-free (per-row map work only, embedded
+in whatever scan/projection pipeline the caller composes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: word runs OR single non-word-non-space
+# marks (the common GPT-2-style first split).
+BPEISH_PATTERN = r"\w+|[^\w\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit
+# heuristic. Order fixes the argmax tie-break (first max wins).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "für"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "个"],
+}
+
+_FP_PRIME = (1 << 31) - 1  # keeps acc*31+c < 2^36: overflow-safe in
+# both Spark (silent wrap) and DuckDB (errors on BIGINT overflow)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (empty/blank text → 0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpeish_token_count(col: str | Column) -> Column:
+    """BPE-ish pre-token count: word runs + individual punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), 0))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return F.try_divide(n_punct.cast("double"), F.length(c).cast("double"))
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (duplicates counted)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def mean_token_length(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _tokens(c)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    return F.try_divide(total.cast("double"), F.size(toks).cast("double"))
+
+
+def quality_score(col: str | Column, lang: str = "en") -> Column:
+    """Composite [0,1]-ish quality heuristic: reward moderate length
+    and healthy stopword density, penalize punctuation floods and
+    degenerate token lengths. Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(c, lang) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(1.0) - punct_ratio(c) * F.lit(5.0), F.lit(0.0)
+    )
+    mlen = mean_token_length(c)
+    len_shape = F.when((mlen >= 3.0) & (mlen <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (
+        length_term * F.lit(0.3)
+        + sw_term * F.lit(0.2)
+        + punct_term * F.lit(0.3)
+        + len_shape * F.lit(0.2)
+    )
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Raw stopword hit count for one language."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(_tokens(c), lambda t: F.array_contains(sw, t)))
+
+
+def language_id(col: str | Column, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (first max wins; zero hits everywhere → 'und')."""
+    c = F.col(col) if isinstance(col, str) else col
+    langs = langs or list(STOPWORDS)
+    scores = F.array(*[stopword_hits(c, lang) for lang in langs])
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best)  # 1-based, first occurrence
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best <= 0, F.lit("und")).otherwise(F.element_at(lang_arr, idx.cast("int")))
+
+
+def fingerprint(col: str | Column, base: int = 31, mod: int = _FP_PRIME) -> Column:
+    """Polynomial rolling hash over the character stream:
+    ``acc = (acc*base + ascii(ch)) % mod`` — a stable document
+    fingerprint reproducible in any engine (same arithmetic, no
+    overflow: acc < 2³¹ so acc·31+c < 2³⁶)."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0)
+    codes = F.transform(chars, lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(base) + v) % F.lit(mod),
+    )

@@ -1,0 +1,154 @@
+"""Structured Streaming operators (SURVEY.md §2.10 extension surface).
+
+The reference is batch-only; its only "incremental" behaviors are the
+cross-run key-table upsert and latest-folder pick. This module adds
+the streaming operators a live ingest of the same data would need:
+
+  * tumbling-window hourly WAPE pre-aggregation with watermarked
+    late-data handling (the streaming face of main.py's hourly grain)
+  * sliding-window event counts
+  * session windows per user (``F.session_window``)
+  * stateful streaming dedup (``dropDuplicates`` over the stream)
+
+Every pipeline here is a standard ``readStream → transform →
+writeStream`` DAG; batch equivalence is guaranteed by construction
+(same expressions both modes) and pinned by tests + DuckDB oracles
+via ``Trigger.AvailableNow`` runs into a memory sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema mandatory for
+    streaming reads; nano timestamps normalized like the batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_hourly_wape(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-hour WAPE pre-aggregation.
+
+    One stateful aggregation (Spark's supported streaming shape); the
+    abs-error derivation is a stateless projection on the aggregate
+    output, and daily WAPE composes downstream on the materialized
+    hourly table exactly as in the batch pipeline. Late events beyond
+    the watermark are dropped instead of reopening closed hours.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type").alias("zone"))
+        .agg(
+            F.sum(F.col("value") * 1.05).alias("forecast"),
+            F.sum(F.col("value") * 0.97).alias("backcast"),
+            F.sum("value").alias("settlement"),
+        )
+    )
+    return hourly.select(
+        F.to_date(F.col("w.start")).alias("proxy_date"),
+        F.hour(F.col("w.start")).alias("hour"),
+        "zone",
+        "forecast",
+        "backcast",
+        "settlement",
+        F.abs(F.col("forecast") - F.col("settlement")).alias("forecast_abs_error"),
+        F.abs(F.col("backcast") - F.col("settlement")).alias("backcast_abs_error"),
+        F.abs(F.col("settlement")).alias("settlement_abs"),
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts/volume per event type."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("volume"))
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "volume",
+    )
+
+
+def user_session_windows(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within ``gap`` of the previous one."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("volume"))
+    )
+    return agg.select(
+        F.col("w.start").alias("session_start"),
+        "user_id",
+        "n_events",
+        "volume",
+    )
+
+
+def stateful_distinct_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup: first occurrence of each user passes through
+    (state bounded by the watermark via dropDuplicatesWithinWatermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink, block until done, return the materialized batch
+    DataFrame. (The pattern the driver's batch-shaped contract needs;
+    production sinks would be kafka/parquet/delta writeStream.)"""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,116 @@
+"""Streaming batch-equivalence tests + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.fixtures import load_events
+from mape_calculation_and_anonymization_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_features,
+    frame_sample,
+)
+from mape_calculation_and_anonymization_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    stateful_distinct_users,
+    streaming_hourly_wape,
+    user_session_windows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_hourly_wape_equals_batch(spark):
+    # append mode would hold back the final (still-open) windows at
+    # end-of-stream; complete mode emits every window for the
+    # batch-equivalence check
+    got = run_stream_to_memory(
+        streaming_hourly_wape(read_events_stream(spark, SF)), output_mode="complete"
+    )
+    # batch twin: same expressions over the batch read
+    ev = load_events(spark, SF)
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type").alias("zone")
+        )
+        .agg(
+            F.sum(F.col("value") * 1.05).alias("forecast"),
+            F.sum(F.col("value") * 0.97).alias("backcast"),
+            F.sum("value").alias("settlement"),
+        )
+        .select(
+            F.to_date("w.start").alias("proxy_date"),
+            F.hour("w.start").alias("hour"),
+            "zone",
+            "forecast",
+            "backcast",
+            "settlement",
+        )
+    )
+    g = {
+        (str(r["proxy_date"]), r["hour"], r["zone"]): r["settlement"]
+        for r in got.collect()
+    }
+    b = {
+        (str(r["proxy_date"]), r["hour"], r["zone"]): r["settlement"]
+        for r in batch.collect()
+    }
+    assert g == b and len(g) > 0
+
+
+def test_streaming_session_windows(spark):
+    got = run_stream_to_memory(
+        user_session_windows(read_events_stream(spark, SF)), output_mode="complete"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # sessions per user must not overlap and counts must sum to events
+    total = sum(r["n_events"] for r in rows)
+    assert total == load_events(spark, SF).count()
+
+
+def test_streaming_distinct_users(spark):
+    got = run_stream_to_memory(stateful_distinct_users(read_events_stream(spark, SF)))
+    users = sorted(r["user_id"] for r in got.collect())
+    expect = sorted(
+        r["user_id"]
+        for r in load_events(spark, SF).select("user_id").distinct().collect()
+    )
+    assert users == expect
+
+
+def test_multimodal_payload_and_features(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    with_bin = attach_binary_payload(docs)
+    meta = with_bin.select("doc_id", "media_meta.*", F.length("text").alias("n")).collect()
+    for r in meta:
+        assert r["format"] == "utf8-text" and r["n_bytes"] >= r["n"]
+
+    feats = extract_features(with_bin).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+    # deterministic across runs
+    feats2 = extract_features(with_bin).collect()
+    assert {r["doc_id"]: r["features"] for r in feats} == {
+        r["doc_id"]: r["features"] for r in feats2
+    }
+
+
+def test_frame_sample(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    frames = frame_sample(attach_binary_payload(docs)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert len(by_doc) == 5
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous from 0
+
+
+def test_decode_image_stub_raises_cleanly(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(attach_binary_payload(docs))

@@ -1,0 +1,64 @@
+"""Text analysis operators: hand-computed expectations + edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.text import (
+    bpeish_token_count,
+    fingerprint,
+    language_id,
+    mean_token_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], ["text"])
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "the cat  sat", token_count("text")) == 3
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "   ", token_count("text")) == 0
+    # BPE-ish: words + punctuation marks separately
+    assert _one(spark, "hi, world!", bpeish_token_count("text")) == 4
+    assert _one(spark, "", bpeish_token_count("text")) == 0
+
+
+def test_ratios(spark):
+    assert _one(spark, "ab,!", punct_ratio("text")) == pytest.approx(0.5)
+    # 'the' and 'a' are stopwords; 4 tokens
+    assert _one(spark, "the cat a dog", stopword_ratio("text")) == pytest.approx(0.5)
+    assert _one(spark, "ab cdef", mean_token_length("text")) == pytest.approx(3.0)
+
+
+def test_quality_monotonic(spark):
+    clean = "the quick brown fox jumps over the lazy dog and runs far away " * 10
+    noisy = "!!! ### $$$ %% ^^ && " * 20
+    q_clean = _one(spark, clean, quality_score("text"))
+    q_noisy = _one(spark, noisy, quality_score("text"))
+    assert q_clean > q_noisy
+
+
+def test_language_id(spark):
+    assert _one(spark, "the cat is in the house", language_id("text")) == "en"
+    assert _one(spark, "der hund ist nicht auf der straße", language_id("text")) == "de"
+    assert _one(spark, "el perro es un animal que vive en la casa", language_id("text")) == "es"
+    assert _one(spark, "xyzzy qwerty", language_id("text")) == "und"
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    f1 = _one(spark, "hello world", fingerprint("text"))
+    f2 = _one(spark, "hello world", fingerprint("text"))
+    f3 = _one(spark, "hello worle", fingerprint("text"))
+    assert f1 == f2 != f3
+    # matches the straightforward Python reduction
+    expect = 0
+    for ch in "hello world":
+        expect = (expect * 31 + ord(ch)) % ((1 << 31) - 1)
+    assert f1 == expect
+    assert _one(spark, "", fingerprint("text")) == 0
