@@ -717,6 +717,146 @@ _EVENTS_JSON_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Scan / sort / window micro-operators (SURVEY.md §2.1, §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+_CSV_FIXTURE = "/tmp/mape_spark_fixtures/events_schema_a.csv"
+_PARTITIONED_FIXTURE = "/tmp/mape_spark_fixtures/dated"
+
+
+def _q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — header-CSV scan with inferred schema: export a
+    deterministic CSV once, read it back through the engine's reader,
+    aggregate. The oracle reads the same file via read_csv_auto."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.readers import read_csv
+
+    os.makedirs(os.path.dirname(_CSV_FIXTURE), exist_ok=True)
+    if not os.path.exists(_CSV_FIXTURE):
+        pdf = (
+            events_to_schema_a(load_events(spark, sf_dir))
+            .orderBy("proxy_date", "hour", "zone", "settlement")
+            .toPandas()
+        )
+        pdf.to_csv(_CSV_FIXTURE + ".tmp", index=False)
+        os.replace(_CSV_FIXTURE + ".tmp", _CSV_FIXTURE)
+    df = read_csv(spark, _CSV_FIXTURE)
+    return df.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("settlement"), 4).alias("total_settlement"),
+    )
+
+
+_S1_ORACLE = f"""
+    SELECT zone, COUNT(*) AS n,
+           ROUND(SUM(settlement), 4) AS total_settlement
+    FROM read_csv_auto('{_CSV_FIXTURE}')
+    GROUP BY zone
+"""
+
+
+def _q_s3_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — newest-dated-folder discovery through the engine reader
+    (two dated folders written once; engine must pick 2024-02-01)."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        latest_partition,
+        read_parquet,
+    )
+
+    if not os.path.isdir(os.path.join(_PARTITIONED_FIXTURE, "2024-02-01")):
+        os.makedirs(_PARTITIONED_FIXTURE, exist_ok=True)
+        nation = load_table(spark, sf_dir, "nation")
+        nation.filter(F.col("n_nationkey") < 5).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_PARTITIONED_FIXTURE, "2024-01-01"))
+        nation.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(_PARTITIONED_FIXTURE, "2024-02-01")
+        )
+    folder = latest_partition(_PARTITIONED_FIXTURE)
+    df = read_parquet(spark, f"{_PARTITIONED_FIXTURE}/{folder}")
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_S3_ORACLE = f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_parquet('{_PARTITIONED_FIXTURE}/2024-02-01/*.parquet')
+"""
+
+
+def _q_o1_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+limit — top-k by computed revenue (plans as
+    TakeOrderedAndProject, not a full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+_O1_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    ORDER BY revenue DESC, l_orderkey, l_linenumber
+    LIMIT 10
+"""
+
+
+def _q_w1_rolling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W — window-function extension surface (§2.5): per-zone ordered
+    frames — row_number, lag delta, rolling 3-hour mean."""
+    from pyspark.sql import Window as W
+
+    hourly = hourly_aggregation(
+        events_to_schema_a(load_events(spark, sf_dir)), zone=True, sort=False
+    ).select("proxy_date", "hour", "zone", "settlement")
+    w = W.partitionBy("zone").orderBy("proxy_date", "hour")
+    return hourly.select(
+        "proxy_date",
+        "hour",
+        "zone",
+        F.round("settlement", 6).alias("settlement"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.col("settlement") - F.lag("settlement", 1).over(w), 6).alias(
+            "delta_prev"
+        ),
+        F.round(
+            F.avg("settlement").over(w.rowsBetween(-2, 0)), 6
+        ).alias("rolling_3h_avg"),
+    )
+
+
+_W1_ORACLE = f"""
+    WITH hourly AS (
+        SELECT proxy_date, CAST(hour AS INTEGER) AS hour, zone,
+               SUM(settlement) AS settlement
+        FROM ({SCHEMA_A_SQL})
+        GROUP BY proxy_date, hour, zone
+    )
+    SELECT proxy_date, hour, zone,
+           ROUND(settlement, 6) AS settlement,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           ROUND(settlement - LAG(settlement, 1) OVER w, 6) AS delta_prev,
+           ROUND(AVG(settlement) OVER (
+               PARTITION BY zone ORDER BY proxy_date, hour
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_3h_avg
+    FROM hourly
+    WINDOW w AS (PARTITION BY zone ORDER BY proxy_date, hour)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming queries (executed with Trigger.AvailableNow into
 # a memory sink so the batch-shaped contract can compare results)
 # ---------------------------------------------------------------------------
@@ -892,6 +1032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
+        "s1_csv_scan": _q_s1_csv_scan,
+        "s3_latest_partition": _q_s3_latest_partition,
+        "o1_top_revenue": _q_o1_top_revenue,
+        "w1_rolling_hourly": _q_w1_rolling_hourly,
     }
 
 
@@ -920,6 +1064,10 @@ def oracle_sql() -> dict[str, str]:
         "stream_distinct_users": _STREAM_DISTINCT_ORACLE,
         "multimodal_metadata": _MULTIMODAL_META_ORACLE,
         "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
+        "s1_csv_scan": _S1_ORACLE,
+        "s3_latest_partition": _S3_ORACLE,
+        "o1_top_revenue": _O1_ORACLE,
+        "w1_rolling_hourly": _W1_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

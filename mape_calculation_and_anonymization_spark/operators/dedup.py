@@ -266,9 +266,13 @@ def minhash_near_duplicates(
     Output: (id_a, id_b, jaccard_sim) for verified pairs ≥ threshold.
     """
     shingler = char_shingles if shingle_mode == "char" else word_ngrams
+    # Persist the shingle frame: it feeds the signature aggregation AND
+    # both sides of the verification join — without it the (interpreted
+    # higher-order-function) shingling runs three times. MEMORY_AND_DISK
+    # so an outsized corpus spills instead of OOMing.
     sh = docs.select(
         F.col(id_col).alias("_id"), shingler(text_col, shingle_k).alias("sh")
-    )
+    ).persist()
     sigs = minhash_signatures(sh, "_id", F.col("sh"), num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, "_id", "sig", bands)
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -1,0 +1,76 @@
+"""Plan-shape regression tests: the scale properties the engine
+claims are machine-checked here (SURVEY.md §4.2)."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from mape_calculation_and_anonymization_spark.fixtures import (
+    events_to_schema_a,
+    load_events,
+    load_table,
+)
+from mape_calculation_and_anonymization_spark.operators.mape import (
+    daily_mape_aggregation,
+    hourly_aggregation,
+)
+from mape_calculation_and_anonymization_spark.plans.audit import (
+    count_exchanges,
+    physical_plan,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mape_pipeline_scan_is_pruned(spark):
+    df = e._q_mape_daily_portfolio(spark, SF)
+    cols = read_schema_columns(df, "events.parquet")
+    # schema-A derivation needs only ts and value; the other four
+    # event columns must be pruned at the scan
+    assert sorted(cols) == ["ts", "value"]
+
+
+def test_mape_daily_has_exactly_two_shuffles(spark):
+    raw = events_to_schema_a(load_events(spark, SF))
+    daily = daily_mape_aggregation(hourly_aggregation(raw, sort=False))
+    # hourly agg exchange + daily agg exchange; the sort=False path
+    # must NOT add a range-partitioning exchange between them
+    assert count_exchanges(daily) == 2
+
+
+def test_hourly_sort_adds_one_exchange(spark):
+    raw = events_to_schema_a(load_events(spark, SF))
+    sorted_hourly = hourly_aggregation(raw, sort=True)
+    unsorted = hourly_aggregation(raw, sort=False)
+    assert count_exchanges(sorted_hourly) == count_exchanges(unsorted) + 1
+
+
+def test_key_join_broadcasts(spark):
+    df = e._q_j1_key_join(spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_top_k_uses_take_ordered(spark):
+    df = e._q_o1_top_revenue(spark, SF)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_quantity") > 10
+    ).select("l_orderkey", "l_quantity")
+    plan = physical_plan(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)" in plan
+    assert sorted(read_schema_columns(li, "lineitem.parquet")) == [
+        "l_orderkey", "l_quantity",
+    ]
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    df = e._q_ann_cosine_topk(spark, SF)
+    plan = physical_plan(df)
+    # small query set must broadcast; corpus side streams
+    assert "BroadcastNestedLoopJoin" in plan
+    # top-k rank applies WindowGroupLimit pre-shuffle
+    assert "WindowGroupLimit" in plan
