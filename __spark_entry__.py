@@ -717,6 +717,162 @@ _EVENTS_JSON_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Multi-dimensional aggregation + set ops (SURVEY.md §2.4/§2.7 "absent
+# in reference, free in Spark" rows) and join-heavy analytical queries
+# ---------------------------------------------------------------------------
+
+
+def _q_agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_CUBE_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT in one labeled result: customers with
+    big-ticket orders vs customers with none."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    has_big = cust.intersect(big).withColumn("bucket", F.lit("has_big_order"))
+    no_big = cust.exceptAll(big.distinct()).withColumn("bucket", F.lit("no_big_order"))
+    return has_big.unionByName(no_big)
+
+
+_SET_ORACLE = """
+    SELECT k, 'has_big_order' AS bucket FROM (
+        SELECT c_custkey AS k FROM customer
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    )
+    UNION ALL
+    SELECT k, 'no_big_order' AS bucket FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+    )
+"""
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join through the SQL API (same Catalyst
+    plan as the DataFrame form; demonstrates the SQL front end)."""
+    _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+_Q3_ORACLE = """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+def _q_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue by nation where customer
+    and supplier share the nation (join-reorder + broadcast demo)."""
+    _register_views(
+        spark, sf_dir,
+        ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                        AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name IN ('AMERICA', 'ASIA')
+        GROUP BY n.n_name
+        """
+    )
+
+
+_Q5_ORACLE = """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Scan / sort / window micro-operators (SURVEY.md §2.1, §2.5, §2.6)
 # ---------------------------------------------------------------------------
 
@@ -1036,6 +1192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_latest_partition": _q_s3_latest_partition,
         "o1_top_revenue": _q_o1_top_revenue,
         "w1_rolling_hourly": _q_w1_rolling_hourly,
+        "agg_rollup_revenue": _q_agg_rollup_revenue,
+        "agg_cube_counts": _q_agg_cube_counts,
+        "set_intersect_except": _q_set_intersect_except,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_nation_volume": _q_q5_nation_volume,
     }
 
 
@@ -1068,6 +1229,11 @@ def oracle_sql() -> dict[str, str]:
         "s3_latest_partition": _S3_ORACLE,
         "o1_top_revenue": _O1_ORACLE,
         "w1_rolling_hourly": _W1_ORACLE,
+        "agg_rollup_revenue": _ROLLUP_ORACLE,
+        "agg_cube_counts": _CUBE_ORACLE,
+        "set_intersect_except": _SET_ORACLE,
+        "q3_shipping_priority": _Q3_ORACLE,
+        "q5_nation_volume": _Q5_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

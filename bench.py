@@ -39,6 +39,9 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators that persist intermediates (minhash shingles) must
+        # not pressure later queries' memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(
