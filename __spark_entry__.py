@@ -557,6 +557,58 @@ _ANN_ORACLE = """
 """
 
 
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_clusters — exhaustive probe, so results
+    are EXACTLY the brute-force top-k (same oracle) while exercising
+    the KMeans index build + routed-cell search path end-to-end.
+    Partial-probe recall is pinned in tests/test_ivf_stateful.py."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_top_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    assigned, centroids = build_ivf_index(emb, n_clusters=8)
+    return ivf_top_k(assigned, centroids, queries, k=3, nprobe=8)
+
+
+def _q_stream_stateful_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-zone
+    running WAPE; the final update per zone equals the batch totals."""
+    from pyspark.sql import Window as W
+
+    from mape_calculation_and_anonymization_spark.streaming.stateful import (
+        running_zone_wape,
+    )
+
+    out = run_stream_to_memory(
+        running_zone_wape(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    w = W.partitionBy("zone").orderBy(F.col("n_events").desc())
+    final = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return final.select(
+        "zone",
+        "n_events",
+        F.round("forecast_abs_error", 6).alias("forecast_abs_error"),
+        F.round("settlement_abs", 6).alias("settlement_abs"),
+        F.round("forecast_wape", 6).alias("forecast_wape"),
+    )
+
+
+_STREAM_STATEFUL_ORACLE = """
+    SELECT event_type AS zone,
+           COUNT(*) AS n_events,
+           ROUND(SUM(ABS(value * 1.05 - value)), 6) AS forecast_abs_error,
+           ROUND(SUM(ABS(value)), 6) AS settlement_abs,
+           ROUND(SUM(ABS(value * 1.05 - value)) / NULLIF(SUM(ABS(value)), 0.0), 6)
+               AS forecast_wape
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via sign-LSH + exact verify (rows-only;
     planted twins = each vector scaled ×1.01 keeps cosine ≈ 1)."""
@@ -720,6 +772,47 @@ _EVENTS_JSON_ORACLE = """
 # Multi-dimensional aggregation + set ops (SURVEY.md §2.4/§2.7 "absent
 # in reference, free in Spark" rows) and join-heavy analytical queries
 # ---------------------------------------------------------------------------
+
+
+def _q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (composed: union + windowed forward-fill — Spark has
+    no native ASOF): each event enriched with the most recent hourly
+    volume rate at-or-before its timestamp, per zone. Oracle uses
+    DuckDB's native ASOF JOIN."""
+    from mape_calculation_and_anonymization_spark.operators.joins import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("zone"), "ts", "value"
+    )
+    rates = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "zone")
+        .agg(F.sum("value").alias("hourly_volume"))
+        .select("zone", F.col("w.start").alias("ts"), "hourly_volume")
+    )
+    out = asof_join(ev, rates, on="ts", by=["zone"], right_cols=["hourly_volume"])
+    return out.select(
+        "event_id", "zone", F.round("value", 6).alias("value"),
+        F.round("hourly_volume", 6).alias("hourly_volume"),
+    )
+
+
+_ASOF_ORACLE = """
+    WITH e AS (
+        SELECT event_id, event_type AS zone,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        FROM events
+    ),
+    rates AS (
+        SELECT zone, date_trunc('hour', ts) AS hr,
+               SUM(value) AS hourly_volume
+        FROM e GROUP BY zone, date_trunc('hour', ts)
+    )
+    SELECT e.event_id, e.zone, ROUND(e.value, 6) AS value,
+           ROUND(r.hourly_volume, 6) AS hourly_volume
+    FROM e
+    ASOF LEFT JOIN rates r
+      ON e.zone = r.zone AND e.ts >= r.hr
+"""
 
 
 def _q_agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_except": _q_set_intersect_except,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q5_nation_volume": _q_q5_nation_volume,
+        "asof_join_rates": _q_asof_join_rates,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "stream_stateful_wape": _q_stream_stateful_wape,
     }
 
 
@@ -1234,6 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect_except": _SET_ORACLE,
         "q3_shipping_priority": _Q3_ORACLE,
         "q5_nation_volume": _Q5_ORACLE,
+        "asof_join_rates": _ASOF_ORACLE,
+        "ivf_ann_topk": _ANN_ORACLE,
+        "stream_stateful_wape": _STREAM_STATEFUL_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

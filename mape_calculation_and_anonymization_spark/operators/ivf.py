@@ -1,0 +1,102 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The second scale path for similarity search (alongside sign-LSH in
+``similarity.py``): partition the corpus into Voronoi cells with
+KMeans (Spark MLlib — public API), then answer queries by scoring
+only the ``nprobe`` nearest cells instead of the full corpus.
+
+Scale notes: the index build is MLlib's distributed KMeans; the
+centroid table is tiny (k × dim) and broadcast for query routing; a
+query touches ~(nprobe/k) of the corpus. Recall grows with nprobe —
+nprobe=k degenerates to exact brute force over a partitioned layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.similarity import cosine
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit KMeans and assign every vector to a cell.
+
+    Returns (assigned, centroids): ``assigned`` = corpus + ``cluster``
+    column; ``centroids`` = (cluster, centroid: array<double>) — a
+    dimension table, safe to broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    data = corpus.withColumn(
+        "_feat",
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="cluster"
+    ).fit(data)
+    assigned = model.transform(data).drop("_feat")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_top_k(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    round_scale: int | None = 6,
+) -> DataFrame:
+    """ANN top-k: route each query to its ``nprobe`` nearest centroids
+    (broadcast centroid table), score exact cosine only inside those
+    cells, rank. Output schema matches ``brute_force_top_k``."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+
+    routed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("_csim", cosine(F.col("_qv"), F.col("centroid")))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_csim").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_scale is not None:
+        sim = F.round(sim, round_scale)
+    scored = (
+        routed.join(c, on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

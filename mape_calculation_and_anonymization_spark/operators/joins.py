@@ -1,0 +1,134 @@
+"""Join operators beyond the reference's single left-equi join:
+as-of joins (Spark has no native operator) and skew-safe salted
+joins/aggregations for hot keys at scale.
+
+As-of join strategy: Spark lacks ASOF JOIN, so it is composed from
+built-ins — union the right ("quotes") stream into the left ("trades")
+stream with a marker, then one `last(value, ignorenulls=True)` window
+per key ordered by (ts, marker) forward-fills the most recent right
+value onto each left row. Cost: ONE shuffle on the key + a per-key
+sort — same asymptotics as a sort-merge join, no point-in-time
+cross-join blowup.
+
+Salting strategy: a hot key floods one reducer in a shuffle join. The
+salted join replicates the (small-ish) build side `salt` ways and
+splinters the probe side's hot keys across `salt` sub-keys, restoring
+parallelism at the cost of `salt`× the build side — the classic
+pre-AQE remedy, kept available because AQE's skew handling only
+applies to sort-merge joins on statistics it can see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Enrich each left row with the most recent right row at-or-before
+    (``backward``) or the earliest at-or-after (``forward``) its ``on``
+    timestamp, optionally matching ``by`` keys exactly.
+
+    Equivalent to pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    (with allow_exact_matches=True). Implemented as union + windowed
+    forward-fill: one shuffle on ``by`` (or a single partition if no
+    keys — use keys at scale).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = by or []
+    right_cols = right_cols or [
+        c for c in right.columns if c != on and c not in by
+    ]
+
+    l_marked = left.withColumn("_is_left", F.lit(1))
+    for c in right_cols:
+        l_marked = l_marked.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_marked = right.select(
+        *by, F.col(on), *right_cols
+    ).withColumn("_is_left", F.lit(0))
+    for c in left.columns:
+        if c not in by and c != on:
+            r_marked = r_marked.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_marked.select(
+        *by, on, "_is_left", *right_cols,
+        *[c for c in left.columns if c not in by and c != on],
+    ).unionByName(
+        r_marked.select(
+            *by, on, "_is_left", *right_cols,
+            *[c for c in left.columns if c not in by and c != on],
+        )
+    )
+
+    # Right rows order BEFORE left rows at the same timestamp so an
+    # exact-timestamp match is visible to the left row (backward);
+    # mirror for forward.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in right_cols}
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in right_cols}
+
+    filled = unioned.withColumns(fill)
+    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with the probe side's keys splintered across ``salt``
+    sub-keys and the build side replicated ``salt`` ways — hot probe
+    keys no longer collapse onto one reducer.
+
+    Row-identical to ``probe.join(build, on, how)`` for inner/left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    p = probe.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    b = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = p.join(b, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salt: int = 8,
+) -> DataFrame:
+    """Two-phase SUM aggregation with an explicit salt stage.
+
+    NOTE: for plain algebraic aggregates Spark's partial aggregation
+    already collapses hot keys map-side, so this exists for the cases
+    where partial agg is defeated (high-cardinality intermediate
+    states, e.g. collect_list/distinct-agg pipelines) — and as the
+    documented pattern. Results are identical to a direct groupBy.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    return phase1.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])

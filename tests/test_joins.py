@@ -1,0 +1,115 @@
+"""as-of join vs pandas merge_asof ground truth; salted join/agg
+equivalence with their unsalted forms."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.joins import (
+    asof_join,
+    salted_aggregate,
+    salted_join,
+)
+
+
+def _frames(spark):
+    trades = pd.DataFrame(
+        {
+            "sym": ["A", "A", "A", "B", "B", "A"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:00:01", "2024-01-01 09:00:05",
+                 "2024-01-01 09:00:10", "2024-01-01 09:00:03",
+                 "2024-01-01 09:00:07", "2024-01-01 08:59:59"]
+            ),
+            "qty": [10, 20, 30, 40, 50, 60],
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": ["A", "A", "B", "B"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:00:00", "2024-01-01 09:00:05",
+                 "2024-01-01 09:00:02", "2024-01-01 09:00:08"]
+            ),
+            "px": [100.0, 101.0, 200.0, 201.0],
+        }
+    )
+    return trades, quotes
+
+
+def test_asof_backward_matches_pandas(spark):
+    trades, quotes = _frames(spark)
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            on="ts",
+            by=["sym"],
+        )
+        .orderBy("sym", "ts")
+        .collect()
+    )
+    expect = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+    ).sort_values(["sym", "ts"])
+    for g, (_, e) in zip(got, expect.iterrows()):
+        assert g["sym"] == e["sym"] and g["qty"] == e["qty"]
+        if pd.isna(e["px"]):
+            assert g["px"] is None  # 08:59:59 trade precedes all quotes
+        else:
+            assert g["px"] == e["px"]
+
+
+def test_asof_forward_matches_pandas(spark):
+    trades, quotes = _frames(spark)
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            on="ts", by=["sym"], direction="forward",
+        )
+        .orderBy("sym", "ts")
+        .collect()
+    )
+    expect = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="sym", direction="forward",
+    ).sort_values(["sym", "ts"])
+    for g, (_, e) in zip(got, expect.iterrows()):
+        assert (g["px"] is None) == pd.isna(e["px"])
+        if g["px"] is not None:
+            assert g["px"] == e["px"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed probe: one hot key
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 20)], ["k", "v"]
+    )
+    build = spark.createDataFrame([(k, f"d{k}") for k in range(0, 15)], ["k", "d"])
+    plain = probe.join(build, "k", "inner").groupBy("k").count()
+    salted = salted_join(probe, build, "k", salt=4).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_l = probe.join(build, "k", "left").groupBy("k").count()
+    salted_l = salted_join(probe, build, "k", salt=4, how="left").groupBy("k").count()
+    assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
+
+
+def test_salted_aggregate_equals_plain(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i), float(i * 2)) for i in range(1000)], ["k", "a", "b"]
+    )
+    plain = {
+        r["k"]: (r["a"], r["b"])
+        for r in df.groupBy("k").agg(F.sum("a").alias("a"), F.sum("b").alias("b")).collect()
+    }
+    salted = {
+        r["k"]: (r["a"], r["b"])
+        for r in salted_aggregate(df, ["k"], ["a", "b"], salt=5).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == pytest.approx(salted[k][0])
+        assert plain[k][1] == pytest.approx(salted[k][1])
