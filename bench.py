@@ -30,6 +30,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    from pyspark.sql import functions as F
+
+    # warm the JVM (codegen, parquet reader, shuffle machinery) so the
+    # first query's timing isn't session bootstrap
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # fn() is inside the timed region: streaming queries execute

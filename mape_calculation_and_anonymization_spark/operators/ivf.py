@@ -25,6 +25,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit KMeans and assign every vector to a cell.
 
@@ -42,8 +43,12 @@ def build_ivf_index(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ),
     )
+    # routing quality saturates quickly — tight iteration cap keeps the
+    # (per-build) cost low; recall is governed by nprobe, not centroid
+    # convergence
     model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="cluster"
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="_feat", predictionCol="cluster",
     ).fit(data)
     assigned = model.transform(data).drop("_feat")
     centroids = spark.createDataFrame(
