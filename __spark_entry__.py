@@ -1241,6 +1241,259 @@ def _q_x5_uid_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth — the join/agg shapes SURVEY.md §2.3/§2.4 lists as
+# "not present" in the reference but that a complete engine must ship:
+# semi/anti joins, outer-join distributions, distinct aggregates,
+# grouping sets, non-equi (range) joins, exact percentiles, sketches.
+# ---------------------------------------------------------------------------
+
+
+def _q_semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders with at least one line item
+    shipped >60 days after the order date, counted per priority.
+    Semi join never widens rows, so the shuffle carries only the
+    orders side — at 100 TB the lineitem probe stays pruned to
+    (l_orderkey, l_shipdate) by column pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        lineitem,
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (
+            lineitem.l_shipdate
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_SEMI_JOIN_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+def _q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never placed a
+    big-ticket (>400k) order, summarized per market segment. (Every
+    sf0.01 customer has at least one order, so the filter keeps the
+    anti side non-degenerate.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select("o_custkey")
+    )
+    idle = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment
+"""
+
+
+def _q_outer_join_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    how many customers placed exactly N orders (including N=0, which
+    an inner join would silently drop)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+_OUTER_DIST_ORACLE = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def _q_distinct_agg_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (TPC-H Q16 flavor): distinct
+    suppliers and distinct parts per brand. Catalyst plans this as an
+    Expand + two-phase aggregate — the scalable form of COUNT(DISTINCT)
+    (no driver-side set, no collect)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+_DISTINCT_AGG_ORACLE = """
+    SELECT p_brand,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p_brand
+"""
+
+
+def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): detail, one
+    marginal, and grand total in a single pass over lineitem, with
+    GROUPING() flags to disambiguate NULL-as-total from NULL-as-value."""
+    _register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS (
+            (l_returnflag, l_linestatus), (l_returnflag), ()
+        )
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS (
+        (l_returnflag, l_linestatus), (l_returnflag), ()
+    )
+"""
+
+
+def _q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: bucket orders into 50k price bands via
+    `lo <= price < hi`. The band dimension is tiny and explicitly
+    broadcast, so Spark plans BroadcastNestedLoopJoin — the only
+    sane physical strategy for a non-equi join at scale (the fact
+    side streams, never shuffles)."""
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50_000.0).alias("lo"),
+        ((F.col("id") + 1) * 50_000.0).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    joined = orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+    WITH bands AS (
+        SELECT band_id, band_id * 50000.0 AS lo,
+               (band_id + 1) * 50000.0 AS hi
+        FROM (SELECT unnest(range(0, 10)) AS band_id)
+    )
+    SELECT b.band_id, b.lo, b.hi,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS band_revenue
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id, b.lo, b.hi
+"""
+
+
+def _q_percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated, SQL PERCENTILE_CONT semantics)
+    per order priority. Exact percentile requires the full sorted group
+    — fine per-group; the sketch twin (`approx_stats_events`) is the
+    single-pass scale path."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def _q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path where exact distinct /
+    exact percentile would shuffle the world: HyperLogLog++ distinct
+    users and t-digest-style approximate quantiles per event type.
+    Rows-only (sketch estimates are engine-specific, no SQL oracle);
+    tests/test_relational.py pins them within tolerance of exact."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), 6
+        ).alias("approx_p50"),
+        F.round(
+            F.expr("approx_percentile(value, 0.99, 10000)"), 6
+        ).alias("approx_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1293,6 +1546,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_rates": _q_asof_join_rates,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "stream_stateful_wape": _q_stream_stateful_wape,
+        "semi_join_late_orders": _q_semi_join_late_orders,
+        "anti_join_idle_customers": _q_anti_join_idle_customers,
+        "outer_join_order_distribution": _q_outer_join_order_distribution,
+        "distinct_agg_brand": _q_distinct_agg_brand,
+        "grouping_sets_revenue": _q_grouping_sets_revenue,
+        "range_join_price_bands": _q_range_join_price_bands,
+        "percentile_order_prices": _q_percentile_order_prices,
+        "approx_stats_events": _q_approx_stats_events,
     }
 
 
@@ -1333,7 +1594,14 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_rates": _ASOF_ORACLE,
         "ivf_ann_topk": _ANN_ORACLE,
         "stream_stateful_wape": _STREAM_STATEFUL_ORACLE,
+        "semi_join_late_orders": _SEMI_JOIN_ORACLE,
+        "anti_join_idle_customers": _ANTI_JOIN_ORACLE,
+        "outer_join_order_distribution": _OUTER_DIST_ORACLE,
+        "distinct_agg_brand": _DISTINCT_AGG_ORACLE,
+        "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
+        "range_join_price_bands": _RANGE_JOIN_ORACLE,
+        "percentile_order_prices": _PERCENTILE_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
-        # embedding_near_dup
+        # embedding_near_dup, approx_stats_events (sketch estimates)
     }
