@@ -1,0 +1,60 @@
+"""Bucketed-table guarantees: a join or aggregation on the bucket key
+must plan with ZERO shuffle Exchanges — the write-once-shuffle-never
+contract that makes repeated fact⋈fact joins viable at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.fixtures import load_table
+from mape_calculation_and_anonymization_spark.sources.bucketed import (
+    bucketed_join,
+    exchange_count,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for name, df in [("b_orders", orders), ("b_customer", customer)]:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", str(base / name))
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(name)
+        )
+    yield "b_orders", "b_customer"
+    for name in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    joined = bucketed_join(spark, left, right, on="o_custkey")
+    assert exchange_count(joined) == 0
+    # row parity with the plain (shuffling) join
+    plain = load_table(spark, SF_DIR, "orders").join(
+        load_table(spark, SF_DIR, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ),
+        on="o_custkey",
+    )
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_agg_no_exchange(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    agg = (
+        spark.table(left)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    assert exchange_count(agg) == 0
+    assert agg.count() == spark.table(left).select("o_custkey").distinct().count()
