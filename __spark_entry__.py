@@ -1493,6 +1493,142 @@ def _q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan.
+    One shuffle on a tiny (flag,status) key space; everything else is
+    map-side partial aggregation inside whole-stage codegen, so at
+    100 TB this is scan-bound — the shape every OLAP engine is judged
+    on first."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_rank_window_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (§2.5 extension breadth beyond w1's rolling
+    frame): top-3 parts by revenue within each brand via dense_rank.
+    Spark plans WindowGroupLimit, pushing the rank<=3 limit into the
+    per-partition sort — at scale only 3 rows per brand survive the
+    window, not the whole ranked fact table."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    revenue = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        revenue.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+_RANK_WINDOW_ORACLE = """
+    WITH revenue AS (
+        SELECT p.p_brand, p.p_partkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, p.p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue, rnk
+    FROM (
+        SELECT p_brand, p_partkey, revenue,
+               DENSE_RANK() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY revenue DESC, p_partkey
+               ) AS rnk
+        FROM revenue
+    )
+    WHERE rnk <= 3
+"""
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    revenue from line items whose quantity is below 20% of the
+    per-part average. The naive form re-scans lineitem per outer row;
+    the scalable plan computes the per-part averages ONCE (one
+    aggregate) and equi-joins them back — the decorrelation Catalyst
+    itself applies to the SQL form. The avg side is part-key-sized,
+    orders of magnitude smaller than the fact table."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    small = lineitem.join(part_avg, on="l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+_SMALL_QTY_ORACLE = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_small_lines
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1554,6 +1690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
         "approx_stats_events": _q_approx_stats_events,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "rank_window_top_parts": _q_rank_window_top_parts,
+        "small_qty_revenue": _q_small_qty_revenue,
     }
 
 
@@ -1601,6 +1740,9 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": _GROUPING_SETS_ORACLE,
         "range_join_price_bands": _RANGE_JOIN_ORACLE,
         "percentile_order_prices": _PERCENTILE_ORACLE,
+        "q1_pricing_summary": _Q1_ORACLE,
+        "rank_window_top_parts": _RANK_WINDOW_ORACLE,
+        "small_qty_revenue": _SMALL_QTY_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup, approx_stats_events (sketch estimates)

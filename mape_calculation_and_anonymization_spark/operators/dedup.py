@@ -192,6 +192,7 @@ def lsh_candidate_pairs(
     sig_col: str = "sig",
     bands: int = 16,
     max_bucket_size: int = 1000,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` equal slices,
     hash each slice, self-join on (band index, slice hash).
@@ -199,14 +200,20 @@ def lsh_candidate_pairs(
     Returns distinct candidate pairs (id_a < id_b). The join shuffles
     on the bucket key — linear scan, no cross join. Buckets larger
     than ``max_bucket_size`` are dropped before pair expansion (they
-    are near-identical floods; route those through exact dedup)."""
-    sig_len_row = sigs.select(F.size(sig_col).alias("n")).first()
-    if sig_len_row is None:
-        return sigs.sparkSession.createDataFrame(
-            [], T.StructType([T.StructField("id_a", T.LongType()),
-                              T.StructField("id_b", T.LongType())])
-        )
-    rows_per_band = max(1, sig_len_row["n"] // bands)
+    are near-identical floods; route those through exact dedup).
+
+    Pass ``sig_len`` (the signature length, i.e. ``num_hashes``) when
+    known: probing it from the data costs an extra aggregation job
+    over the whole signature plan just to read one row's array size."""
+    if sig_len is None:
+        sig_len_row = sigs.select(F.size(sig_col).alias("n")).first()
+        if sig_len_row is None:
+            return sigs.sparkSession.createDataFrame(
+                [], T.StructType([T.StructField("id_a", T.LongType()),
+                                  T.StructField("id_b", T.LongType())])
+            )
+        sig_len = sig_len_row["n"]
+    rows_per_band = max(1, sig_len // bands)
 
     band_hash = F.posexplode(
         F.array(
@@ -274,7 +281,7 @@ def minhash_near_duplicates(
         F.col(id_col).alias("_id"), shingler(text_col, shingle_k).alias("sh")
     ).persist()
     sigs = minhash_signatures(sh, "_id", F.col("sh"), num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, "_id", "sig", bands)
+    cands = lsh_candidate_pairs(sigs, "_id", "sig", bands, sig_len=num_hashes)
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
