@@ -1,0 +1,81 @@
+"""Partitioned-layout guarantees: partition pruning reaches the scan
+(PartitionFilters, only the selected directory's files read) and
+dynamic partition overwrite rewrites only the partitions present in
+the incoming frame — the idempotent-daily-job semantics for a
+date-partitioned 100 TB table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.fixtures import load_events
+from mape_calculation_and_anonymization_spark.sources.sinks import (
+    read_latest_partition,
+    write_partitioned_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def dated_events(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("parts") / "events_by_date")
+    events = load_events(spark, SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned_parquet(events, path, ["event_date"])
+    return path, events
+
+
+def test_latest_partition_pruned(spark, dated_events):
+    path, events = dated_events
+    latest = read_latest_partition(spark, path, "event_date")
+    max_date = events.agg(F.max("event_date")).first()[0]
+    got = latest.select("event_date").distinct().collect()
+    assert [r["event_date"] for r in got] == [max_date]
+    assert latest.count() == events.filter(
+        F.col("event_date") == max_date
+    ).count()
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruning must be non-empty (the filter landed on the partition
+    # column, not in a post-scan Filter)
+    assert "PartitionFilters: []" not in plan
+
+
+def test_dynamic_overwrite_touches_only_present_partitions(
+    spark, dated_events, tmp_path
+):
+    _, events = dated_events
+    path = str(tmp_path / "dyn")
+    write_partitioned_parquet(events, path, ["event_date"])
+
+    dates = sorted(
+        r["event_date"]
+        for r in events.select("event_date").distinct().collect()
+    )
+    target = dates[0]
+    before_other = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") != target)
+        .count()
+    )
+
+    # rewrite ONE partition with a perturbed copy
+    one_day = events.filter(F.col("event_date") == target).withColumn(
+        "value", F.col("value") * 2.0
+    )
+    write_partitioned_parquet(
+        one_day, path, ["event_date"], mode="overwrite", dynamic=True
+    )
+
+    after = spark.read.parquet(path)
+    # untouched partitions survived the overwrite
+    assert after.filter(F.col("event_date") != target).count() == before_other
+    # the target partition holds the new rows
+    doubled = after.filter(F.col("event_date") == target)
+    orig = events.filter(F.col("event_date") == target)
+    assert doubled.count() == orig.count()
+    assert (
+        pytest.approx(doubled.agg(F.sum("value")).first()[0], rel=1e-9)
+        == 2.0 * orig.agg(F.sum("value")).first()[0]
+    )
