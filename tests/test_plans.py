@@ -74,3 +74,25 @@ def test_ann_brute_force_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # top-k rank applies WindowGroupLimit pre-shuffle
     assert "WindowGroupLimit" in plan
+
+
+def test_q1_partial_aggregation_and_pruned_scan(spark):
+    df = e._q_q1_pricing_summary(spark, SF)
+    plan = physical_plan(df)
+    # partial (map-side) + final hash aggregate around ONE exchange —
+    # at 100 TB the shuffle carries (flag,status) partials, not rows
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1
+    cols = set(read_schema_columns(df, "lineitem.parquet"))
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_rank_window_pushes_group_limit(spark):
+    df = e._q_rank_window_top_parts(spark, SF)
+    plan = physical_plan(df)
+    # rank<=3 must reach the window sort (WindowGroupLimit), so only
+    # 3 rows per brand survive the window at scale
+    assert "WindowGroupLimit" in plan
