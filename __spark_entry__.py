@@ -1629,6 +1629,56 @@ _SMALL_QTY_ORACLE = """
 """
 
 
+def _q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregated subquery feeding a
+    semi join — orders whose total quantity exceeds a threshold, then
+    customer detail for just those orders. The qualifying-keys frame is
+    aggregate-filtered BEFORE any join, so the expensive three-way join
+    only ever sees the (tiny) qualifying subset; at 100 TB the HAVING
+    prunes the fact table down to dimension size ahead of the shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    qualifying = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(q.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    ) q ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1693,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1_pricing_summary,
         "rank_window_top_parts": _q_rank_window_top_parts,
         "small_qty_revenue": _q_small_qty_revenue,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
     }
 
 
@@ -1743,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_ORACLE,
         "rank_window_top_parts": _RANK_WINDOW_ORACLE,
         "small_qty_revenue": _SMALL_QTY_ORACLE,
+        "q18_large_volume_customers": _Q18_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup, approx_stats_events (sketch estimates)
