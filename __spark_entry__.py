@@ -1224,9 +1224,16 @@ _MULTIMODAL_FRAMES_ORACLE = """
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurizer plumbing (rows-only: fake encoder output
-    is pinned deterministic by tests, not SQL-expressible)."""
+    is pinned deterministic by tests, not SQL-expressible).
+
+    The features array is exploded to (doc_id, feature_idx,
+    feature_value) rows — the driver canonicalizer hashes scalar
+    columns only (array<double> cells are unhashable in pandas)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return extract_features(attach_binary_payload(docs))
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feature_idx", "feature_value")
+    ).withColumn("feature_value", F.round("feature_value", 6))
 
 
 def _q_x5_uid_pseudonym(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,9 +98,22 @@ def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataF
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly the min-id row per duplicate group (deterministic,
-    unlike dropDuplicates). Window-free: min-id join back."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+    unlike dropDuplicates). Window-free: min-id join back.
+
+    NULL key values form their own group (groupBy keeps a NULL-key
+    group), so the semi join must use null-safe equality — a plain
+    equi-join would never match NULL=NULL and silently drop every
+    NULL-key row."""
+    left = df.alias("l")
+    keep = (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .alias("r")
+    )
+    cond = [
+        F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}")) for k in key_cols
+    ] + [F.col(f"l.{id_col}") == F.col(f"r.{id_col}")]
+    return left.join(keep, on=cond, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -276,24 +289,32 @@ def minhash_near_duplicates(
     # Persist the shingle frame: it feeds the signature aggregation AND
     # both sides of the verification join — without it the (interpreted
     # higher-order-function) shingling runs three times. MEMORY_AND_DISK
-    # so an outsized corpus spills instead of OOMing.
+    # so an outsized corpus spills instead of OOMing. The cache's
+    # lifetime is bounded to THIS call: the verified pair set (small —
+    # candidates only) is materialized via an eager localCheckpoint and
+    # the shingles are unpersisted before returning, so repeated corpus
+    # runs in one session don't accumulate cached shingle frames.
     sh = docs.select(
         F.col(id_col).alias("_id"), shingler(text_col, shingle_k).alias("sh")
     ).persist()
-    sigs = minhash_signatures(sh, "_id", F.col("sh"), num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, "_id", "sig", bands, sig_len=num_hashes)
-    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    try:
+        sigs = minhash_signatures(sh, "_id", F.col("sh"), num_hashes, seed)
+        cands = lsh_candidate_pairs(sigs, "_id", "sig", bands, sig_len=num_hashes)
+        a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        verified = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
         )
-        .filter(F.col("jaccard_sim") >= threshold)
-    )
+        return verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -379,15 +400,15 @@ def simhash_near_duplicates(
     sigs = docs.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
     )
-    chunk = F.posexplode(
-        F.array(
-            *[
-                F.shiftrightunsigned(F.col("sim"), offsets[j])
-                % F.lit(1 << widths[j])
-                for j in range(chunks)
-            ]
-        )
-    )
+    def _chunk(j: int):
+        c = F.shiftrightunsigned(F.col("sim"), offsets[j])
+        # width 64 (chunks=1): the mask is the identity and 1<<64
+        # overflows a signed-long literal — skip the modulo.
+        if widths[j] < 64:
+            c = c % F.lit(1 << widths[j])
+        return c
+
+    chunk = F.posexplode(F.array(*[_chunk(j) for j in range(chunks)]))
     buckets = sigs.select("_id", "sim", chunk.alias("chunk_idx", "chunk_val"))
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -31,6 +31,7 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    allow_unpartitioned: bool = False,
 ) -> DataFrame:
     """Enrich each left row with the most recent right row at-or-before
     (``backward``) or the earliest at-or-after (``forward``) its ``on``
@@ -38,15 +39,35 @@ def asof_join(
 
     Equivalent to pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     (with allow_exact_matches=True). Implemented as union + windowed
-    forward-fill: one shuffle on ``by`` (or a single partition if no
-    keys — use keys at scale).
+    forward-fill: one shuffle on ``by``.
+
+    ``by`` may only be empty with ``allow_unpartitioned=True``: an
+    unpartitioned window collapses the whole frame onto ONE task —
+    fine for dimension-sized rate tables, a scale-killer on facts.
+
+    Left and right must not share non-key column names (pandas
+    suffixes; here the union would silently NULL the shared column,
+    so it is an error — rename before joining).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by = by or []
+    if not by and not allow_unpartitioned:
+        raise ValueError(
+            "asof_join with by=[] runs the whole frame through a single "
+            "unpartitioned window; pass by keys, or acknowledge with "
+            "allow_unpartitioned=True for dimension-sized inputs"
+        )
     right_cols = right_cols or [
         c for c in right.columns if c != on and c not in by
     ]
+    clashes = [c for c in right_cols if c in left.columns]
+    if clashes:
+        raise ValueError(
+            f"asof_join: column(s) {clashes} exist on both sides; the "
+            "union-based fill would overwrite the left values with NULLs. "
+            "Rename one side (e.g. right.withColumnRenamed) first."
+        )
 
     l_marked = left.withColumn("_is_left", F.lit(1))
     for c in right_cols:

@@ -71,6 +71,37 @@ def test_exact_dedup(spark):
     assert kept == [1, 3, 4]
 
 
+def test_exact_dedup_null_keys(spark):
+    # NULL key values form their own duplicate group — the null-safe
+    # semi join must keep exactly one row for it, not drop them all
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, "y", None), (4, "y", None), (5, "y", "b")],
+        ["id", "k1", "k2"],
+    )
+    kept = sorted(r["id"] for r in exact_dedup(df, ["k1", "k2"], "id").collect())
+    assert kept == [1, 3, 5]
+    groups = {
+        (r["k1"], r["k2"]): (r["keep_id"], r["n_dups"])
+        for r in exact_dedup_groups(df, ["k1", "k2"], "id").collect()
+    }
+    assert groups[(None, "a")] == (1, 2)
+    assert groups[("y", None)] == (3, 2)
+
+
+def test_simhash_zero_hamming_exact_match(spark):
+    # max_hamming=0 → one 64-bit chunk; the 1<<64 literal must not be
+    # built (LongType overflow) and only identical signatures pair up
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta beta")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(df, max_hamming=0).collect()
+    }
+    assert got == {(1, 2, 0)}
+
+
 def test_shingles_and_jaccard(spark):
     df = spark.createDataFrame([Row(a="the cat sat", b="the cat sat here")])
     row = df.select(

@@ -82,6 +82,30 @@ def test_asof_forward_matches_pandas(spark):
             assert g["px"] == e["px"]
 
 
+def test_asof_empty_by_guarded(spark):
+    trades, quotes = _frames(spark)
+    l, r = spark.createDataFrame(trades.drop(columns="sym")), spark.createDataFrame(
+        quotes.drop(columns="sym")
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        asof_join(l, r, on="ts")
+    # acknowledged single-partition path still works for tiny dims
+    got = asof_join(l, r, on="ts", allow_unpartitioned=True)
+    assert got.count() == len(trades)
+
+
+def test_asof_shared_column_raises(spark):
+    trades, quotes = _frames(spark)
+    quotes = quotes.rename(columns={"px": "qty"})  # clash with left's qty
+    with pytest.raises(ValueError, match="both sides"):
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            on="ts",
+            by=["sym"],
+        )
+
+
 def test_salted_join_equals_plain_join(spark):
     # skewed probe: one hot key
     probe = spark.createDataFrame(
