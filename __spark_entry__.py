@@ -37,6 +37,7 @@ from mape_calculation_and_anonymization_spark.operators.anonymize import perturb
 from mape_calculation_and_anonymization_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard,
+    md5_lsh_candidate_pairs,
     minhash_near_duplicates,
     simhash_near_duplicates,
     tokens,
@@ -455,45 +456,114 @@ _DEDUP_EXACT_ORACLE = """
 """
 
 
+_JACCARD_BANDS = 8
+_JACCARD_ROWS_PER_BAND = 2
+_JACCARD_THRESHOLD = 0.5
+
+
 def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (unigram-set) Jaccard over in-group candidate
-    pairs — the verification primitive the LSH paths share."""
+    """Unigram-set Jaccard near-dup over LSH candidate pairs.
+
+    Candidates come from md5-banded MinHash buckets
+    (``md5_lsh_candidate_pairs``) scoped to (lang, source) — a linear
+    bucket self-join, never the O(n²) all-pairs join. The md5 banding
+    uses only engine-portable primitives (md5 hex, string min, concat),
+    so the DuckDB oracle re-derives the EXACT candidate set and the
+    exact verified pairs — recall misses are identical on both sides.
+    The corpus is documents ∪ lightly-edited twins (ids +1_000_000) so
+    the answer set is non-empty on a corpus of distinct texts."""
     docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
+    )
+    corpus = docs.unionByName(twins).select(
         "doc_id", "lang", "source", tokens("text").alias("toks")
     )
-    a, b = docs.alias("a"), docs.alias("b")
+    cands = md5_lsh_candidate_pairs(
+        corpus,
+        "doc_id",
+        "toks",
+        group_cols=["lang", "source"],
+        bands=_JACCARD_BANDS,
+        rows_per_band=_JACCARD_ROWS_PER_BAND,
+    ).select("id_a", "id_b")
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.lang") == F.col("b.lang"),
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jaccard(F.col("a.toks"), F.col("b.toks")), 6).alias("jaccard_sim"),
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias(
+                "jaccard_sim"
+            ),
         )
+        .filter(F.col("jaccard_sim") >= _JACCARD_THRESHOLD)
     )
 
 
-_DEDUP_JACCARD_ORACLE = r"""
-    WITH t AS (
+def _jaccard_oracle() -> str:
+    """DuckDB mirror of the md5-banded candidate derivation."""
+
+    def mh(j: int, r: int) -> str:
+        return (
+            f"list_min(list_transform(toks, t -> md5(concat('{j}-{r}:', t))))"
+        )
+
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, lang, source, {j} AS band_idx,\n"
+        f"               concat("
+        + ", '|', ".join(mh(j, r) for r in range(_JACCARD_ROWS_PER_BAND))
+        + ") AS band_key FROM t"
+        for j in range(_JACCARD_BANDS)
+    )
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, lang, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, source, concat(text, ' twin marker')
+        FROM documents
+    ),
+    t AS (
         SELECT doc_id, lang, source,
                list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        FROM documents
+        FROM base
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(
+                   CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / (len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks))),
+                   6
+               ) AS jaccard_sim
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_a
+        JOIN t tb ON tb.doc_id = c.id_b
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(
-               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-               6
-           ) AS jaccard_sim
-    FROM t a
-    JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    SELECT id_a, id_b, jaccard_sim FROM verified
+    WHERE jaccard_sim >= {_JACCARD_THRESHOLD}
 """
+
+
+_DEDUP_JACCARD_ORACLE = _jaccard_oracle()
 
 
 def _docs_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,13 +1053,23 @@ def _q_s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     os.makedirs(os.path.dirname(_CSV_FIXTURE), exist_ok=True)
     if not os.path.exists(_CSV_FIXTURE):
-        pdf = (
+        # Distributed write (no driver-side collect): the aggregate
+        # below and the oracle both read the same file, so part-file
+        # row order is irrelevant — coalesce(1) only to get one file.
+        import glob
+        import shutil
+
+        tmp_dir = _CSV_FIXTURE + ".spark"
+        (
             events_to_schema_a(load_events(spark, sf_dir))
-            .orderBy("proxy_date", "hour", "zone", "settlement")
-            .toPandas()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp_dir)
         )
-        pdf.to_csv(_CSV_FIXTURE + ".tmp", index=False)
-        os.replace(_CSV_FIXTURE + ".tmp", _CSV_FIXTURE)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))[0]
+        os.replace(part, _CSV_FIXTURE)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     df = read_csv(spark, _CSV_FIXTURE)
     return df.groupBy("zone").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1485,19 +1565,47 @@ _PERCENTILE_ORACLE = """
 def _q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path where exact distinct /
     exact percentile would shuffle the world: HyperLogLog++ distinct
-    users and t-digest-style approximate quantiles per event type.
-    Rows-only (sketch estimates are engine-specific, no SQL oracle);
-    tests/test_relational.py pins them within tolerance of exact."""
+    users and a t-digest-style approximate median per event type.
+
+    Fully oracled: the exact values are emitted alongside BOOLEAN
+    columns asserting each sketch landed within its published error
+    bound (HLL++ within 3·rsd of the exact distinct count; the
+    approximate median between the exact 0.48 and 0.52 quantiles —
+    approx_percentile's rank error at accuracy 10⁴ is ≤ n/10⁴ ranks,
+    far inside that band). The oracle computes the same exact values
+    and expects TRUE for the bound checks, so a sketch regression
+    flips the row red while the sketches themselves stay engine-native."""
     events = load_events(spark, sf_dir)
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.round(
-            F.expr("approx_percentile(value, 0.5, 10000)"), 6
-        ).alias("approx_p50"),
-        F.round(
-            F.expr("approx_percentile(value, 0.99, 10000)"), 6
-        ).alias("approx_p99"),
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr("percentile(value, array(0.48, 0.5, 0.52))").alias("_pq"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_ap50"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("hll_within_rsd"),
+        F.round(F.col("_pq")[1], 6).alias("exact_p50"),
+        (
+            (F.col("_ap50") >= F.col("_pq")[0])
+            & (F.col("_ap50") <= F.col("_pq")[2])
+        ).alias("p50_within_rank_tol"),
+    )
+
+
+_APPROX_STATS_ORACLE = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_rsd,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS p50_within_rank_tol
+    FROM events
+    GROUP BY event_type
+"""
 
 
 def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,7 +1910,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_window_top_parts": _RANK_WINDOW_ORACLE,
         "small_qty_revenue": _SMALL_QTY_ORACLE,
         "q18_large_volume_customers": _Q18_ORACLE,
+        "approx_stats_events": _APPROX_STATS_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
-        # embedding_near_dup, approx_stats_events (sketch estimates)
+        # embedding_near_dup
     }

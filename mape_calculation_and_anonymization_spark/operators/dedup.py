@@ -263,6 +263,73 @@ def lsh_candidate_pairs(
     )
 
 
+def md5_band_keys(toks: Column, bands: int = 8, rows_per_band: int = 2) -> Column:
+    """Portable MinHash band keys: array of ``bands`` strings, band j =
+    '|'-joined mins over the token set of ``md5('{j}-{r}:' || token)``.
+
+    Unlike :func:`minhash_signatures` (xxhash64 + random affine
+    permutations — fastest, but engine-specific), every primitive here
+    (md5 hex, string min, concat) is bit-identical across SQL engines,
+    so an external system (e.g. a DuckDB audit query) can re-derive the
+    exact candidate set. Use this variant when the dedup decision must
+    be reproducible outside Spark; use the xxhash64 path when raw
+    throughput matters. All expressions are built-in higher-order
+    functions — no UDF, no shuffle; the downstream bucket join is the
+    only exchange.
+    """
+    def _minhash(j: int, r: int) -> Column:
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"{j}-{r}:"), t)))
+        )
+
+    return F.array(
+        *[
+            F.concat_ws("|", *[_minhash(j, r) for r in range(rows_per_band)])
+            for j in range(bands)
+        ]
+    )
+
+
+def md5_lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    group_cols: list[str] | None = None,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate pairs from :func:`md5_band_keys` buckets, optionally
+    scoped to equal ``group_cols`` (e.g. per-language dedup). Linear
+    bucket self-join — never all-pairs. Output: distinct
+    (group_cols..., id_a, id_b)."""
+    group_cols = group_cols or []
+    bucketed = docs.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            md5_band_keys(F.col(toks_col), bands, rows_per_band)
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cond = (
+        [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols]
+        + [
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.band_key") == F.col("b.band_key"),
+            F.col("a._id") < F.col("b._id"),
+        ]
+    )
+    return (
+        a.join(b, on=cond)
+        .select(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
