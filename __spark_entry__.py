@@ -33,7 +33,20 @@ from mape_calculation_and_anonymization_spark.functions.labels import (
     anonymize_label_column,
     label_universe,
 )
-from mape_calculation_and_anonymization_spark.operators.anonymize import perturb_values
+from mape_calculation_and_anonymization_spark.operators.anonymize import (
+    perturb_values,
+    stamp_metadata,
+)
+from mape_calculation_and_anonymization_spark.operators.joins import salted_join
+from mape_calculation_and_anonymization_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from mape_calculation_and_anonymization_spark.sources.sinks import (
+    anonymized_output_name,
+    write_excel_workbook,
+    write_parquet_snappy,
+)
 from mape_calculation_and_anonymization_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard,
@@ -1115,6 +1128,178 @@ _S3_ORACLE = f"""
 """
 
 
+def _q_x6_stamp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/X6 — literal-column stamping (process_time ISO seconds +
+    timezone when absent; reference/anonymize_datasets.py:169-173).
+    The clock is injected fixed so the oracle is a literal."""
+    from datetime import datetime
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return stamp_metadata(
+        nation, timezone="America/Chicago", now=datetime(2024, 1, 15, 12, 0, 0)
+    )
+
+
+_X6_ORACLE = """
+    SELECT n_nationkey, n_name,
+           '2024-01-15T12:00:00' AS process_time,
+           'America/Chicago' AS timezone
+    FROM nation
+"""
+
+
+def _q_k1_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3 — snappy parquet sink + output-name rewrite
+    (reference/anonymize_datasets.py:66,78,175-180): write supplier
+    through the engine sink once (directory name derived via
+    ``anonymized_output_name``), read it back, aggregate. The oracle
+    reads the engine-written files directly."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.readers import read_parquet
+
+    path = _K1_FIXTURE
+    if not os.path.isdir(path):
+        write_parquet_snappy(
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+            ),
+            path,
+        )
+    df = read_parquet(spark, path)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# K3 naming: clientx_suppliers.csv → client_demo_suppliers.snappy.parquet
+_K1_FIXTURE = (
+    "/tmp/mape_spark_fixtures/"
+    + anonymized_output_name("clientx_suppliers.csv", "clientx")
+)
+
+_K1_ORACLE = f"""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_acctbal
+    FROM read_parquet('{_K1_FIXTURE}/*.parquet')
+    GROUP BY s_nationkey
+"""
+
+
+_K2_WORKBOOK = "/tmp/mape_spark_fixtures/mape_report.xlsx"
+
+
+def _q_k2_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — multi-sheet workbook sink (reference/main.py:147-153; CSV
+    fallback per sheet in this container, openpyxl absent): write the
+    daily + hourly MAPE sheets once, read the daily sheet back through
+    the engine's CSV reader, and aggregate to numeric columns so CSV
+    type inference can't skew the compare. Sheet inputs are
+    post-aggregation tables (≤ thousands of rows) — the only kind this
+    driver-side sink accepts by design."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.readers import read_csv
+
+    sheet = _K2_WORKBOOK + ".daily.csv"
+    if not os.path.exists(sheet):
+        os.makedirs(os.path.dirname(_K2_WORKBOOK), exist_ok=True)
+        write_excel_workbook(
+            _K2_WORKBOOK,
+            daily=_q_mape_daily_portfolio(spark, sf_dir),
+            hourly=_q_mape_hourly_portfolio(spark, sf_dir),
+        )
+    df = read_csv(spark, sheet)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("forecast_mape"), 6).alias("sum_forecast_mape"),
+        F.round(F.sum("settlement"), 2).alias("sum_settlement"),
+    )
+
+
+_K2_ORACLE = f"""
+    SELECT COUNT(*) AS n_days,
+           ROUND(SUM(forecast_mape), 6) AS sum_forecast_mape,
+           ROUND(SUM(settlement), 2) AS sum_settlement
+    FROM read_csv_auto('{_K2_WORKBOOK}.daily.csv')
+"""
+
+
+def _q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join, driver-verified row-identical to the
+    plain join: lineitem (probe, keys splintered across 8 salts) ⋈
+    part (build, replicated 8×) on partkey → revenue per brand. The
+    oracle is the PLAIN join — salting must not change results."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="l_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+    SELECT p_brand, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+
+def _q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over bucketed tables: orders ⋈
+    customer, both bucketed 8-ways on custkey at write time, so the
+    join itself plans with NO Exchange (tests/test_plans.py pins it).
+    The oracle is the plain join on the raw parquet — bucketing must
+    not change results. Tables are per-sf-named and (re)written when
+    absent from the session catalog."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_cust)
+    ):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            t_orders,
+            "o_custkey",
+            n_buckets=8,
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            t_cust,
+            "o_custkey",
+            n_buckets=8,
+        )
+    joined = bucketed_join(spark, t_orders, t_cust, on="o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
 def _q_o1_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1+limit — top-k by computed revenue (plans as
     TakeOrderedAndProject, not a full sort)."""
@@ -1859,6 +2044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_window_top_parts": _q_rank_window_top_parts,
         "small_qty_revenue": _q_small_qty_revenue,
         "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "x6_stamp_metadata": _q_x6_stamp_metadata,
+        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
+        "k2_excel_sheets": _q_k2_excel_sheets,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "bucketed_join_orders": _q_bucketed_join_orders,
     }
 
 
@@ -1911,6 +2101,11 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": _SMALL_QTY_ORACLE,
         "q18_large_volume_customers": _Q18_ORACLE,
         "approx_stats_events": _APPROX_STATS_ORACLE,
+        "x6_stamp_metadata": _X6_ORACLE,
+        "k1_parquet_roundtrip": _K1_ORACLE,
+        "k2_excel_sheets": _K2_ORACLE,
+        "salted_join_revenue": _SALTED_JOIN_ORACLE,
+        "bucketed_join_orders": _BUCKETED_JOIN_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

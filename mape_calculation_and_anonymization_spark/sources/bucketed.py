@@ -31,6 +31,20 @@ def write_bucketed_table(
     """Persist ``df`` as a bucketed (optionally bucket-sorted) managed
     table. Sorting within buckets additionally enables merge-join
     without a per-task sort."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # With the default in-memory catalog a previous session can leave
+    # the managed location on disk with no catalog entry; saveAsTable
+    # refuses to reuse it (LOCATION_ALREADY_EXISTS), so clear it.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(
+            os.path.join(warehouse, table_name.lower()), ignore_errors=True
+        )
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -96,3 +96,53 @@ def test_rank_window_pushes_group_limit(spark):
     # rank<=3 must reach the window sort (WindowGroupLimit), so only
     # 3 rows per brand survive the window at scale
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_exchange_on_join(spark):
+    # both sides bucketed 8-ways on the join key → the join reads
+    # co-located buckets; the only exchange is the final tiny
+    # per-segment aggregate, never the two fact-table shuffles.
+    # Auto-broadcast is disabled so the sf0.001 dimension doesn't
+    # sidestep the bucketed path being proven.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = e._q_bucketed_join_orders(spark, SF)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        assert count_exchanges(df) <= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_replicates_build_not_probe(spark):
+    df = e._q_salted_join_revenue(spark, SF)
+    plan = physical_plan(df)
+    # the build side is exploded (replicated) pre-join; the probe side
+    # never materializes a cross product
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anonymizer_end_to_end_plan(spark):
+    # perturb → labels → uids over the full composition: the key-table
+    # join must broadcast (dimension-sized), and the pipeline adds no
+    # shuffle exchange at all — every transform is a projection
+    import os
+    import tempfile
+
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.anonymize import (
+        cdm_anonymization,
+    )
+
+    with tempfile.TemporaryDirectory() as key_dir:
+        df = load_table(spark, SF, "customer").select(
+            F.col("c_custkey").alias("uid"),
+            F.col("c_name").alias("customer"),
+            F.col("c_acctbal").alias("amount"),
+        )
+        out = cdm_anonymization(df, key_dir=os.path.join(key_dir, "key"))
+        assert uses_broadcast_join(out)
+        assert count_exchanges(out) == 0
