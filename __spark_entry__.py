@@ -37,7 +37,11 @@ from mape_calculation_and_anonymization_spark.operators.anonymize import (
     perturb_values,
     stamp_metadata,
 )
+from mape_calculation_and_anonymization_spark.operators.graph import duplicate_clusters
 from mape_calculation_and_anonymization_spark.operators.joins import salted_join
+from mape_calculation_and_anonymization_spark.operators.sampling import (
+    stratified_sample,
+)
 from mape_calculation_and_anonymization_spark.sources.bucketed import (
     bucketed_join,
     write_bucketed_table,
@@ -76,13 +80,17 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
     user_session_windows,
 )
 from mape_calculation_and_anonymization_spark.operators.text import (
+    PII_PATTERNS,
     STOPWORDS,
     bpeish_token_count,
+    chunk_documents,
     fingerprint,
     language_id,
     mean_token_length,
+    ngram_repetition_ratio,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count,
 )
@@ -474,17 +482,9 @@ _JACCARD_ROWS_PER_BAND = 2
 _JACCARD_THRESHOLD = 0.5
 
 
-def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-set Jaccard near-dup over LSH candidate pairs.
-
-    Candidates come from md5-banded MinHash buckets
-    (``md5_lsh_candidate_pairs``) scoped to (lang, source) — a linear
-    bucket self-join, never the O(n²) all-pairs join. The md5 banding
-    uses only engine-portable primitives (md5 hex, string min, concat),
-    so the DuckDB oracle re-derives the EXACT candidate set and the
-    exact verified pairs — recall misses are identical on both sides.
-    The corpus is documents ∪ lightly-edited twins (ids +1_000_000) so
-    the answer set is non-empty on a corpus of distinct texts."""
+def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ lightly-edited twins (ids +1_000_000), tokenized —
+    the shared input of the jaccard-pairs and cluster queries."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
@@ -494,9 +494,14 @@ def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
     )
-    corpus = docs.unionByName(twins).select(
+    return docs.unionByName(twins).select(
         "doc_id", "lang", "source", tokens("text").alias("toks")
     )
+
+
+def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
+    """md5-banded LSH candidates verified by exact Jaccard ≥ threshold
+    — a linear bucket self-join, never the O(n²) all-pairs join."""
     cands = md5_lsh_candidate_pairs(
         corpus,
         "doc_id",
@@ -521,8 +526,21 @@ def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_oracle() -> str:
-    """DuckDB mirror of the md5-banded candidate derivation."""
+def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-set Jaccard near-dup over LSH candidate pairs.
+
+    The md5 banding uses only engine-portable primitives (md5 hex,
+    string min, concat), so the DuckDB oracle re-derives the EXACT
+    candidate set and the exact verified pairs — recall misses are
+    identical on both sides. The twin corpus keeps the answer set
+    non-empty on a corpus of distinct texts."""
+    return _jaccard_verified_pairs(_jaccard_corpus(spark, sf_dir))
+
+
+def _jaccard_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring the md5-banded candidate
+    derivation + jaccard verification (threshold applied inside
+    ``verified`` so downstream consumers agree with the Spark filter)."""
 
     def mh(j: int, r: int) -> str:
         return (
@@ -536,8 +554,7 @@ def _jaccard_oracle() -> str:
         + ") AS band_key FROM t"
         for j in range(_JACCARD_BANDS)
     )
-    return rf"""
-    WITH base AS (
+    return rf"""base AS (
         SELECT doc_id, lang, source, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000, lang, source, concat(text, ' twin marker')
@@ -560,23 +577,61 @@ def _jaccard_oracle() -> str:
          AND a.doc_id < b.doc_id
     ),
     verified AS (
-        SELECT c.id_a, c.id_b,
-               ROUND(
-                   CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-                   / (len(ta.toks) + len(tb.toks)
-                      - len(list_intersect(ta.toks, tb.toks))),
-                   6
-               ) AS jaccard_sim
-        FROM cand c
-        JOIN t ta ON ta.doc_id = c.id_a
-        JOIN t tb ON tb.doc_id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard_sim FROM verified
-    WHERE jaccard_sim >= {_JACCARD_THRESHOLD}
+        SELECT * FROM (
+            SELECT c.id_a, c.id_b,
+                   ROUND(
+                       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                       / (len(ta.toks) + len(tb.toks)
+                          - len(list_intersect(ta.toks, tb.toks))),
+                       6
+                   ) AS jaccard_sim
+            FROM cand c
+            JOIN t ta ON ta.doc_id = c.id_a
+            JOIN t tb ON tb.doc_id = c.id_b
+        )
+        WHERE jaccard_sim >= {_JACCARD_THRESHOLD}
+    )"""
+
+
+_DEDUP_JACCARD_ORACLE = (
+    "WITH "
+    + _jaccard_ctes()
+    + "\n    SELECT id_a, id_b, jaccard_sim FROM verified"
+)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (iterative
+    min-label propagation, ``operators/graph.py``) over the verified
+    jaccard pair graph, joined back so every corpus doc gets a cluster
+    id (its own id when unmatched). The oracle recomputes the same
+    transitive closure with a recursive CTE over the identical
+    (portably re-derived) pair set."""
+    corpus = _jaccard_corpus(spark, sf_dir)
+    pairs = _jaccard_verified_pairs(corpus)
+    return duplicate_clusters(corpus, pairs)
+
+
+_DEDUP_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _jaccard_ctes()
+    + """,
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM verified
+        UNION
+        SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach AS (
+        SELECT u AS id, u AS r FROM edges
+        UNION
+        SELECT e.v AS id, rch.r AS r
+        FROM edges e JOIN reach rch ON e.u = rch.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS cluster
+    FROM base b LEFT JOIN comp c ON c.id = b.doc_id
 """
-
-
-_DEDUP_JACCARD_ORACLE = _jaccard_oracle()
+)
 
 
 def _docs_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,6 +2034,248 @@ _Q18_ORACLE = """
 """
 
 
+def _q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with deterministic synthetic
+    PII (derived from doc_id — the raw corpus contains none, so the
+    redaction must actually fire). Pure chained-regexp projection; the
+    oracle applies the identical patterns (Java-regex ∩ RE2 subset)
+    via DuckDB regexp_replace(…, 'g')."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "dirty",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com")),
+            F.concat(
+                F.lit("415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+            F.concat(
+                F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")
+            ),
+        ),
+    )
+    return dirty.select("doc_id", redact_pii("dirty").alias("clean_text"))
+
+
+def _pii_oracle() -> str:
+    expr = (
+        "concat_ws(' ', text, concat('user', doc_id, '@example.com'), "
+        "concat('415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')), "
+        "concat('10.0.', CAST(doc_id % 256 AS VARCHAR), '.7'))"
+    )
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
+_PII_ORACLE = _pii_oracle()
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-trigram fraction (Gopher-style
+    repetition quality signal) + the keep/drop verdict at 20%."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = F.round(ngram_repetition_ratio("text", 3), 6)
+    return docs.select(
+        "doc_id",
+        rep.alias("rep3"),
+        (rep < 0.2).alias("keep"),
+    )
+
+
+_REPETITION_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) - 2 <= 0 THEN NULL
+                    ELSE list_transform(
+                        range(0, len(toks) - 2),
+                        i -> array_to_string(toks[i+1:i+3], ' ')
+                    )
+               END AS grams
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN grams IS NULL THEN 0.0
+                    ELSE ROUND(
+                        1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams), 6)
+               END AS rep3
+        FROM g
+    )
+    SELECT doc_id, rep3, rep3 < 0.2 AS keep FROM r
+"""
+
+
+def _q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget chunking with overlap (training-sequence
+    prep): 32-token chunks, 8-token overlap — one posexplode
+    projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+_CHUNKING_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(len(toks), 1), 24),
+                   s -> array_to_string(toks[s+1:s+32], ' ')
+               ) AS chunks
+        FROM t
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest(list_transform(chunks, (x, i) -> {'idx': i - 1, 'txt': x})) AS ch
+        FROM c
+    )
+    SELECT doc_id,
+           ch.idx AS chunk_idx,
+           ch.txt AS chunk_text,
+           CASE WHEN len(ch.txt) = 0 THEN 0
+                ELSE len(string_split(ch.txt, ' ')) END AS n_tokens
+    FROM u
+"""
+
+
+def _q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling: md5-threshold
+    predicate (content-stable, re-derivable in any engine — never
+    rand()). Keeps 60% of 'en', 25% of 'de', 5% default."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.6, "de": 0.25}, default_rate=0.05
+    )
+
+
+def _sample_oracle() -> str:
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        rate_to_hex_threshold as thr,
+    )
+
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(concat('sample:', lang, ':', CAST(doc_id AS VARCHAR))), 1, 4)
+          < CASE lang WHEN 'en' THEN '{thr(0.6)}' WHEN 'de' THEN '{thr(0.25)}'
+                      ELSE '{thr(0.05)}' END
+"""
+
+
+_SAMPLE_ORACLE = _sample_oracle()
+
+
+def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction: term frequencies via explode →
+    hash-agg (map-side partial collapses repeats before the shuffle)
+    → top-50 (TakeOrderedAndProject, deterministic token tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+_VOCAB_ORACLE = r"""
+    SELECT tok, COUNT(*) AS freq
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+    WHERE len(tok) > 0
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 50
+"""
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (docs 0-49): term frequencies
+    per doc, document frequencies across the FULL corpus (aggregated
+    once, broadcast back), rank over round(score, 6) with a token
+    tie-break so ulp noise in ln() can't flip the cut."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # lazy scalar frame
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tfidf")
+    )
+
+
+_TFIDF_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM toks WHERE len(tok) > 0
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfc.df + 1)), 6) AS tfidf
+        FROM tf JOIN dfc USING (tok) CROSS JOIN n
+        WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, tok, tfidf FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2049,6 +2346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_excel_sheets": _q_k2_excel_sheets,
         "salted_join_revenue": _q_salted_join_revenue,
         "bucketed_join_orders": _q_bucketed_join_orders,
+        "dedup_clusters": _q_dedup_clusters,
+        "text_pii_redaction": _q_text_pii_redaction,
+        "text_repetition": _q_text_repetition,
+        "doc_chunking": _q_doc_chunking,
+        "sample_stratified_docs": _q_sample_stratified_docs,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -2106,6 +2410,13 @@ def oracle_sql() -> dict[str, str]:
         "k2_excel_sheets": _K2_ORACLE,
         "salted_join_revenue": _SALTED_JOIN_ORACLE,
         "bucketed_join_orders": _BUCKETED_JOIN_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "text_pii_redaction": _PII_ORACLE,
+        "text_repetition": _REPETITION_ORACLE,
+        "doc_chunking": _CHUNKING_ORACLE,
+        "sample_stratified_docs": _SAMPLE_ORACLE,
+        "vocab_top_terms": _VOCAB_ORACLE,
+        "tfidf_top_terms": _TFIDF_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

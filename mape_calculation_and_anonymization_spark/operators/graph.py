@@ -1,0 +1,98 @@
+"""Distributed connected components — near-duplicate CLUSTERING.
+
+Pair lists (from exact dedup, MinHash/SimHash LSH, or embedding
+near-dup) only say "a matches b"; choosing which rows to keep/drop
+needs the transitive closure: connected components over the match
+graph. Single-node tools union-find in memory; at 100 TB the graph
+itself is distributed, so this implements label propagation as an
+iterative DataFrame program (the alternating-minimum scheme of
+large-star/small-star, Kiveris et al., "Connected Components in
+MapReduce and Beyond"):
+
+    label(v) ← min(label(v), min over neighbours' labels)
+
+repeated to fixpoint. Each round is one shuffle (groupBy min over the
+symmetrized edge list); convergence needs at most the graph diameter
+rounds — near-dup graphs are overwhelmingly tiny star/clique clusters,
+so 2-4 rounds in practice. Every round localCheckpoints the label
+frame: this TRUNCATES the lineage (no exponential plan growth) and
+materializes the loop state, the standard Spark iterative-algorithm
+pattern. The driver only ever sees a per-round count of label changes
+(one scalar), never row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Minimum-label connected components over an undirected edge list.
+
+    Returns (id, component) with ``component`` = the smallest node id
+    reachable from ``id``. Isolated nodes don't appear (callers join
+    back to the full node set with a coalesce-to-self default).
+    Deterministic: pure min-aggregation, no RNG, no ordering reliance.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # candidate label for v = min over neighbours u of label(u)
+        neighbour_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbour_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every document: component id for matched
+    docs, its own id for singletons — the keep/drop decision surface
+    (keep ``id == cluster`` representatives, drop the rest).
+    One broadcast-or-shuffle left join against the (tiny relative to
+    the corpus) component map."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+    )

@@ -129,3 +129,79 @@ def fingerprint(col: str | Column, base: int = 31, mod: int = _FP_PRIME) -> Colu
         F.lit(0).cast("long"),
         lambda acc, v: (acc * F.lit(base) + v) % F.lit(mod),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / repetition filter / chunking
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 subset (no lookaround) so
+# the DuckDB oracle can run the identical expressions. Order matters:
+# SSN (3-2-4) before phone (3-3-4), email before IP (dots).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # no leading \b: a word boundary never holds before '(' or '+'
+    (r"(\+?\d{1,2}[ .-])?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Regex PII scrub (emails, SSNs, IPv4s, US-style phone numbers)
+    — a chained regexp_replace projection, shuffle-free and
+    whole-stage-codegen'd. The pattern list is the module constant so
+    the oracle SQL is generated from the same source of truth."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def ngram_repetition_ratio(col: str | Column, n: int = 3) -> Column:
+    """Within-document duplicate n-gram fraction
+    (1 − distinct/total word n-grams) — the Gopher-style repetition
+    quality signal. Pure higher-order-function arithmetic; documents
+    shorter than ``n`` tokens score 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    n_grams = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )
+
+
+def chunk_documents(
+    df, id_col: str, text_col: str, chunk_tokens: int = 64, overlap: int = 16
+):
+    """Split documents into fixed-token-budget chunks with overlap —
+    the training-sequence preparation step. One posexplode projection
+    per input row (no shuffle); chunk_idx is deterministic.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - F.lit(1), F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens",
+        F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.col("chunk_text"), " "))
+        ),
+    )

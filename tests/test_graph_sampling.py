@@ -1,0 +1,144 @@
+"""Connected components, duplicate clustering, deterministic sampling,
+and the new text-pipeline operators (PII redaction, repetition ratio,
+document chunking)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.graph import (
+    connected_components,
+    duplicate_clusters,
+)
+from mape_calculation_and_anonymization_spark.operators.sampling import (
+    hash_sample_predicate,
+    rate_to_hex_threshold,
+    stratified_sample,
+)
+from mape_calculation_and_anonymization_spark.operators.text import (
+    chunk_documents,
+    ngram_repetition_ratio,
+    redact_pii,
+)
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 99 isolated (absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 16-node chain needs several propagation rounds; min label must
+    # still reach the far end (diameter > 1 round)
+    n = 16
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_duplicate_clusters_singletons_self(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster"] for r in duplicate_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
+
+
+def test_rate_to_hex_threshold():
+    assert rate_to_hex_threshold(0.0) == "0000"
+    assert rate_to_hex_threshold(0.25) == "4000"
+    assert rate_to_hex_threshold(1.0) == "10000"  # above every 4-hex prefix
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    kept = df.filter(hash_sample_predicate("k", 0.25)).count()
+    kept2 = df.filter(hash_sample_predicate("k", 0.25)).count()
+    assert kept == kept2  # content-stable, not rand()
+    assert abs(kept / 20000 - 0.25) < 0.02
+
+    # nested rates: a row sampled at 10% is always in the 50% sample
+    s10 = set(
+        r["k"] for r in df.filter(hash_sample_predicate("k", 0.10)).collect()
+    )
+    s50 = set(
+        r["k"] for r in df.filter(hash_sample_predicate("k", 0.50)).collect()
+    )
+    assert s10 <= s50
+
+
+def test_stratified_sample_rates(spark):
+    df = (
+        spark.range(30000)
+        .withColumnRenamed("id", "k")
+        .withColumn("lang", F.when(F.col("k") % 2 == 0, "en").otherwise("de"))
+    )
+    out = stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 15000 - 0.5) < 0.03
+    assert abs(counts["de"] / 15000 - 0.1) < 0.03
+    # default rate 0 drops unknown strata entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert stratified_sample(df2, "k", "lang", {"en": 0.5}).count() == 0
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="mail bob.smith+x@corp.example.com now"),
+            Row(t="ssn 123-45-6789 phone 415-555-1234 done"),
+            Row(t="server at 192.168.1.250 port"),
+            Row(t="call (415) 555-0199 or +1 415.555.0123"),
+            Row(t="clean text stays untouched"),
+        ]
+    )
+    got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "ssn <SSN> phone <PHONE> done"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "clean text stays untouched"
+
+
+def test_ngram_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            Row(t="all distinct words here now"),
+            Row(t="too short"),
+        ]
+    )
+    got = [
+        round(r["r"], 6)
+        for r in df.select(ngram_repetition_ratio("t", 3).alias("r")).collect()
+    ]
+    assert got[0] == round(1 - 3 / 7, 6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_chunk_documents(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    # starts at 0,2,4,6,8 → 5 chunks; last chunks shorter
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert out[4]["chunk_text"] == "w8 w9"
+    assert out[4]["n_tokens"] == 2
+    # every token position is covered
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(text.split(" "))
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
