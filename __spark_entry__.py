@@ -2276,6 +2276,209 @@ _TFIDF_ORACLE = r"""
 """
 
 
+def _q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a date-sliced
+    fact ⋈ dimension join. The shipdate filter pushes to the scan, the
+    part side broadcasts, and the CASE folds into one aggregate pass —
+    no second scan for the numerator."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+    SELECT ROUND(
+               100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6
+           ) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+"""
+
+
+def _q_q12_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + dual conditional COUNT by category
+    (urgent vs non-urgent orders per return flag) — one aggregate
+    pass, CASE inside SUM, never two scans."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+"""
+
+
+def _q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    triple, EXCLUDING a blacklist derived from a subquery (suppliers
+    with negative balance) — anti-join BEFORE the distinct aggregate,
+    so excluded rows never enter the shuffle. lineitem stands in for
+    partsupp (the testdata has no partsupp table)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 19, 29, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(bad, on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_ORACLE = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 9, 19, 29, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The per-side conjuncts (quantity bands, size bands) are pushed
+    below the join as a derived disjunction, so each scan prunes
+    before the (broadcast) join evaluates the residual condition."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def _q_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance
+    (uncorrelated scalar subquery → broadcast one-row frame) with NO
+    orders (anti join), grouped by nation bucket. The scalar avg is
+    computed once; the anti join replaces NOT EXISTS without a
+    per-row probe."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, on="c_custkey", how="left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("nation_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_ORACLE = """
+    SELECT c_nationkey % 5 AS nation_bucket,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          )
+    GROUP BY c_nationkey % 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2353,6 +2556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_docs": _q_sample_stratified_docs,
         "vocab_top_terms": _q_vocab_top_terms,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q12_priority_returns": _q_q12_priority_returns,
+        "q16_supplier_variety": _q_q16_supplier_variety,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q22_idle_balances": _q_q22_idle_balances,
     }
 
 
@@ -2417,6 +2625,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_docs": _SAMPLE_ORACLE,
         "vocab_top_terms": _VOCAB_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
+        "q14_promo_revenue": _Q14_ORACLE,
+        "q12_priority_returns": _Q12_ORACLE,
+        "q16_supplier_variety": _Q16_ORACLE,
+        "q19_disjunctive_revenue": _Q19_ORACLE,
+        "q22_idle_balances": _Q22_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
