@@ -76,6 +76,7 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
     stateful_distinct_users,
+    stream_static_enrich,
     streaming_hourly_wape,
     user_session_windows,
 )
@@ -88,6 +89,7 @@ from mape_calculation_and_anonymization_spark.operators.text import (
     language_id,
     mean_token_length,
     ngram_repetition_ratio,
+    ngram_repetition_stats,
     punct_ratio,
     quality_score,
     redact_pii,
@@ -477,7 +479,11 @@ _DEDUP_EXACT_ORACLE = """
 """
 
 
-_JACCARD_BANDS = 8
+# 4 bands × 2 rows = 8 md5s per token: at threshold 0.5 a twin pair
+# (s ≈ 0.95) is caught with p ≈ 1-(1-s²)⁴ > 0.9999; halving the band
+# count halves the dominant md5 cost. Recall misses are identical on
+# both sides (the oracle re-derives the same bands).
+_JACCARD_BANDS = 4
 _JACCARD_ROWS_PER_BAND = 2
 _JACCARD_THRESHOLD = 0.5
 
@@ -494,9 +500,13 @@ def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
     )
-    return docs.unionByName(twins).select(
+    corpus = docs.unionByName(twins).select(
         "doc_id", "lang", "source", tokens("text").alias("toks")
     )
+    # Materialize the tokenized corpus once: the band derivation, both
+    # verification sides, and (in the cluster query) the final join
+    # would otherwise each re-tokenize 2×|documents| texts.
+    return corpus.localCheckpoint(eager=True)
 
 
 def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
@@ -1501,6 +1511,49 @@ def _q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DISTINCT_ORACLE = "SELECT DISTINCT user_id FROM events"
 
+# event_type → tier reference data; 'error' is deliberately absent so
+# the left-join fallback ('unclassified') is exercised.
+_EVENT_TIERS = [
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("click", "engagement"),
+    ("view", "engagement"),
+]
+
+
+def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (decorate the stream with
+    reference data) + tumbling-hour rollup per tier."""
+    dim = spark.createDataFrame(_EVENT_TIERS, ["event_type", "tier"])
+    # complete mode: append would withhold the final ~watermark-delay
+    # of windows (never finalized before the AvailableNow run ends)
+    out = run_stream_to_memory(
+        stream_static_enrich(
+            read_events_stream(spark, sf_dir), dim, on="event_type"
+        ),
+        output_mode="complete",
+    )
+    return out.select(
+        "window_start",
+        "tier",
+        "n_events",
+        F.round("volume", 4).alias("volume"),
+    )
+
+
+_STREAM_ENRICH_ORACLE = (
+    "WITH tiers(event_type, tier) AS (VALUES "
+    + ", ".join(f"('{e}', '{t}')" for e, t in _EVENT_TIERS)
+    + """)
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           COALESCE(t.tier, 'unclassified') AS tier,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS volume
+    FROM events e LEFT JOIN tiers t USING (event_type)
+    GROUP BY 1, 2
+"""
+)
+
 
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing
@@ -2075,10 +2128,16 @@ _PII_ORACLE = _pii_oracle()
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document duplicate-trigram fraction (Gopher-style
-    repetition quality signal) + the keep/drop verdict at 20%."""
+    repetition quality signal) + the keep/drop verdict at 20%.
+
+    Uses the corpus-scale explode+agg form (each gram materialized
+    once into codegen'd aggregation) — the inline higher-order-function
+    form re-evaluates the interpreted gram list per consuming
+    expression (~4× slower at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = F.round(ngram_repetition_ratio("text", 3), 6)
-    return docs.select(
+    stats = ngram_repetition_stats(docs, "doc_id", "text", 3)
+    rep = F.round("rep3", 6)
+    return stats.select(
         "doc_id",
         rep.alias("rep3"),
         (rep < 0.2).alias("keep"),
@@ -2517,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_wape": _q_stream_hourly_wape,
         "stream_session_windows": _q_stream_session_windows,
         "stream_distinct_users": _q_stream_distinct_users,
+        "stream_static_enrich": _q_stream_static_enrich,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -2587,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly_wape": _STREAM_HOURLY_ORACLE,
         "stream_session_windows": _STREAM_SESSION_ORACLE,
         "stream_distinct_users": _STREAM_DISTINCT_ORACLE,
+        "stream_static_enrich": _STREAM_ENRICH_ORACLE,
         "multimodal_metadata": _MULTIMODAL_META_ORACLE,
         "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
         "s1_csv_scan": _S1_ORACLE,

@@ -40,9 +40,14 @@ def connected_components(
     back to the full node set with a coalesce-to-self default).
     Deterministic: pure min-aggregation, no RNG, no ordering reliance.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Materialize the symmetrized edge list ONCE: every iteration joins
+    # against it, and without this the upstream edge-derivation plan
+    # (often an expensive LSH pipeline) would re-execute per round.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("u").alias("id"))

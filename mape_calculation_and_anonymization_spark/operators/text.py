@@ -205,3 +205,48 @@ def chunk_documents(
             F.size(F.split(F.col("chunk_text"), " "))
         ),
     )
+
+
+def ngram_repetition_stats(
+    df, id_col: str, text_col: str, n: int = 3
+):
+    """Corpus-scale form of :func:`ngram_repetition_ratio`: explode the
+    n-grams and hash-aggregate count vs distinct-count per document,
+    then join back (docs shorter than ``n`` tokens score 0).
+
+    The inline column form builds the gram list with interpreted
+    higher-order functions and re-evaluates it per consuming
+    expression; this form materializes each gram exactly once into
+    codegen'd aggregation with map-side partials — the same
+    inline-vs-explode duality as minhash_signature/minhash_signatures.
+
+    Output: (id_col, rep{n}: double)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
+                    lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+                )
+            ).alias("_gram"),
+        )
+    )
+    agg = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.countDistinct("_gram").alias("_distinct"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.lit(1.0) - F.col("_distinct").cast("double") / F.col("_total"),
+                F.lit(0.0),
+            ).alias(f"rep{n}"),
+        )
+    )

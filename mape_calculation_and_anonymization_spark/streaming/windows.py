@@ -152,3 +152,28 @@ def run_stream_to_memory(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + tumbling-hour rollup: each micro-batch is
+    enriched against the (broadcast) static dimension — the standard
+    "decorate the stream with reference data" pattern. The static side
+    is planned once per batch; no stream-stream state is created, so
+    the only stateful operator remains the windowed aggregate.
+    Unmatched stream rows keep flowing with a NULL dim payload (left
+    join) — reference data must never drop fact rows."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), on=on, how="left"
+    )
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        F.coalesce("tier", F.lit("unclassified")).alias("tier"),
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("volume"))
+    return agg.select(
+        F.col("w.start").alias("window_start"), "tier", "n_events", "volume"
+    )

@@ -146,3 +146,34 @@ def test_anonymizer_end_to_end_plan(spark):
         out = cdm_anonymization(df, key_dir=os.path.join(key_dir, "key"))
         assert uses_broadcast_join(out)
         assert count_exchanges(out) == 0
+
+
+def test_q14_pushdown_and_broadcast(spark):
+    df = e._q_q14_promo_revenue(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # shipdate slice must reach the lineitem scan, not sit above the join
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    df = e._q_q19_disjunctive_revenue(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # Catalyst derives per-side disjunctions from the OR-of-ANDs: the
+    # quantity bound lands in the lineitem scan, brand/size in part
+    assert "Or(And(" in plan  # pushed disjunctive filter survives
+    cols = set(read_schema_columns(df, "part.parquet"))
+    assert cols == {"p_partkey", "p_brand", "p_size"}
+
+
+def test_vocab_top_terms_take_ordered(spark):
+    df = e._q_vocab_top_terms(spark, SF)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_tfidf_broadcasts_df_counts(spark):
+    df = e._q_tfidf_top_terms(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # rank<=3 reaches the window sort

@@ -114,3 +114,41 @@ def test_decode_image_stub_raises_cleanly(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(attach_binary_payload(docs))
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from mape_calculation_and_anonymization_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    dim = spark.createDataFrame(e._EVENT_TIERS, ["event_type", "tier"])
+    got = run_stream_to_memory(
+        stream_static_enrich(read_events_stream(spark, sf), dim, "event_type"),
+        output_mode="append",
+    )
+    batch = (
+        e.load_table(spark, sf, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.coalesce("tier", F.lit("unclassified")).alias("tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("volume"))
+    )
+    g = {
+        (r["window_start"], r["tier"]): (r["n_events"], round(r["volume"], 4))
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["tier"]): (r["n_events"], round(r["volume"], 4))
+        for r in batch.collect()
+    }
+    assert g == b and len(g) > 0
+    # the uncovered event_type must surface as 'unclassified', proving
+    # the left join kept unmatched fact rows
+    assert any(k[1] == "unclassified" for k in g)
