@@ -509,6 +509,28 @@ def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.localCheckpoint(eager=True)
 
 
+# The jaccard derivation (tokenize → md5 bands → bucket join → exact
+# verification) feeds TWO registry queries (pairs + clusters). Memoize
+# the checkpointed corpus and verified-pairs frames per (session,
+# sf_dir) so the second query pays only its own work (the connected
+# components), not a full re-derivation. localCheckpoint blocks live in
+# the session's block manager, so entries are keyed by the session and
+# dropped when a different session comes through.
+_JACCARD_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _jaccard_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    hit = _JACCARD_SHARED.get(key)
+    if hit is not None:
+        return hit
+    corpus = _jaccard_corpus(spark, sf_dir)
+    verified = _jaccard_verified_pairs(corpus).localCheckpoint(eager=True)
+    _JACCARD_SHARED.clear()  # stale sessions' frames are unusable anyway
+    _JACCARD_SHARED[key] = (corpus, verified)
+    return corpus, verified
+
+
 def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
     """md5-banded LSH candidates verified by exact Jaccard ≥ threshold
     — a linear bucket self-join, never the O(n²) all-pairs join."""
@@ -544,7 +566,7 @@ def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set and the exact verified pairs — recall misses are
     identical on both sides. The twin corpus keeps the answer set
     non-empty on a corpus of distinct texts."""
-    return _jaccard_verified_pairs(_jaccard_corpus(spark, sf_dir))
+    return _jaccard_shared(spark, sf_dir)[1]
 
 
 def _jaccard_ctes() -> str:
@@ -617,8 +639,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (its own id when unmatched). The oracle recomputes the same
     transitive closure with a recursive CTE over the identical
     (portably re-derived) pair set."""
-    corpus = _jaccard_corpus(spark, sf_dir)
-    pairs = _jaccard_verified_pairs(corpus)
+    corpus, pairs = _jaccard_shared(spark, sf_dir)
     return duplicate_clusters(corpus, pairs)
 
 

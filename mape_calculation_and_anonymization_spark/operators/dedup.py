@@ -273,9 +273,13 @@ def md5_band_keys(toks: Column, bands: int = 8, rows_per_band: int = 2) -> Colum
     so an external system (e.g. a DuckDB audit query) can re-derive the
     exact candidate set. Use this variant when the dedup decision must
     be reproducible outside Spark; use the xxhash64 path when raw
-    throughput matters. All expressions are built-in higher-order
-    functions — no UDF, no shuffle; the downstream bucket join is the
-    only exchange.
+    throughput matters.
+
+    NOTE: higher-order functions (transform/array_min) are interpreted,
+    not codegen'd, and each of the bands×rows_per_band md5 transforms
+    re-walks the token array — fine for small frames and tests; the
+    corpus-scale path is :func:`md5_band_buckets` (explode +
+    hash-aggregate, bit-identical keys, fully codegen'd).
     """
     def _minhash(j: int, r: int) -> Column:
         return F.array_min(
@@ -290,6 +294,54 @@ def md5_band_keys(toks: Column, bands: int = 8, rows_per_band: int = 2) -> Colum
     )
 
 
+def md5_band_buckets(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: str,
+    group_cols: list[str] | None = None,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Corpus-scale derivation of the :func:`md5_band_keys` buckets:
+    explode tokens once, take bands×rows_per_band ``min(md5(...))``
+    aggregates per document, then unpivot to (band_idx, band_key) rows.
+
+    Band keys are bit-identical to :func:`md5_band_keys` (same md5
+    prefixes, same '|' join), but the whole computation is plain string
+    expressions inside whole-stage codegen, and partial aggregation
+    collapses each document's token set map-side — the shuffle carries
+    (id, bands×rows_per_band md5 strings) per document instead of
+    re-walking the token array through interpreted HOF lambdas.
+    Documents with an empty/null token set get no buckets (they can
+    never verify above threshold anyway: jaccard(∅,·) is NULL).
+
+    Output: (group_cols..., _id, band_idx, band_key).
+    """
+    group_cols = group_cols or []
+    exploded = docs.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        F.explode(toks_col).alias("_tok"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}-{r}:"), F.col("_tok")))).alias(f"_m{j}_{r}")
+        for j in range(bands)
+        for r in range(rows_per_band)
+    ]
+    per_doc = exploded.groupBy(*group_cols, "_id").agg(*mins)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", *[f"_m{j}_{r}" for r in range(rows_per_band)])
+            for j in range(bands)
+        ]
+    )
+    return per_doc.select(
+        *group_cols,
+        "_id",
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
+    )
+
+
 def md5_lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -298,17 +350,13 @@ def md5_lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Candidate pairs from :func:`md5_band_keys` buckets, optionally
+    """Candidate pairs from :func:`md5_band_buckets` buckets, optionally
     scoped to equal ``group_cols`` (e.g. per-language dedup). Linear
     bucket self-join — never all-pairs. Output: distinct
     (group_cols..., id_a, id_b)."""
     group_cols = group_cols or []
-    bucketed = docs.select(
-        *group_cols,
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            md5_band_keys(F.col(toks_col), bands, rows_per_band)
-        ).alias("band_idx", "band_key"),
+    bucketed = md5_band_buckets(
+        docs, id_col, toks_col, group_cols, bands, rows_per_band
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cond = (

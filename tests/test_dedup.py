@@ -187,3 +187,29 @@ def test_simhash_deterministic(spark):
     vals = [r["h"] for r in df.select(simhash64_udf("t").alias("h")).collect()]
     assert vals[0] == vals[1]
     assert vals[2] is None
+
+
+def test_md5_band_buckets_match_hof_form(spark):
+    """The corpus-scale explode+agg banding must produce bit-identical
+    (id, band_idx, band_key) buckets to the per-row HOF expression —
+    only documents with an empty token set may differ (the agg form
+    drops them; they can never verify above threshold)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        md5_band_buckets,
+        md5_band_keys,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in _corpus(n=30)], ["doc_id", "text"]
+    ).select("doc_id", tokens("text").alias("toks"))
+
+    hof = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.posexplode(md5_band_keys(F.col("toks"), 4, 2)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    agg = md5_band_buckets(docs, "doc_id", "toks", bands=4, rows_per_band=2)
+    got = {tuple(r) for r in agg.collect()}
+    want = {tuple(r) for r in hof.collect()}
+    assert got == want and len(got) == 30 * 4

@@ -127,9 +127,12 @@ def test_stream_static_enrich_matches_batch(spark):
 
     sf = "/root/testdata/sf0.001"
     dim = spark.createDataFrame(e._EVENT_TIERS, ["event_type", "tier"])
+    # complete mode, matching _q_stream_static_enrich: append would withhold
+    # every window still inside the 2h watermark delay when the AvailableNow
+    # run terminates, leaving the stream short of the batch twin's tail.
     got = run_stream_to_memory(
         stream_static_enrich(read_events_stream(spark, sf), dim, "event_type"),
-        output_mode="append",
+        output_mode="complete",
     )
     batch = (
         e.load_table(spark, sf, "events")
