@@ -2289,9 +2289,15 @@ _VOCAB_ORACLE = r"""
 
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (docs 0-49): term frequencies
-    per doc, document frequencies across the FULL corpus (aggregated
-    once, broadcast back), rank over round(score, 6) with a token
-    tie-break so ulp noise in ln() can't flip the cut."""
+    per doc, document frequencies across the FULL corpus, rank over
+    round(score, 6) with a token tie-break so ulp noise in ln() can't
+    flip the cut.
+
+    Broadcast discipline: the FILTERED per-doc tf side (bounded by the
+    50-doc predicate) is the provably small side; the document-frequency
+    table scales with corpus vocabulary (easily 10⁸+ tokens at 100 TB)
+    and must NEVER be broadcast. The 1-row corpus-count scalar is the
+    only other broadcast."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2303,8 +2309,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(df_counts), "tok")
+        F.broadcast(tf.filter(F.col("doc_id") < 50))
+        .join(df_counts, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2571,6 +2577,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering policy: the driver's correctness harness checks the FIRST
+    # 50 entries, so the window is reserved for (a) the flagship MAPE /
+    # anonymization pipeline, (b) every oracle-backed query that has not
+    # yet accumulated driver-verified rows, and (c) the streaming set
+    # (round-3 ts-unit regression — keep them checked every round).
+    # Entries after slot 50 are either rows-only by design (no DuckDB
+    # oracle: x5/minhash/simhash/embedding/multimodal_features) or
+    # long-green trivial rows re-verified locally by
+    # tests/test_oracle_parity.py each run.
     return {
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,
         "mape_hourly_zone": _q_mape_hourly_zone,
@@ -2582,24 +2597,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_key_join": _q_j1_key_join,
         "f4_unmatched_uids": _q_f4_unmatched_uids,
         "u1_union_dedup": _q_u1_union_dedup,
-        "x5_uid_pseudonym": _q_x5_uid_pseudonym,
+        "x6_stamp_metadata": _q_x6_stamp_metadata,
+        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
+        "k2_excel_sheets": _q_k2_excel_sheets,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "bucketed_join_orders": _q_bucketed_join_orders,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "embedding_near_dup": _q_embedding_near_dup,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,
-        "events_json_props": _q_events_json_props,
+        "text_pii_redaction": _q_text_pii_redaction,
+        "text_repetition": _q_text_repetition,
+        "doc_chunking": _q_doc_chunking,
+        "sample_stratified_docs": _q_sample_stratified_docs,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "stream_hourly_wape": _q_stream_hourly_wape,
         "stream_session_windows": _q_stream_session_windows,
         "stream_distinct_users": _q_stream_distinct_users,
         "stream_static_enrich": _q_stream_static_enrich,
+        "stream_stateful_wape": _q_stream_stateful_wape,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frames": _q_multimodal_frames,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_nation_volume": _q_q5_nation_volume,
+        "q12_priority_returns": _q_q12_priority_returns,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q16_supplier_variety": _q_q16_supplier_variety,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q22_idle_balances": _q_q22_idle_balances,
+        "rank_window_top_parts": _q_rank_window_top_parts,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "asof_join_rates": _q_asof_join_rates,
+        "approx_stats_events": _q_approx_stats_events,
+        # ---- below the driver's 50-row window ----
+        "x5_uid_pseudonym": _q_x5_uid_pseudonym,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "s1_csv_scan": _q_s1_csv_scan,
         "s3_latest_partition": _q_s3_latest_partition,
@@ -2608,11 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_revenue": _q_agg_rollup_revenue,
         "agg_cube_counts": _q_agg_cube_counts,
         "set_intersect_except": _q_set_intersect_except,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "q5_nation_volume": _q_q5_nation_volume,
-        "asof_join_rates": _q_asof_join_rates,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "stream_stateful_wape": _q_stream_stateful_wape,
+        "events_json_props": _q_events_json_props,
         "semi_join_late_orders": _q_semi_join_late_orders,
         "anti_join_idle_customers": _q_anti_join_idle_customers,
         "outer_join_order_distribution": _q_outer_join_order_distribution,
@@ -2620,28 +2658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        "approx_stats_events": _q_approx_stats_events,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "rank_window_top_parts": _q_rank_window_top_parts,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "q18_large_volume_customers": _q_q18_large_volume_customers,
-        "x6_stamp_metadata": _q_x6_stamp_metadata,
-        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
-        "k2_excel_sheets": _q_k2_excel_sheets,
-        "salted_join_revenue": _q_salted_join_revenue,
-        "bucketed_join_orders": _q_bucketed_join_orders,
-        "dedup_clusters": _q_dedup_clusters,
-        "text_pii_redaction": _q_text_pii_redaction,
-        "text_repetition": _q_text_repetition,
-        "doc_chunking": _q_doc_chunking,
-        "sample_stratified_docs": _q_sample_stratified_docs,
-        "vocab_top_terms": _q_vocab_top_terms,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "q14_promo_revenue": _q_q14_promo_revenue,
-        "q12_priority_returns": _q_q12_priority_returns,
-        "q16_supplier_variety": _q_q16_supplier_variety,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q22_idle_balances": _q_q22_idle_balances,
     }
 
 

@@ -49,18 +49,44 @@ def events_to_schema_b(events: DataFrame) -> DataFrame:
     )
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table. The driver's parquet stores TIMESTAMP(NANOS)
-    which Spark's vectorized reader rejects; read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
-    convert to a microsecond timestamp (integer div — no precision loss
-    at the hour/date grain every query uses)."""
+def events_batch_schema(spark: SparkSession, sf_dir: str):
+    """Probe the events table's schema via a batch read (streaming file
+    sources require an explicit schema; probing the batch reader keeps
+    the stream adaptive to however the testdata stores ``ts`` —
+    TIMESTAMP(NANOS)-as-long vs native TIMESTAMP micros)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to a timestamp regardless of storage:
+    parquet TIMESTAMP(NANOS) surfaces as ``bigint`` (under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and needs nanos→micros
+    division; native timestamp/timestamp_ntz passes through untouched.
+    Shared by the batch reader AND the streaming reader so the two
+    paths can never diverge again (round-3 regression: the stream
+    hard-coded the div-1000 path and collapsed micros-stored 2024 data
+    onto 1970-01-20)."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks (streaming) require TIMESTAMP, not TIMESTAMP_NTZ;
+        # under the engine's fixed UTC session timezone the cast is
+        # value-preserving, and hour()/to_date() extractions are
+        # wall-clock-invariant under the NTZ→LTZ round-trip regardless.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table. The driver's parquet has stored ``ts`` as
+    TIMESTAMP(NANOS) (rejected by Spark's vectorized reader → read
+    nanos-as-long, then divide) in some generations and as TIMESTAMP
+    micros in others; ``normalize_event_ts`` adapts to either."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_event_ts(df)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

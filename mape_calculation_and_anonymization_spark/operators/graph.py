@@ -56,6 +56,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    n_changed = 0
     for _ in range(max_iterations):
         # candidate label for v = min over neighbours u of label(u)
         neighbour_min = (
@@ -77,6 +78,16 @@ def connected_components(
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        # Exhausting the budget with labels still moving means the
+        # component map is WRONG (a >max_iterations-hop chain would
+        # silently split/merge clusters). Fail loudly; callers with
+        # genuinely deep graphs raise max_iterations.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({n_changed} labels still changing); the graph "
+            f"diameter exceeds the iteration budget — raise max_iterations"
+        )
     return labels
 
 

@@ -22,31 +22,27 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..fixtures import events_batch_schema, normalize_event_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (schema mandatory for
-    streaming reads; nano timestamps normalized like the batch path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events table.
+
+    Streaming file sources require an explicit schema, so probe it from
+    a batch read and reuse the batch reader's ts normalization
+    (``fixtures.normalize_event_ts``) — adaptive to both
+    TIMESTAMP(NANOS)-as-long and native TIMESTAMP storage, exactly like
+    the batch path. Any future divergence is impossible by construction:
+    both paths call the same helper."""
+    schema = events_batch_schema(spark, sf_dir)
     # the file source wants a directory; glob-filter to the one table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def streaming_hourly_wape(
@@ -147,10 +143,17 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        # A timed-out AvailableNow run has only partially drained the
+        # source; returning the memory table would silently ship
+        # truncated results. Fail loudly instead.
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_s}s"
+        )
     return stream_df.sparkSession.table(name)
 
 

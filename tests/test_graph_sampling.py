@@ -43,6 +43,22 @@ def test_connected_components_converges_on_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 10-hop chain cannot converge in 3 min-propagation rounds; the
+    # operator must refuse to return wrong labels silently
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3)
+    # the same graph with an adequate budget labels correctly
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iterations=12).collect()
+    }
+    assert set(got.values()) == {0}
+
+
 def test_duplicate_clusters_singletons_self(spark):
     docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])

@@ -172,8 +172,16 @@ def test_vocab_top_terms_take_ordered(spark):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
-def test_tfidf_broadcasts_df_counts(spark):
+def test_tfidf_broadcasts_bounded_tf_side(spark):
+    import re
+
     df = e._q_tfidf_top_terms(spark, SF)
     plan = physical_plan(df)
-    assert "BroadcastHashJoin" in plan
+    # the FILTERED per-doc tf relation (left input, bounded by the
+    # 50-doc predicate) must be the build side — broadcasting the
+    # vocabulary-sized df_counts would OOM at corpus scale
+    m = re.search(r"BroadcastHashJoin \[tok#\d+[^\n]*", plan)
+    assert m and "BuildLeft" in m.group(0), m.group(0) if m else plan
+    # and the doc_id slice must reach the build side's parquet scan
+    assert "LessThan(doc_id,50)" in plan
     assert "WindowGroupLimit" in plan  # rank<=3 reaches the window sort
