@@ -39,12 +39,20 @@ def write_bucketed_table(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # With the default in-memory catalog a previous session can leave
     # the managed location on disk with no catalog entry; saveAsTable
-    # refuses to reuse it (LOCATION_ALREADY_EXISTS), so clear it.
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if warehouse:
-        shutil.rmtree(
-            os.path.join(warehouse, table_name.lower()), ignore_errors=True
-        )
+    # refuses to reuse it (LOCATION_ALREADY_EXISTS), so clear it —
+    # but ONLY when the catalog no longer owns the name (the DROP above
+    # can't remove a path the catalog never knew about, and we must
+    # never delete data behind a still-registered table), and at the
+    # catalog's actual layout for qualified names (db.tbl lives under
+    # warehouse/<db>.db/<tbl>, not warehouse/<db.tbl>).
+    if not spark.catalog.tableExists(table_name):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        parts = table_name.lower().split(".")
+        if warehouse and len(parts) <= 2:
+            rel = parts[-1] if len(parts) == 1 else os.path.join(
+                f"{parts[0]}.db", parts[1]
+            )
+            shutil.rmtree(os.path.join(warehouse, rel), ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

@@ -49,6 +49,30 @@ def test_bucketed_join_no_exchange(spark, bucketed_tables):
     assert joined.count() == plain.count()
 
 
+def test_write_bucketed_table_rewrites_and_qualified_names(spark):
+    from mape_calculation_and_anonymization_spark.sources.bucketed import (
+        write_bucketed_table,
+    )
+
+    nation = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    try:
+        # unqualified: write twice — the second write must survive the
+        # leftover-location cleanup path (LOCATION_ALREADY_EXISTS guard)
+        write_bucketed_table(nation, "bkt_guard_t", "n_nationkey", n_buckets=4)
+        write_bucketed_table(nation, "bkt_guard_t", "n_nationkey", n_buckets=4)
+        assert spark.table("bkt_guard_t").count() == nation.count()
+        # qualified db.tbl: cleanup must target warehouse/<db>.db/<tbl>,
+        # not warehouse/<db.tbl>
+        spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+        write_bucketed_table(nation, "bktdb.guard_t", "n_nationkey", n_buckets=4)
+        write_bucketed_table(nation, "bktdb.guard_t", "n_nationkey", n_buckets=4)
+        assert spark.table("bktdb.guard_t").count() == nation.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_guard_t")
+        spark.sql("DROP TABLE IF EXISTS bktdb.guard_t")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
 def test_bucketed_agg_no_exchange(spark, bucketed_tables):
     left, _ = bucketed_tables
     agg = (
