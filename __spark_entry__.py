@@ -2591,6 +2591,654 @@ _Q22_ORACLE = """
 """
 
 
+# Money math note for the queries below: l_extendedprice / l_discount /
+# p_retailprice are exact 2-decimal values, so products like
+# price*(1-discount) are exact 4-decimal numbers. Summing them as
+# DOUBLES makes round(sum, 2) depend on partition order whenever the
+# true sum lands on a half-cent boundary (~1% of output rows) — the
+# driver's 200-partition session and this repo's 32-partition session
+# would disagree. The revenue expressions therefore cast to DECIMAL
+# (exact, order-independent) before summing, in BOTH the Spark plan and
+# the DuckDB oracle, and cast the rounded result back to double.
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate
+    (shipdate year, discount band, quantity cap) pushes to the parquet
+    scan, the projection prunes to three columns, and the single
+    partial+final aggregate carries one row per task — at 100 TB this
+    is I/O-bound with zero shuffle volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-cost subquery, decorrelated into
+    a window-min. Unit supply cost is derived from lineitem
+    (min(extendedprice/quantity) per part×supplier — the testdata has
+    no partsupp table). Both dimension inputs (size/type-sliced part,
+    EUROPE suppliers) broadcast and prune the fact scan BEFORE the
+    (part,supplier) aggregate, so the only wide shuffle carries the
+    already-sliced pairs; the per-part min is a window over a
+    part-clustered frame, not a per-row re-scan."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_Q2_ORACLE = """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, unit_cost,
+               MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM ps
+        JOIN part ON l_partkey = p_partkey
+        JOIN eur ON l_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM cand WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair trade volume by year.
+    The nation filters collapse supplier and customer into tiny
+    broadcast dimensions BEFORE the fact join, so the lineitem scan is
+    pruned to two supplier-nations' rows ahead of the only wide
+    shuffle (lineitem ⋈ orders on orderkey)."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(*pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(*pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.expr(f"CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE)").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_ORACLE = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly volume
+    in one part type — conditional aggregation (sum-if over sum) above
+    a star join whose every dimension broadcasts; the lone shuffle is
+    lineitem ⋈ orders."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_america = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "AMERICA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_america), orders.o_custkey == cust_america.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+def _q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name slice. Supply cost is modeled as 0.6 × p_retailprice ×
+    quantity (no partsupp/ps_supplycost in the testdata — documented
+    adaptation, same plan shape). The part slice broadcasts and prunes
+    lineitem before the orders shuffle; supplier→nation broadcasts."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = F.expr(
+        f"{_REV_DEC} - CAST(0.6 AS DECIMAL(2,1))"
+        " * CAST(p_retailprice AS DECIMAL(12,2))"
+        " * CAST(l_quantity AS DECIMAL(12,0))"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(amount), 2).cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q9_ORACLE = """
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 - CAST(0.6 AS DECIMAL(2,1))
+                   * CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,0)) AS amount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def _q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Revenue aggregates per customer key FIRST (the only
+    wide shuffle, on an already quarter-and-flag-pruned fact subset);
+    the customer/nation decoration joins the aggregate, not the fact
+    rows, and the final top-k plans as TakeOrderedAndProject."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(f"CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE)").alias("revenue")
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))),
+               2) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def _q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept only where it exceeds a fraction of the global
+    total (uncorrelated scalar subquery → broadcast one-row frame).
+    Value is sum(extendedprice × quantity) from lineitem (no
+    partsupp). The nation's supplier list broadcasts; one shuffle
+    aggregates by part key; the threshold compare is a broadcast
+    cross join against the re-aggregated total."""
+    supp_n3 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(supp_n3), li.l_suppkey == supp_n3.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("value")
+        )
+    )
+    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+_Q11_ORACLE = """
+    WITH val AS (
+        SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT 0.001 * SUM(value) FROM val)
+    ORDER BY value DESC, l_partkey
+"""
+
+
+def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' (per-supplier quarterly
+    revenue) consumed twice — once for the max (1-row broadcast), once
+    as the join input filtered to that max. Spark reuses the shuffle
+    output of the aggregate across both consumers; no second fact
+    scan at the physical level."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.expr(f"CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE)").alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1.0 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def _q_q20_excess_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of selected nations who shipped more
+    than half the average per-supplier volume of a name-sliced part in
+    1996 — the nested-IN + correlated-aggregate chain, decorrelated:
+    one (part,supplier) aggregate, one per-part re-aggregate joined
+    back, a broadcast semi-join for the part-name slice, and a distinct
+    supplier set that is dimension-sized by construction. (availqty
+    has no testdata analogue; the shipped-volume threshold keeps the
+    same correlated shape.)"""
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_96"))
+    )
+    part_avg = shipped.groupBy("l_partkey").agg(
+        (F.avg("qty_96") * 0.5).alias("half_avg")
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    excess = (
+        shipped.join(part_avg, on="l_partkey")
+        .filter(F.col("qty_96") > F.col("half_avg"))
+        .join(F.broadcast(small_parts), on="l_partkey", how="left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_2", "NATION_7", "NATION_12")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_ORACLE = """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_96
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_avg AS (
+        SELECT l_partkey, 0.5 * AVG(qty_96) AS half_avg
+        FROM shipped GROUP BY l_partkey
+    ),
+    excess AS (
+        SELECT DISTINCT l_suppkey
+        FROM shipped
+        JOIN part_avg USING (l_partkey)
+        WHERE qty_96 > half_avg
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN excess ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+    ORDER BY s_name
+"""
+
+
+def _q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finalized multi-supplier orders. The classic EXISTS / NOT-EXISTS
+    pair is decorrelated into ONE per-order aggregate (distinct
+    supplier count + the set of late suppliers — bounded by suppliers
+    per order, single digits) so the fact table shuffles once on
+    orderkey and never self-joins; 'sole late supplier' is then a
+    filter + element_at over the collected set. Lateness is shipdate
+    more than 60 days after order date (no commitdate/receiptdate in
+    the testdata)."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias("late_supps"),
+        )
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
+    ).select(F.element_at("late_supps", 1).alias("s_suppkey"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), on="s_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_Q21_ORACLE = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                   THEN l_suppkey END) AS n_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey
+    ),
+    late_rows AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders ON l.l_orderkey = o_orderkey
+        JOIN per_order p ON l.l_orderkey = p.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND p.n_supp > 1 AND p.n_late = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late_rows JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2633,10 +3281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
-        "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
-        "text_language_id": _q_text_language_id,
-        "text_fingerprint": _q_text_fingerprint,
         "text_pii_redaction": _q_text_pii_redaction,
         "text_repetition": _q_text_repetition,
         "doc_chunking": _q_doc_chunking,
@@ -2645,14 +3289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "stream_hourly_wape": _q_stream_hourly_wape,
         "stream_session_windows": _q_stream_session_windows,
-        "stream_distinct_users": _q_stream_distinct_users,
         "stream_static_enrich": _q_stream_static_enrich,
         "stream_stateful_wape": _q_stream_stateful_wape,
-        "multimodal_metadata": _q_multimodal_metadata,
-        "multimodal_frames": _q_multimodal_frames,
+        "approx_stats_events": _q_approx_stats_events,
         "q1_pricing_summary": _q_q1_pricing_summary,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "q5_nation_volume": _q_q5_nation_volume,
         "q12_priority_returns": _q_q12_priority_returns,
         "q14_promo_revenue": _q_q14_promo_revenue,
         "q16_supplier_variety": _q_q16_supplier_variety,
@@ -2661,14 +3301,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balances": _q_q22_idle_balances,
         "rank_window_top_parts": _q_rank_window_top_parts,
         "small_qty_revenue": _q_small_qty_revenue,
-        "asof_join_rates": _q_asof_join_rates,
-        "approx_stats_events": _q_approx_stats_events,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q11_important_parts": _q_q11_important_parts,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_excess_parts": _q_q20_excess_parts,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         # ---- below the driver's 50-row window ----
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_metadata": _q_multimodal_metadata,
+        "multimodal_frames": _q_multimodal_frames,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_language_id": _q_text_language_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "events_json_props": _q_events_json_props,
         "s1_csv_scan": _q_s1_csv_scan,
         "s3_latest_partition": _q_s3_latest_partition,
         "o1_top_revenue": _q_o1_top_revenue,
@@ -2676,7 +3331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_revenue": _q_agg_rollup_revenue,
         "agg_cube_counts": _q_agg_cube_counts,
         "set_intersect_except": _q_set_intersect_except,
-        "events_json_props": _q_events_json_props,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_nation_volume": _q_q5_nation_volume,
+        "asof_join_rates": _q_asof_join_rates,
+        "stream_distinct_users": _q_stream_distinct_users,
         "semi_join_late_orders": _q_semi_join_late_orders,
         "anti_join_idle_customers": _q_anti_join_idle_customers,
         "outer_join_order_distribution": _q_outer_join_order_distribution,
@@ -2754,6 +3412,16 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_variety": _Q16_ORACLE,
         "q19_disjunctive_revenue": _Q19_ORACLE,
         "q22_idle_balances": _Q22_ORACLE,
+        "q2_min_cost_supplier": _Q2_ORACLE,
+        "q6_forecast_revenue": _Q6_ORACLE,
+        "q7_volume_shipping": _Q7_ORACLE,
+        "q8_market_share": _Q8_ORACLE,
+        "q9_product_profit": _Q9_ORACLE,
+        "q10_returned_items": _Q10_ORACLE,
+        "q11_important_parts": _Q11_ORACLE,
+        "q15_top_supplier": _Q15_ORACLE,
+        "q20_excess_parts": _Q20_ORACLE,
+        "q21_waiting_suppliers": _Q21_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

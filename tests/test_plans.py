@@ -167,6 +167,41 @@ def test_q19_disjunction_prunes_both_scans(spark):
     assert cols == {"p_partkey", "p_brand", "p_size"}
 
 
+def test_q6_full_pushdown_single_exchange(spark):
+    df = e._q_q6_forecast_revenue(spark, SF)
+    plan = physical_plan(df)
+    # every predicate reaches the scan; only the global-agg single
+    # partition exchange remains
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    assert count_exchanges(df) == 1
+    cols = set(read_schema_columns(df, "lineitem.parquet"))
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q10_aggregates_before_decoration_top_k(spark):
+    df = e._q_q10_returned_items(spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q21_single_fact_scan(spark):
+    # the EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
+    # aggregate: lineitem must be scanned exactly once (the SQL form
+    # scans it twice and self-joins)
+    df = e._q_q21_waiting_suppliers(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q2_broadcasts_dims_single_fact_scan(spark):
+    df = e._q_q2_min_cost_supplier(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_vocab_top_terms_take_ordered(spark):
     df = e._q_vocab_top_terms(spark, SF)
     assert "TakeOrderedAndProject" in physical_plan(df)
