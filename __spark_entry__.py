@@ -1591,6 +1591,43 @@ _STREAM_ENRICH_ORACLE = (
 )
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: every purchase paired with
+    the SAME user's click events from the preceding hour. Two
+    independent file-source streams (one per side); join state is
+    bounded by the watermark + event-time interval condition, so at
+    production scale the state store holds one hour of clicks per
+    user, not the stream history."""
+    from mape_calculation_and_anonymization_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
+    )
+    return run_stream_to_memory(joined).select(
+        F.col("l_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_id").alias("click_id"),
+    )
+
+
+_STREAM_STREAM_JOIN_ORACLE = """
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing
 # ---------------------------------------------------------------------------
@@ -2217,6 +2254,83 @@ _REPETITION_ORACLE = r"""
         FROM g
     )
     SELECT doc_id, rep3, rep3 < 0.2 AS keep FROM r
+"""
+
+
+def _q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: every document assigned to the
+    512-token training sequence where its first token lands in the
+    id-ordered concatenated token stream. Distributed two-level prefix
+    sum (within-shard window + per-shard offsets) — the oracle's
+    single global window over the corpus is exactly what this plan
+    avoids at scale."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=512, shard_size=256)
+
+
+_SEQ_PACKING_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_off
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start_off / 512.0) AS BIGINT) AS seq_id
+    FROM c
+"""
+
+
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs (doc_id >= 20)
+    sharing any distinct 8-token shingle with the benchmark slice
+    (doc_id < 20). Benchmark shingles broadcast; the training side is
+    an explode → hash-join → per-doc aggregate, never an all-pairs
+    document comparison."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_check,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=8,
+    )
+
+
+_CONTAMINATION_ORACLE = r"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 8, 0) + 1),
+                   i -> array_to_string(
+                       (string_split_regex(lower(trim(text)), '\s+'))[i+1:i+8], ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    train AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM g WHERE doc_id >= 20
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM g WHERE doc_id < 20
+    )
+    SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared_shingles
+    FROM train t JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
 """
 
 
@@ -3342,6 +3456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
+        "stream_stream_join": _q_stream_stream_join,
+        "seq_packing": _q_seq_packing,
+        "contamination_check": _q_contamination_check,
     }
 
 
@@ -3422,6 +3539,9 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": _Q15_ORACLE,
         "q20_excess_parts": _Q20_ORACLE,
         "q21_waiting_suppliers": _Q21_ORACLE,
+        "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
+        "seq_packing": _SEQ_PACKING_ORACLE,
+        "contamination_check": _CONTAMINATION_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -250,3 +250,96 @@ def ngram_repetition_stats(
             ).alias(f"rep{n}"),
         )
     )
+
+
+def pack_sequences(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shard_size: int = 256,
+):
+    """Concatenate-and-chunk sequence packing: assign every document to
+    the training sequence (of ``budget`` tokens) in which its first
+    token lands when the corpus is laid out as one id-ordered token
+    stream — the GPT-style packing layout where documents may cross
+    sequence boundaries.
+
+    The global prefix sum is computed DISTRIBUTED, never through a
+    single-partition window: a within-shard cumulative sum (window
+    partitioned by ``id div shard_size`` — parallel across shards)
+    plus a cumulative offset over the per-shard totals (a frame of
+    n_docs/shard_size rows, the only global-ordered window — at 100 TB
+    with shard_size tuned up, millions of rows, not the corpus).
+
+    Output: (id_col, n_tokens, seq_id).
+    """
+    from pyspark.sql import Window
+
+    with_counts = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(shard_size)).alias("_shard"),
+    )
+    w_local = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_counts.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    shard_totals = with_counts.groupBy("_shard").agg(
+        F.sum("n_tokens").alias("_shard_tokens")
+    )
+    w_shard = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = shard_totals.select(
+        "_shard",
+        F.coalesce(F.sum("_shard_tokens").over(w_shard), F.lit(0)).alias(
+            "_shard_off"
+        ),
+    )
+    return (
+        local.join(offsets, on="_shard")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(
+                (F.col("_shard_off") + F.col("_local_off")) / F.lit(budget)
+            ).alias("seq_id"),
+        )
+    )
+
+
+def contamination_check(
+    train,
+    bench,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Benchmark-contamination scan: training documents sharing at
+    least one distinct word ``n``-gram with any benchmark document,
+    with the count of shared distinct n-grams.
+
+    The benchmark shingle set is eval-suite-sized (thousands of docs,
+    not the corpus), so it broadcasts; the training side explodes its
+    shingles into a codegen'd hash join + per-doc aggregate — no
+    all-pairs document comparison ever happens.
+
+    Output: (id_col, n_shared_shingles), contaminated docs only.
+    """
+    from mape_calculation_and_anonymization_spark.operators.dedup import word_ngrams
+
+    t = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n=n)).alias("_shingle")
+    )
+    b = (
+        bench.select(F.explode(word_ngrams(text_col, n=n)).alias("_shingle"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), on="_shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_shingle").alias("n_shared_shingles"))
+    )

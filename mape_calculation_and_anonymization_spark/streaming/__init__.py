@@ -3,6 +3,7 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
     run_stream_to_memory,
     sliding_event_counts,
     stateful_distinct_users,
+    stream_stream_interval_join,
     streaming_hourly_wape,
     user_session_windows,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "run_stream_to_memory",
     "streaming_hourly_wape",
     "sliding_event_counts",
+    "stream_stream_interval_join",
     "user_session_windows",
     "stateful_distinct_users",
 ]

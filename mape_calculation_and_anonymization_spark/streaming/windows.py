@@ -127,6 +127,45 @@ def stateful_distinct_users(events: DataFrame, watermark: str = "1 hour") -> Dat
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    interval: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the right-stream events of the same key whose timestamp falls in
+    ``[left.ts - interval, left.ts]``.
+
+    Both sides carry a watermark AND the join condition bounds the
+    event-time distance, so Spark can evict join state once the
+    watermark passes — state is O(events inside the interval window),
+    not O(stream history). Under Trigger.AvailableNow the whole input
+    is one logical batch, so results equal the equivalent batch join
+    (the DuckDB oracle) exactly."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (l.l_key == r.r_key)
+        & (r.r_ts >= l.l_ts - F.expr(interval))
+        & (r.r_ts <= l.l_ts)
+    )
+    return l.join(r, cond).select(
+        F.col("l_id"),
+        F.col("l_key").alias(on),
+        F.col("r_id"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:

@@ -155,3 +155,38 @@ def test_stream_static_enrich_matches_batch(spark):
     # the uncovered event_type must surface as 'unclassified', proving
     # the left join kept unmatched fact rows
     assert any(k[1] == "unclassified" for k in g)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from mape_calculation_and_anonymization_spark.fixtures import load_events
+    from mape_calculation_and_anonymization_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_stream_interval_join(
+            read_events_stream(spark, sf).filter(F.col("event_type") == "purchase"),
+            read_events_stream(spark, sf).filter(F.col("event_type") == "click"),
+            on="user_id",
+            interval="INTERVAL 1 HOUR",
+        )
+    )
+    ev = load_events(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.p_ts),
+    ).select("l_id", "user_id", "r_id")
+    assert batch.count() > 0
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0

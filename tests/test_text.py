@@ -62,3 +62,53 @@ def test_fingerprint_deterministic_and_sensitive(spark):
         expect = (expect * 31 + ord(ch)) % ((1 << 31) - 1)
     assert f1 == expect
     assert _one(spark, "", fingerprint("text")) == 0
+
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    from pyspark.sql import Row
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * ((i * 7) % 13 + 1))) for i in range(600)]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"])
+        for r in pack_sequences(docs, budget=50, shard_size=100).collect()
+    }
+    # independent serial reference: exclusive running sum over id order
+    off = 0
+    for i in range(600):
+        n = (i * 7) % 13 + 1
+        assert got[i] == (n, off // 50), f"doc {i}"
+        off += n
+    # seq ids are contiguous from 0
+    seqs = sorted({s for _, s in got.values()})
+    assert seqs == list(range(len(seqs)))
+
+
+def test_contamination_check_planted_overlap(spark):
+    from pyspark.sql import Row
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_check,
+    )
+
+    secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text=f"prefix {secret} suffix")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=f"leading words then {secret} trailing"),
+            Row(doc_id=101, text="entirely different content with no overlap at all here"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in contamination_check(train, bench, n=8).collect()
+    }
+    assert 100 in got and got[100] >= 1
+    assert 101 not in got
