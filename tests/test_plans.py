@@ -202,6 +202,24 @@ def test_q2_broadcasts_dims_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_pack_sequences_no_corpus_single_partition_window(spark):
+    import re
+
+    df = e._q_seq_packing(spark, SF)
+    plan = physical_plan(df)
+    # the per-doc cumulative sum must run under hash partitioning by
+    # shard (parallel); the only single-partition exchange allowed is
+    # the tiny per-shard-totals offset frame
+    assert re.search(r"Exchange hashpartitioning\(_shard", plan)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    df = e._q_contamination_check(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_vocab_top_terms_take_ordered(spark):
     df = e._q_vocab_top_terms(spark, SF)
     assert "TakeOrderedAndProject" in physical_plan(df)
