@@ -1628,6 +1628,97 @@ _STREAM_STREAM_JOIN_ORACLE = """
 """
 
 
+def _q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in BATCH via window functions (lag →
+    new-session flag → running sum), the classic dual of the streaming
+    ``session_window`` operator — same 5-minute gap, same output
+    grain, so the two implementations cross-validate
+    (tests/test_streaming_multimodal.py). Windows partition by
+    user_id: parallel across users, never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "_new_sess",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > 300
+        ).cast("int"),
+    ).withColumn(
+        "_sess_idx",
+        F.sum(F.coalesce("_new_sess", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "_sess_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    ).drop("_sess_idx")
+
+
+_BATCH_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN EXTRACT(epoch FROM ts - LAG(ts) OVER w) > 300
+                    THEN 1
+                    WHEN LAG(ts) OVER w IS NULL THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_idx
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS volume
+    FROM sessions
+    GROUP BY user_id, sess_idx
+"""
+
+
+def _q_stream_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the reference's persistent pseudonym
+    key table: foreachBatch upsert per micro-batch (unseen uids →
+    blake2b append, existing mappings win), then the maintained
+    table's uid universe is returned. Idempotent across reruns by
+    construction. The pseudonym VALUES are pinned by the blake2b
+    digest-anchor unit test (DuckDB has no blake2b); the oracle checks
+    the uid set the stream discovered."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.keys import (
+        key_table_path,
+        load_key_table,
+    )
+    from mape_calculation_and_anonymization_spark.streaming import (
+        stream_key_table_upsert,
+    )
+
+    key_dir = f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/stream_key"
+    if not os.path.exists(key_table_path(key_dir, "user_id")):
+        stream_key_table_upsert(
+            read_events_stream(spark, sf_dir), key_dir, col="user_id"
+        )
+    return (
+        load_key_table(spark, key_dir, "user_id")
+        .select("user_id")
+        .orderBy(F.col("user_id").cast("long"))
+    )
+
+
+_STREAM_KEY_UPSERT_ORACLE = """
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing
 # ---------------------------------------------------------------------------
@@ -3459,6 +3550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,
         "seq_packing": _q_seq_packing,
         "contamination_check": _q_contamination_check,
+        "batch_sessionize": _q_batch_sessionize,
+        "stream_key_upsert": _q_stream_key_upsert,
     }
 
 
@@ -3542,6 +3635,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
         "seq_packing": _SEQ_PACKING_ORACLE,
         "contamination_check": _CONTAMINATION_ORACLE,
+        "batch_sessionize": _BATCH_SESSIONIZE_ORACLE,
+        "stream_key_upsert": _STREAM_KEY_UPSERT_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

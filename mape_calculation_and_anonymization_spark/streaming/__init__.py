@@ -1,3 +1,7 @@
+from mape_calculation_and_anonymization_spark.streaming.upsert import (
+    stream_key_table_upsert,
+    upsert_batch_into_key_table,
+)
 from mape_calculation_and_anonymization_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -16,4 +20,6 @@ __all__ = [
     "stream_stream_interval_join",
     "user_session_windows",
     "stateful_distinct_users",
+    "stream_key_table_upsert",
+    "upsert_batch_into_key_table",
 ]

@@ -190,3 +190,62 @@ def test_stream_stream_join_equals_batch(spark):
     assert batch.count() > 0
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_batch_sessionize_equals_streaming_session_windows(spark):
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"], r["volume"])
+        for r in entrymod._q_batch_sessionize(spark, sf).collect()
+    }
+    stream = run_stream_to_memory(
+        user_session_windows(read_events_stream(spark, sf)),
+        output_mode="complete",
+    )
+    stream_set = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["volume"], 4))
+        for r in stream.collect()
+    }
+    assert batch == stream_set
+
+
+def test_stream_key_upsert_incremental_and_idempotent(spark, tmp_path):
+    from mape_calculation_and_anonymization_spark.operators.keys import (
+        load_key_table,
+    )
+    from mape_calculation_and_anonymization_spark.streaming import (
+        stream_key_table_upsert,
+    )
+
+    key_dir = str(tmp_path / "key")
+    stream_key_table_upsert(
+        read_events_stream(spark, "/root/testdata/sf0.001"), key_dir, "user_id"
+    )
+    first = {
+        r["user_id"]: r["user_id_"]
+        for r in load_key_table(spark, key_dir, "user_id").collect()
+    }
+    assert len(first) > 0
+    # second ingest at a larger sf: existing mappings must survive
+    # untouched, new uids appended
+    stream_key_table_upsert(
+        read_events_stream(spark, "/root/testdata/sf0.01"), key_dir, "user_id"
+    )
+    second = {
+        r["user_id"]: r["user_id_"]
+        for r in load_key_table(spark, key_dir, "user_id").collect()
+    }
+    assert set(first) <= set(second)
+    for uid, pseudo in first.items():
+        assert second[uid] == pseudo
+    # idempotent: re-draining the same stream changes nothing
+    stream_key_table_upsert(
+        read_events_stream(spark, "/root/testdata/sf0.01"), key_dir, "user_id"
+    )
+    third = {
+        r["user_id"]: r["user_id_"]
+        for r in load_key_table(spark, key_dir, "user_id").collect()
+    }
+    assert third == second
