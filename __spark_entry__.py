@@ -754,6 +754,7 @@ def _q_stream_stateful_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         running_zone_wape(read_events_stream(spark, sf_dir)),
         output_mode="update",
+        shuffle_partitions=8,
     )
     w = W.partitionBy("zone").orderBy(F.col("n_events").desc())
     final = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -1481,6 +1482,7 @@ def _q_stream_hourly_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         streaming_hourly_wape(read_events_stream(spark, sf_dir)),
         output_mode="complete",
+        shuffle_partitions=8,
     )
     return _round_doubles(out)
 
@@ -1504,6 +1506,7 @@ def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         user_session_windows(read_events_stream(spark, sf_dir)),
         output_mode="complete",
+        shuffle_partitions=8,
     )
     return _round_doubles(out)
 
@@ -1541,7 +1544,8 @@ _STREAM_SESSION_ORACLE = """
 
 def _q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
-        stateful_distinct_users(read_events_stream(spark, sf_dir))
+        stateful_distinct_users(read_events_stream(spark, sf_dir)),
+        shuffle_partitions=8,
     )
 
 
@@ -1568,6 +1572,7 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_events_stream(spark, sf_dir), dim, on="event_type"
         ),
         output_mode="complete",
+        shuffle_partitions=8,
     )
     return out.select(
         "window_start",
@@ -1611,7 +1616,7 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
-    return run_stream_to_memory(joined).select(
+    return run_stream_to_memory(joined, shuffle_partitions=8).select(
         F.col("l_id").alias("purchase_id"),
         "user_id",
         F.col("r_id").alias("click_id"),

@@ -167,25 +167,45 @@ def stream_stream_interval_join(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
     memory sink, block until done, return the materialized batch
     DataFrame. (The pattern the driver's batch-shaped contract needs;
-    production sinks would be kafka/parquet/delta writeStream.)"""
+    production sinks would be kafka/parquet/delta writeStream.)
+
+    ``shuffle_partitions`` right-sizes the STATE partition count for
+    this query: every stateful operator opens one state-store instance
+    per shuffle partition per micro-batch, a fixed I/O cost that
+    dwarfs the data at small volumes (measured: a stream-stream join
+    over sf0.1 runs 12.8s at 32 partitions, 2.4s at 4 — same rows).
+    Streaming state partitioning is pinned at the first checkpoint, so
+    this is a per-query decision made at start; production queries
+    size it to cluster parallelism, local runs to data volume. The
+    session value is restored after the run."""
+    spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        finished = q.awaitTermination(timeout_s)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not finished:
         # A timed-out AvailableNow run has only partially drained the
         # source; returning the memory table would silently ship
