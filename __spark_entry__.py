@@ -3464,11 +3464,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering policy: the driver's correctness harness checks the FIRST
     # 50 entries, so the window is reserved for (a) the flagship MAPE /
     # anonymization pipeline, (b) every oracle-backed query that has not
-    # yet accumulated driver-verified rows, and (c) the streaming set
-    # (round-3 ts-unit regression — keep them checked every round).
-    # Entries after slot 50 are either rows-only by design (no DuckDB
-    # oracle: x5/minhash/simhash/embedding/multimodal_features) or
-    # long-green trivial rows re-verified locally by
+    # yet accumulated driver-verified rows (round-4 additions: TPC-H
+    # Q2/Q6-Q11/Q15/Q20/Q21, stream_stream_join, seq_packing,
+    # contamination_check, batch_sessionize, stream_key_upsert), and
+    # (c) queries whose semantics changed this round (approx_stats) or
+    # regressed last round (the streaming set). Entries after slot 50
+    # are either rows-only by design (no DuckDB oracle:
+    # x5/minhash/simhash/embedding/multimodal_features) or carry 3
+    # green driver rounds already and stay re-verified locally by
     # tests/test_oracle_parity.py each run.
     return {
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,
@@ -3479,18 +3482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_perturb_values": _q_x3_perturb_values,
         "x4_label_anonymization": _q_x4_label_anonymization,
         "j1_key_join": _q_j1_key_join,
-        "f4_unmatched_uids": _q_f4_unmatched_uids,
         "u1_union_dedup": _q_u1_union_dedup,
         "x6_stamp_metadata": _q_x6_stamp_metadata,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
         "k2_excel_sheets": _q_k2_excel_sheets,
         "salted_join_revenue": _q_salted_join_revenue,
         "bucketed_join_orders": _q_bucketed_join_orders,
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ivf_ann_topk": _q_ivf_ann_topk,
+        "batch_sessionize": _q_batch_sessionize,
+        "seq_packing": _q_seq_packing,
+        "contamination_check": _q_contamination_check,
+        "stream_key_upsert": _q_stream_key_upsert,
         "text_pii_redaction": _q_text_pii_redaction,
         "text_repetition": _q_text_repetition,
         "doc_chunking": _q_doc_chunking,
@@ -3501,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": _q_stream_session_windows,
         "stream_static_enrich": _q_stream_static_enrich,
         "stream_stateful_wape": _q_stream_stateful_wape,
+        "stream_stream_join": _q_stream_stream_join,
         "approx_stats_events": _q_approx_stats_events,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q12_priority_returns": _q_q12_priority_returns,
@@ -3522,6 +3525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_parts": _q_q20_excess_parts,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         # ---- below the driver's 50-row window ----
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "f4_unmatched_uids": _q_f4_unmatched_uids,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -3552,11 +3560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        "stream_stream_join": _q_stream_stream_join,
-        "seq_packing": _q_seq_packing,
-        "contamination_check": _q_contamination_check,
-        "batch_sessionize": _q_batch_sessionize,
-        "stream_key_upsert": _q_stream_key_upsert,
     }
 
 
