@@ -1633,6 +1633,82 @@ _STREAM_STREAM_JOIN_ORACLE = """
 """
 
 
+def _q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly series regularization: densify each zone's hourly
+    settlement onto a per-zone hourly spine and forward-fill gaps
+    (the events table genuinely drops hour×zone slots). Spine, join,
+    and fill all partition by zone — parallel across series, no
+    global sort."""
+    from mape_calculation_and_anonymization_spark.operators.timeseries import (
+        fill_hourly_gaps,
+    )
+
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("zone"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("settlement"))
+    )
+    return fill_hourly_gaps(hourly)
+
+
+_GAP_FILL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type AS zone, date_trunc('hour', ts) AS hour_ts,
+               ROUND(SUM(value), 4) AS settlement
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT zone, MIN(hour_ts) AS lo, MAX(hour_ts) AS hi
+        FROM hourly GROUP BY zone
+    ),
+    spine AS (
+        SELECT zone, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM span
+    ),
+    j AS (
+        SELECT s.zone, s.hour_ts, h.settlement,
+               h.settlement IS NULL AS was_gap
+        FROM spine s LEFT JOIN hourly h USING (zone, hour_ts)
+    )
+    SELECT zone, hour_ts,
+           LAST_VALUE(settlement IGNORE NULLS) OVER (
+               PARTITION BY zone ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS settlement,
+           was_gap
+    FROM j
+"""
+
+
+def _q_zone_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 inverse: melt the zone-pivoted daily WAPE table back to long
+    form with ``DataFrame.unpivot`` — (proxy_date, zone,
+    forecast_mape). Round-trips the reference's pandas
+    ``{value}_{zone}`` pivot naming; slots absent from the filtered
+    long form surface as NULL after unpivot and are dropped, restoring
+    exact long-form parity."""
+    pivoted = _q_mape_daily_zone_pivot(spark, sf_dir)
+    cols = [f"forecast_mape_{z}" for z in EVENT_ZONES]
+    return (
+        pivoted.unpivot("proxy_date", cols, "zone_col", "forecast_mape")
+        .filter(F.col("forecast_mape").isNotNull())
+        .select(
+            "proxy_date",
+            F.expr("substring(zone_col, 15)").alias("zone"),
+            "forecast_mape",
+        )
+    )
+
+
+_ZONE_UNPIVOT_ORACLE = f"""
+    SELECT proxy_date, zone, ROUND(forecast_mape, 6) AS forecast_mape
+    FROM ({_DAILY_ZONE_FILTERED_SQL})
+"""
+
+
 def _q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in BATCH via window functions (lag →
     new-session flag → running sum), the classic dual of the streaming
@@ -3560,6 +3636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
+        "gap_fill_hourly": _q_gap_fill_hourly,
+        "zone_unpivot": _q_zone_unpivot,
     }
 
 
@@ -3645,6 +3723,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_ORACLE,
         "batch_sessionize": _BATCH_SESSIONIZE_ORACLE,
         "stream_key_upsert": _STREAM_KEY_UPSERT_ORACLE,
+        "gap_fill_hourly": _GAP_FILL_ORACLE,
+        "zone_unpivot": _ZONE_UNPIVOT_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -158,3 +158,30 @@ def test_chunk_documents(spark):
     assert covered == set(text.split(" "))
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_fill_hourly_gaps_forward_fills(spark):
+    import datetime
+
+    from mape_calculation_and_anonymization_spark.operators.timeseries import (
+        fill_hourly_gaps,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + datetime.timedelta(hours=3), 4.0),  # hours 1,2 missing
+        ("b", t0 + datetime.timedelta(hours=1), 7.0),  # single point
+    ]
+    hourly = spark.createDataFrame(rows, ["zone", "hour_ts", "settlement"])
+    got = {
+        (r["zone"], r["hour_ts"].hour): (r["settlement"], r["was_gap"])
+        for r in fill_hourly_gaps(hourly, key_col="zone").collect()
+    }
+    assert got == {
+        ("a", 0): (1.0, False),
+        ("a", 1): (1.0, True),
+        ("a", 2): (1.0, True),
+        ("a", 3): (4.0, False),
+        ("b", 1): (7.0, False),
+    }
