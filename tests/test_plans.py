@@ -202,6 +202,26 @@ def test_q2_broadcasts_dims_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_q7_q9_broadcast_dims_before_fact_shuffle(spark):
+    for fn in (e._q_q7_volume_shipping, e._q_q9_product_profit):
+        df = fn(spark, SF)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        # one scan of each fact table; dims joined via broadcast
+        assert plan.count("lineitem.parquet") == 1, fn.__name__
+        assert plan.count("orders.parquet") == 1, fn.__name__
+
+
+def test_gap_fill_reuses_key_partitioning(spark):
+    # join on (zone, hour) and the fill window partition by zone:
+    # the plan must not shuffle the joined frame a second time for
+    # the window (Exchange count stays at the join+agg baseline)
+    df = e._q_gap_fill_hourly(spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) <= 4
+
+
 def test_pack_sequences_no_corpus_single_partition_window(spark):
     import re
 

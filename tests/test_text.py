@@ -112,3 +112,25 @@ def test_contamination_check_planted_overlap(spark):
     }
     assert 100 in got and got[100] >= 1
     assert 101 not in got
+
+
+def test_pack_and_contamination_empty_inputs(spark):
+    from pyspark.sql import types as T
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_check,
+        pack_sequences,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert pack_sequences(empty).count() == 0
+    some = spark.createDataFrame([(1, "hello world")], schema)
+    # empty bench → nothing is contaminated; empty train → no rows
+    assert contamination_check(some, empty).count() == 0
+    assert contamination_check(empty, some).count() == 0
