@@ -1709,6 +1709,132 @@ _ZONE_UNPIVOT_ORACLE = f"""
 """
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline keep/drop decision surface, composed end to
+    end: near-dup clusters (md5-banded LSH → verified jaccard →
+    connected components) × quality scoring, keeping each cluster's
+    highest-quality member (rounded-quality rank, doc_id tie-break).
+    Reuses the memoized cluster derivation; the quality pass is a
+    shuffle-free projection joined to the cluster map; the keep pick
+    and cluster size share ONE window partitioning."""
+    from pyspark.sql import Window
+
+    corpus, pairs = _jaccard_shared(spark, sf_dir)
+    clusters = duplicate_clusters(corpus, pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
+    )
+    scored = docs.unionByName(twins).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    joined = clusters.join(scored, on="doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("cluster").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("kept_id"),
+            "quality",
+            "n_members",
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    quality = """
+        SELECT doc_id,
+               ROUND(
+                   LEAST(length(text) / 500.0, 1.0) * 0.3
+                   + LEAST((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> list_contains({sw}, x))) AS DOUBLE)
+                       / NULLIF(len(string_split_regex(lower(trim(text)), '\\s+')), 0)) * 4.0, 1.0) * 0.2
+                   + GREATEST(1.0 - (CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                       / NULLIF(length(text), 0)) * 5.0, 0.0) * 0.3
+                   + (CASE WHEN (CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\\s+'), x -> length(x))) AS DOUBLE)
+                            / NULLIF(len(string_split_regex(lower(trim(text)), '\\s+')), 0))
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2,
+                   6
+               ) AS quality
+        FROM base
+    """.format(sw=_sw_list_sql("en"))
+    return (
+        "WITH RECURSIVE "
+        + _jaccard_ctes()
+        + f""",
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM verified
+        UNION
+        SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach AS (
+        SELECT u AS id, u AS r FROM edges
+        UNION
+        SELECT e.v AS id, rch.r AS r
+        FROM edges e JOIN reach rch ON e.u = rch.id
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    clusters AS (
+        SELECT b.doc_id, COALESCE(c.component, b.doc_id) AS cluster
+        FROM base b LEFT JOIN comp c ON c.id = b.doc_id
+    ),
+    q AS ({quality}),
+    ranked AS (
+        SELECT cl.cluster, cl.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster
+                   ORDER BY q.quality DESC, cl.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members
+        FROM clusters cl JOIN q USING (doc_id)
+    )
+    SELECT cluster, doc_id AS kept_id, quality, n_members
+    FROM ranked WHERE rn = 1
+"""
+    )
+
+
+def _q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on lineitem.l_suppkey: top-10 heavy
+    hitters with row share and count-to-mean skew ratio — the
+    measurement that decides between a plain shuffle join and the
+    salted/AQE path (`salted_join_revenue` is the remedy this
+    diagnoses the need for)."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        key_skew_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return key_skew_stats(li, "l_suppkey", top_k=10)
+
+
+_KEY_SKEW_ORACLE = """
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(n_rows) AS total, AVG(n_rows) AS mean FROM counts)
+    SELECT l_suppkey, n_rows,
+           ROUND(n_rows / total, 6) AS row_share,
+           ROUND(n_rows / mean, 4) AS skew_ratio
+    FROM counts, tot
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 10
+"""
+
+
 def _q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in BATCH via window functions (lag →
     new-session flag → running sum), the classic dual of the streaming
@@ -3638,6 +3764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_order_prices": _q_percentile_order_prices,
         "gap_fill_hourly": _q_gap_fill_hourly,
         "zone_unpivot": _q_zone_unpivot,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "key_skew_stats": _q_key_skew_stats,
     }
 
 
@@ -3725,6 +3853,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_key_upsert": _STREAM_KEY_UPSERT_ORACLE,
         "gap_fill_hourly": _GAP_FILL_ORACLE,
         "zone_unpivot": _ZONE_UNPIVOT_ORACLE,
+        "dedup_keep_best": _keep_best_oracle(),
+        "key_skew_stats": _KEY_SKEW_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -153,3 +153,30 @@ def salted_aggregate(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
     return phase1.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnostics for a join/aggregation key: the
+    ``top_k`` most frequent keys with their row share and the ratio of
+    each key's count to the mean per-key count — the number that tells
+    you whether a plain shuffle join is safe or needs salting/AQE skew
+    handling. One hash aggregate + a broadcast 1-row global stats
+    frame; the top-k plans as TakeOrderedAndProject."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.avg("n_rows").alias("_mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+            F.round(F.col("n_rows") / F.col("_mean"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), key_col)
+        .limit(top_k)
+    )
