@@ -3681,10 +3681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_daily_portfolio": _q_mape_daily_portfolio,
         "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
         "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
-        "x3_perturb_values": _q_x3_perturb_values,
-        "x4_label_anonymization": _q_x4_label_anonymization,
-        "j1_key_join": _q_j1_key_join,
-        "u1_union_dedup": _q_u1_union_dedup,
+        "gap_fill_hourly": _q_gap_fill_hourly,
+        "zone_unpivot": _q_zone_unpivot,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "key_skew_stats": _q_key_skew_stats,
         "x6_stamp_metadata": _q_x6_stamp_metadata,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
         "k2_excel_sheets": _q_k2_excel_sheets,
@@ -3727,6 +3727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_parts": _q_q20_excess_parts,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         # ---- below the driver's 50-row window ----
+        "x3_perturb_values": _q_x3_perturb_values,
+        "x4_label_anonymization": _q_x4_label_anonymization,
+        "j1_key_join": _q_j1_key_join,
+        "u1_union_dedup": _q_u1_union_dedup,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -3762,10 +3766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        "gap_fill_hourly": _q_gap_fill_hourly,
-        "zone_unpivot": _q_zone_unpivot,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "key_skew_stats": _q_key_skew_stats,
     }
 
 
