@@ -1807,6 +1807,111 @@ def _keep_best_oracle() -> str:
     )
 
 
+def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline composed end to end: language
+    gate (en) → quality gate (≥ 0.4) → repetition gate (rep3 < 0.2) →
+    exact dedup (keep min id per identical text, null-safe) → sequence
+    packing (512-token budget). Every stage is the already-verified
+    operator; the value here is proving they COMPOSE as one lazy plan:
+    the gates fuse into the scan projection, dedup is one hash
+    aggregate + null-safe semi join, and packing's prefix sum runs
+    sharded. The oracle re-derives the identical five stages in SQL."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import exact_dedup
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        ngram_repetition_stats,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = docs.filter(
+        (language_id("text") == "en")
+        & (F.round(quality_score("text"), 6) >= 0.4)
+    )
+    rep_ok = ngram_repetition_stats(gated, "doc_id", "text", 3).filter(
+        F.round("rep3", 6) < 0.2
+    )
+    survivors = gated.join(rep_ok.select("doc_id"), on="doc_id")
+    unique = exact_dedup(survivors, ["text"], "doc_id")
+    return pack_sequences(unique, budget=512, shard_size=256)
+
+
+def _training_pipeline_oracle() -> str:
+    lang_sql = _lang_id_oracle()
+    return rf"""
+    WITH lang AS ({lang_sql}),
+    qual AS (
+        SELECT doc_id,
+               ROUND(
+                   LEAST(length(text) / 500.0, 1.0) * 0.3
+                   + LEAST((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> list_contains({_sw_list_sql('en')}, x))) AS DOUBLE)
+                       / NULLIF(len(string_split_regex(lower(trim(text)), '\s+')), 0)) * 4.0, 1.0) * 0.2
+                   + GREATEST(1.0 - (CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                       / NULLIF(length(text), 0)) * 5.0, 0.0) * 0.3
+                   + (CASE WHEN (CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+                            / NULLIF(len(string_split_regex(lower(trim(text)), '\s+')), 0))
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2,
+                   6
+               ) AS quality
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id,
+               CASE WHEN grams IS NULL THEN 0.0
+                    ELSE ROUND(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / len(grams), 6)
+               END AS rep3
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) - 2 <= 0 THEN NULL
+                        ELSE list_transform(
+                            range(0, len(toks) - 2),
+                            i -> array_to_string(toks[i+1:i+3], ' ')
+                        )
+                   END AS grams
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents
+            )
+        )
+    ),
+    surv AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN lang USING (doc_id)
+        JOIN qual USING (doc_id)
+        JOIN rep USING (doc_id)
+        WHERE lang.lang_pred = 'en' AND qual.quality >= 0.4 AND rep.rep3 < 0.2
+    ),
+    uniq AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+            FROM surv
+        ) WHERE doc_id = keep_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        FROM uniq
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_off
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start_off / 512.0) AS BIGINT) AS seq_id
+    FROM c
+"""
+
+
 def _q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics on lineitem.l_suppkey: top-10 heavy
     hitters with row share and count-to-mean skew ratio — the
@@ -3766,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
+        "training_pipeline": _q_training_pipeline,
     }
 
 
@@ -3855,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_unpivot": _ZONE_UNPIVOT_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),
         "key_skew_stats": _KEY_SKEW_ORACLE,
+        "training_pipeline": _training_pipeline_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
