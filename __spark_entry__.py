@@ -1596,6 +1596,43 @@ _STREAM_ENRICH_ORACLE = (
 )
 
 
+def _q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window, 1h slide) streaming counts/volume per
+    event type: every event contributes to exactly two hourly-aligned
+    windows, which is precisely what the oracle re-derives by
+    unnesting the two window starts per event."""
+    from mape_calculation_and_anonymization_spark.streaming import (
+        sliding_event_counts,
+    )
+
+    out = run_stream_to_memory(
+        sliding_event_counts(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("volume", 4).alias("volume"),
+    )
+
+
+_STREAM_SLIDING_ORACLE = """
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS volume
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                   AS window_start,
+               event_type, value
+        FROM events
+    )
+    GROUP BY window_start, event_type
+"""
+
+
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: every purchase paired with
     the SAME user's click events from the preceding hour. Two
@@ -3872,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
         "training_pipeline": _q_training_pipeline,
+        "stream_sliding_counts": _q_stream_sliding_counts,
     }
 
 
@@ -3962,6 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_oracle(),
         "key_skew_stats": _KEY_SKEW_ORACLE,
         "training_pipeline": _training_pipeline_oracle(),
+        "stream_sliding_counts": _STREAM_SLIDING_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
