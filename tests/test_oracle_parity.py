@@ -28,3 +28,17 @@ def test_every_query_runs(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_contract():
+    """The driver checks the FIRST 50 registry entries: every one must
+    be oracle-backed (a rows-only entry inside the window wastes a
+    correctness slot), names must be unique, and every oracle key must
+    resolve to a registered query."""
+    names = list(_QUERIES)
+    assert len(names) == len(set(names))
+    window = names[:50]
+    missing = [n for n in window if n not in _ORACLES]
+    assert not missing, f"window entries without oracle: {missing}"
+    dangling = [n for n in _ORACLES if n not in _QUERIES]
+    assert not dangling, f"oracles without queries: {dangling}"
