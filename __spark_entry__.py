@@ -1281,14 +1281,19 @@ def _k2_workbook_path(sf_dir: str) -> str:
     return f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/mape_report.xlsx"
 
 
-# The driver runs every oracle at sf0.01; the oracles read the
-# engine-written fixture for that scale factor.
+# The driver contract (brief + TESTDATA.md) runs every oracle at
+# sf0.01. _ORACLE_SF_DIR is the single place that assumption lives;
+# tests/test_oracle_parity.py pins it so a contract change can't be
+# absorbed silently. Only K2 still reads an engine-written fixture —
+# K1's oracle reads the SOURCE table, which both removes the sf
+# coupling and is the stronger check (a corrupting sink would feed a
+# fixture-reading oracle the same corrupted bytes it fed Spark).
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
-_K1_ORACLE = f"""
+_K1_ORACLE = """
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
            ROUND(SUM(s_acctbal), 2) AS total_acctbal
-    FROM read_parquet('{_k1_fixture_path(_ORACLE_SF_DIR)}/*.parquet')
+    FROM supplier
     GROUP BY s_nationkey
 """
 
@@ -2042,6 +2047,7 @@ def _q_stream_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-anchor unit test (DuckDB has no blake2b); the oracle checks
     the uid set the stream discovered."""
     import os
+    import shutil
 
     from mape_calculation_and_anonymization_spark.operators.keys import (
         key_table_path,
@@ -2052,10 +2058,25 @@ def _q_stream_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key_dir = f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/stream_key"
-    if not os.path.exists(key_table_path(key_dir, "user_id")):
-        stream_key_table_upsert(
-            read_events_stream(spark, sf_dir), key_dir, col="user_id"
-        )
+    # Guard on a completion marker, not mere table existence: foreachBatch
+    # commits the key table per micro-batch, so a timed-out/interrupted
+    # ingest leaves a PARTIAL table behind. Without the marker every later
+    # run (including the driver's) would skip ingestion and return an
+    # incomplete uid set with no hint the fixture is stale.
+    done_marker = os.path.join(key_dir, "_INGEST_COMPLETE")
+    if not os.path.exists(done_marker):
+        table_path = key_table_path(key_dir, "user_id")
+        shutil.rmtree(table_path, ignore_errors=True)
+        try:
+            stream_key_table_upsert(
+                read_events_stream(spark, sf_dir), key_dir, col="user_id"
+            )
+        except BaseException:
+            shutil.rmtree(table_path, ignore_errors=True)
+            raise
+        os.makedirs(key_dir, exist_ok=True)
+        with open(done_marker, "w") as fh:
+            fh.write("ok\n")
     return (
         load_key_table(spark, key_dir, "user_id")
         .select("user_id")
@@ -3003,10 +3024,10 @@ def _q_q12_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag
 """
@@ -3805,70 +3826,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy: the driver's correctness harness checks the FIRST
-    # 50 entries, so the window is reserved for (a) the flagship MAPE /
-    # anonymization pipeline, (b) every oracle-backed query that has not
-    # yet accumulated driver-verified rows (round-4 additions: TPC-H
-    # Q2/Q6-Q11/Q15/Q20/Q21, stream_stream_join, seq_packing,
-    # contamination_check, batch_sessionize, stream_key_upsert), and
-    # (c) queries whose semantics changed this round (approx_stats) or
-    # regressed last round (the streaming set). Entries after slot 50
-    # are either rows-only by design (no DuckDB oracle:
-    # x5/minhash/simhash/embedding/multimodal_features) or carry 3
-    # green driver rounds already and stay re-verified locally by
+    # Ordering policy (round 5): the driver's correctness harness checks
+    # the FIRST 50 entries, so the window holds, in priority order:
+    # (a) queries with NO green driver row yet — q12 (round-4 red,
+    #     oracle HUGEINT cast fixed), training_pipeline and
+    #     stream_sliding_counts (added last in r4, below the window);
+    # (b) every oracle-backed query whose last green row is round 3 —
+    #     the rotation-hygiene rule is that no oracle-backed query goes
+    #     more than two rounds without a driver row, so all 34 of these
+    #     refresh now and the round-4-green set (TPC-H, mape_*, most
+    #     streaming) sits out one round;
+    # (c) queries whose implementation changes this round
+    #     (stream_session_windows perf fix, stream_key_upsert atomic
+    #     promote, k1/k2 sink-oracle sf handling, dedup_clusters
+    #     iteration guard);
+    # (d) round-5 additions (new queries always debut inside the
+    #     window).
+    # Entries after slot 50 are rows-only by design (no DuckDB oracle:
+    # x5/minhash/simhash/embedding/multimodal_features) or carry a
+    # round-4 green row and stay verified locally by
     # tests/test_oracle_parity.py each run.
     return {
-        "mape_hourly_portfolio": _q_mape_hourly_portfolio,
-        "mape_hourly_zone": _q_mape_hourly_zone,
-        "mape_daily_portfolio": _q_mape_daily_portfolio,
-        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
-        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
-        "gap_fill_hourly": _q_gap_fill_hourly,
-        "zone_unpivot": _q_zone_unpivot,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "key_skew_stats": _q_key_skew_stats,
-        "x6_stamp_metadata": _q_x6_stamp_metadata,
+        # (a) no driver row yet
+        "q12_priority_returns": _q_q12_priority_returns,
+        "training_pipeline": _q_training_pipeline,
+        "stream_sliding_counts": _q_stream_sliding_counts,
+        # (c) implementation changes this round
+        "stream_session_windows": _q_stream_session_windows,
+        "stream_key_upsert": _q_stream_key_upsert,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
         "k2_excel_sheets": _q_k2_excel_sheets,
-        "salted_join_revenue": _q_salted_join_revenue,
-        "bucketed_join_orders": _q_bucketed_join_orders,
         "dedup_clusters": _q_dedup_clusters,
-        "batch_sessionize": _q_batch_sessionize,
-        "seq_packing": _q_seq_packing,
-        "contamination_check": _q_contamination_check,
-        "stream_key_upsert": _q_stream_key_upsert,
-        "text_pii_redaction": _q_text_pii_redaction,
-        "text_repetition": _q_text_repetition,
-        "doc_chunking": _q_doc_chunking,
-        "sample_stratified_docs": _q_sample_stratified_docs,
-        "vocab_top_terms": _q_vocab_top_terms,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "stream_hourly_wape": _q_stream_hourly_wape,
-        "stream_session_windows": _q_stream_session_windows,
-        "stream_static_enrich": _q_stream_static_enrich,
-        "stream_stateful_wape": _q_stream_stateful_wape,
-        "stream_stream_join": _q_stream_stream_join,
-        "approx_stats_events": _q_approx_stats_events,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q12_priority_returns": _q_q12_priority_returns,
-        "q14_promo_revenue": _q_q14_promo_revenue,
-        "q16_supplier_variety": _q_q16_supplier_variety,
-        "q18_large_volume_customers": _q_q18_large_volume_customers,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q22_idle_balances": _q_q22_idle_balances,
-        "rank_window_top_parts": _q_rank_window_top_parts,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "q10_returned_items": _q_q10_returned_items,
-        "q11_important_parts": _q_q11_important_parts,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q20_excess_parts": _q_q20_excess_parts,
-        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
-        # ---- below the driver's 50-row window ----
+        # (b) last green row = round 3 — refresh all 34
         "x3_perturb_values": _q_x3_perturb_values,
         "x4_label_anonymization": _q_x4_label_anonymization,
         "j1_key_join": _q_j1_key_join,
@@ -3878,11 +3867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "f4_unmatched_uids": _q_f4_unmatched_uids,
-        "x5_uid_pseudonym": _q_x5_uid_pseudonym,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "multimodal_features": _q_multimodal_features,
         "multimodal_metadata": _q_multimodal_metadata,
         "multimodal_frames": _q_multimodal_frames,
         "text_token_stats": _q_text_token_stats,
@@ -3908,8 +3892,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        "training_pipeline": _q_training_pipeline,
-        "stream_sliding_counts": _q_stream_sliding_counts,
+        # (d) round-5 additions land here, displacing the fillers below
+        # --- fillers: round-4-green, displaced first by new queries ---
+        "seq_packing": _q_seq_packing,
+        "contamination_check": _q_contamination_check,
+        "batch_sessionize": _q_batch_sessionize,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_pii_redaction": _q_text_pii_redaction,
+        "text_repetition": _q_text_repetition,
+        "doc_chunking": _q_doc_chunking,
+        # ---- below the driver's 50-row window (all round-4 green or
+        # ---- rows-only by design) ----
+        "mape_hourly_portfolio": _q_mape_hourly_portfolio,
+        "mape_hourly_zone": _q_mape_hourly_zone,
+        "mape_daily_portfolio": _q_mape_daily_portfolio,
+        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
+        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
+        "gap_fill_hourly": _q_gap_fill_hourly,
+        "zone_unpivot": _q_zone_unpivot,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "key_skew_stats": _q_key_skew_stats,
+        "x6_stamp_metadata": _q_x6_stamp_metadata,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "bucketed_join_orders": _q_bucketed_join_orders,
+        "sample_stratified_docs": _q_sample_stratified_docs,
+        "stream_hourly_wape": _q_stream_hourly_wape,
+        "stream_static_enrich": _q_stream_static_enrich,
+        "stream_stateful_wape": _q_stream_stateful_wape,
+        "stream_stream_join": _q_stream_stream_join,
+        "approx_stats_events": _q_approx_stats_events,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q16_supplier_variety": _q_q16_supplier_variety,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q22_idle_balances": _q_q22_idle_balances,
+        "rank_window_top_parts": _q_rank_window_top_parts,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q11_important_parts": _q_q11_important_parts,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_excess_parts": _q_q20_excess_parts,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "x5_uid_pseudonym": _q_x5_uid_pseudonym,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_features": _q_multimodal_features,
     }
 
 

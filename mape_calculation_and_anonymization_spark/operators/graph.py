@@ -40,6 +40,11 @@ def connected_components(
     back to the full node set with a coalesce-to-self default).
     Deterministic: pure min-aggregation, no RNG, no ordering reliance.
     """
+    if max_iterations < 1:
+        # A zero/negative budget would skip the loop and silently return
+        # the initial self-labels — exactly the wrong-labels outcome the
+        # non-convergence guard below exists to prevent.
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     # Materialize the symmetrized edge list ONCE: every iteration joins
     # against it, and without this the upstream edge-derivation plan
     # (often an expensive LSH pipeline) would re-execute per round.

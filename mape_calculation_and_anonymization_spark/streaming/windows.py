@@ -141,9 +141,14 @@ def stream_stream_interval_join(
     Both sides carry a watermark AND the join condition bounds the
     event-time distance, so Spark can evict join state once the
     watermark passes — state is O(events inside the interval window),
-    not O(stream history). Under Trigger.AvailableNow the whole input
-    is one logical batch, so results equal the equivalent batch join
-    (the DuckDB oracle) exactly."""
+    not O(stream history). Batch equivalence (the DuckDB oracle)
+    relies on Trigger.AvailableNow draining the source WITHOUT rate
+    limits: with no maxFilesPerTrigger/maxBytesPerTrigger the file
+    source delivers everything in one micro-batch and no match can be
+    dropped by watermark advancement between batches. Callers MUST NOT
+    set source read limits on these streams; with rate limits the join
+    is still correct streaming-wise but only watermark-complete, not
+    batch-identical."""
     l = left.withWatermark("ts", watermark).select(
         F.col("event_id").alias("l_id"),
         F.col(on).alias("l_key"),

@@ -43,6 +43,15 @@ def rows_to_canonical(columns, rows):
     return sorted(canon, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+# DuckDB result types Spark can never emit: the driver's value hash is
+# type-sensitive, so an oracle producing one of these diverges even when
+# the values are byte-identical (round-4 q12: SUM(CASE...) -> HUGEINT vs
+# Spark bigint). Cast to BIGINT/DOUBLE in the oracle SQL instead.
+_UNHASHABLE_DUCK_TYPES = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+}
+
+
 def compare_query(spark, sf_dir: str, query_fn, sql: str):
     """Returns (ok, message). Mirrors the driver's check semantics."""
     sdf = query_fn(spark, sf_dir)
@@ -50,9 +59,18 @@ def compare_query(spark, sf_dir: str, query_fn, sql: str):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_types = [str(t) for t in rel.types]
+    bad = [f"{c}:{t}" for c, t in zip(d_cols, d_types)
+           if any(u in t.upper() for u in _UNHASHABLE_DUCK_TYPES)]
+    if bad:
+        return False, (
+            f"oracle emits Spark-unrepresentable type(s) {bad} — the driver's "
+            "type-sensitive hash will mismatch even on equal values; "
+            "CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+        )
+    d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"

@@ -30,6 +30,33 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_oracle_sf_contract():
+    """The driver evaluates oracles at sf0.01 only (brief contract).
+    _ORACLE_SF_DIR is the one place that assumption is baked into SQL;
+    pin it, and pin that K2 is the ONLY oracle reading an
+    engine-written /tmp fixture (its path derived from that sf) — any
+    new fixture-reading oracle must consciously join this contract."""
+    assert entrymod._ORACLE_SF_DIR == SF_DIR
+    # Fixture-reading oracles fall into two safe classes:
+    #  - sf-independent path read by BOTH sides (s1/s3) — compare can
+    #    never diverge regardless of the sf the fixture was written at;
+    #  - sf-keyed path bound to _ORACLE_SF_DIR (k2) — safe exactly
+    #    because the driver contract pins oracle runs to that sf.
+    allowed = {
+        "s1_csv_scan": entrymod._CSV_FIXTURE,
+        "s3_latest_partition": entrymod._PARTITIONED_FIXTURE,
+        "k2_excel_sheets": entrymod._k2_workbook_path(entrymod._ORACLE_SF_DIR),
+    }
+    for name, sql in _ORACLES.items():
+        if name in allowed:
+            assert allowed[name] in sql, name
+        else:
+            assert "/tmp/" not in sql, (
+                f"{name} reads a /tmp fixture — bind it to _ORACLE_SF_DIR "
+                "and extend test_oracle_sf_contract"
+            )
+
+
 def test_driver_window_contract():
     """The driver checks the FIRST 50 registry entries: every one must
     be oracle-backed (a rows-only entry inside the window wastes a
