@@ -3815,6 +3815,292 @@ _Q21_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: aggregate/window families + LLM-corpus operators
+# ---------------------------------------------------------------------------
+
+
+def _q_argmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY/ARG_MAX aggregate family: for every user, the event type
+    and value of their single highest-value event. Ties broken
+    deterministically by ordering on struct(value, event_id) — max_by
+    with a composite orderable key, one hash aggregate, no window over
+    the fact table. The oracle re-derives via ROW_NUMBER (DuckDB's
+    arg_max tie-break is unspecified, so the SQL twin uses the
+    deterministic formulation)."""
+    events = load_events(spark, sf_dir)
+    top = events.groupBy("user_id").agg(
+        F.expr(
+            "max_by(named_struct('et', event_type, 'v', value),"
+            " struct(value, event_id))"
+        ).alias("_top")
+    )
+    return top.select(
+        "user_id",
+        F.col("_top.et").alias("top_event_type"),
+        F.round(F.col("_top.v"), 6).alias("top_value"),
+    )
+
+
+_ARGMAX_ORACLE = """
+    WITH r AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type AS top_event_type,
+           ROUND(value, 6) AS top_value
+    FROM r WHERE rn = 1
+"""
+
+
+def _q_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-record dedup: one row per (user_id, event_type) — the
+    newest by (ts, event_id). The change-capture compaction every
+    incremental ingest needs; ROW_NUMBER over the key partition, shuffle
+    on the key only (at 100 TB the partition is per-key and tiny; no
+    global sort). Ties on ts broken by event_id so both engines pick
+    the same row."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.round("value", 6).alias("latest_value"),
+        )
+    )
+
+
+_CDC_LATEST_ORACLE = """
+    WITH r AS (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY make_timestamp(epoch_ns(ts) // 1000) DESC,
+                            event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           ROUND(value, 6) AS latest_value
+    FROM r WHERE rn = 1
+"""
+
+
+def _q_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation over per-user volume: which tenth of
+    users carries how much volume. The global window runs over the
+    AGGREGATED user dimension (one row per user), never the fact
+    table — the pre-aggregate is the scale move; deciles over a dim
+    are inherently a global sort of dim-sized data. Deterministic
+    order: (volume DESC, user_id)."""
+    from pyspark.sql import Window
+
+    events = load_events(spark, sf_dir)
+    per_user = events.groupBy("user_id").agg(F.sum("value").alias("_vol"))
+    w = Window.orderBy(F.col("_vol").desc(), F.col("user_id"))
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("_vol"), 4).alias("volume"),
+        )
+    )
+
+
+_DECILE_ORACLE = """
+    WITH rev AS (
+        SELECT user_id, SUM(value) AS v FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT *, NTILE(10) OVER (ORDER BY v DESC, user_id) AS decile
+        FROM rev
+    )
+    SELECT decile, COUNT(*) AS n_users, ROUND(SUM(v), 4) AS volume
+    FROM d GROUP BY decile
+"""
+
+
+def _q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence construction (training-example assembly):
+    per user, the time-ordered array of their first 10 event types.
+    collect_list is made deterministic by collecting (ts, event_id,
+    event_type) structs and sort_array-ing — struct order = field
+    order, so ties on ts resolve by event_id identically in both
+    engines. One hash aggregate; per-user state is the user's own
+    events (bounded by the slice in real pipelines via pre-filter)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                10,
+            ).alias("event_seq")
+        )
+        .select("user_id", "event_seq", F.size("event_seq").alias("seq_len"))
+    )
+
+
+_USER_SEQ_ORACLE = """
+    SELECT user_id,
+           (list(event_type ORDER BY make_timestamp(epoch_ns(ts) // 1000),
+                 event_id))[:10] AS event_seq,
+           CAST(least(COUNT(*), 10) AS INTEGER) AS seq_len
+    FROM events
+    GROUP BY user_id
+"""
+
+
+def _q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: documents identical after
+    lowercase + punctuation/whitespace collapse (the cheap canonical
+    form that catches reformatted copies exact dedup misses). Groups
+    keyed by md5(norm) — the hash, not the normalized body, is what
+    shuffles; same keep-min-id representative rule as
+    dedup_exact_groups."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_NORM_DEDUP_ORACLE = """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+"""
+
+
+def _q_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency: top-50 adjacent word pairs. Explode +
+    hash aggregate with map-side combine; TakeOrderedAndProject caps
+    the result — the corpus-dashboard staple next to vocab_top_terms
+    (unigrams)."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        word_bigrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(word_bigrams("text")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH tok AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+        SELECT lower(w[i]) || ' ' || lower(w[i + 1]) AS bigram
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+"""
+
+
+def _q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: 200-char buckets per language —
+    the sanity plot behind every length-filter threshold choice. Pure
+    integer bucketing inside the scan projection, one hash
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.withColumn(
+            "bucket", F.floor(F.col("n_chars") / F.lit(200)).cast("long")
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_LENGTH_HIST_ORACLE = """
+    SELECT lang, n_chars // 200 AS bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+def _q_median_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated corpus filter: per language, how many documents
+    sit at or above that language's median length. The median is exact
+    (PERCENTILE_CONT interpolation) over INTEGER n_chars so both
+    engines derive bit-identical thresholds from identical inputs — a
+    computed-double metric would make the >= boundary engine-dependent.
+    Median side is language-dimension-sized and broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("_med")
+    )
+    return (
+        docs.join(F.broadcast(med), on="lang")
+        .filter(F.col("n_chars") >= F.col("_med"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars_above"),
+        )
+    )
+
+
+_MEDIAN_FILTER_ORACLE = """
+    WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS m
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_above,
+           ROUND(AVG(n_chars), 4) AS avg_chars_above
+    FROM documents d JOIN med USING (lang)
+    WHERE d.n_chars >= m
+    GROUP BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3892,8 +4178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        # (d) round-5 additions land here, displacing the fillers below
-        # --- fillers: round-4-green, displaced first by new queries ---
+        # (d) round-5 additions
+        "argmax_user_events": _q_argmax_user_events,
+        "cdc_latest_events": _q_cdc_latest_events,
+        "decile_revenue_share": _q_decile_revenue_share,
+        "user_event_sequences": _q_user_event_sequences,
+        "normalized_dedup_groups": _q_normalized_dedup_groups,
+        "bigram_top_terms": _q_bigram_top_terms,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "median_length_filter": _q_median_length_filter,
+        # ---- below the driver's 50-row window (all round-4 green or
+        # ---- rows-only by design) ----
         "seq_packing": _q_seq_packing,
         "contamination_check": _q_contamination_check,
         "batch_sessionize": _q_batch_sessionize,
@@ -3902,8 +4197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": _q_text_pii_redaction,
         "text_repetition": _q_text_repetition,
         "doc_chunking": _q_doc_chunking,
-        # ---- below the driver's 50-row window (all round-4 green or
-        # ---- rows-only by design) ----
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,
         "mape_hourly_zone": _q_mape_hourly_zone,
         "mape_daily_portfolio": _q_mape_daily_portfolio,
@@ -4036,6 +4329,14 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_stats": _KEY_SKEW_ORACLE,
         "training_pipeline": _training_pipeline_oracle(),
         "stream_sliding_counts": _STREAM_SLIDING_ORACLE,
+        "argmax_user_events": _ARGMAX_ORACLE,
+        "cdc_latest_events": _CDC_LATEST_ORACLE,
+        "decile_revenue_share": _DECILE_ORACLE,
+        "user_event_sequences": _USER_SEQ_ORACLE,
+        "normalized_dedup_groups": _NORM_DEDUP_ORACLE,
+        "bigram_top_terms": _BIGRAM_ORACLE,
+        "doc_length_histogram": _LENGTH_HIST_ORACLE,
+        "median_length_filter": _MEDIAN_FILTER_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

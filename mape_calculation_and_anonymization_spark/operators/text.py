@@ -343,3 +343,34 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.countDistinct("_shingle").alias("n_shared_shingles"))
     )
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    every non-alphanumeric run collapsed to one space, trimmed. Two
+    documents differing only in case, punctuation, or whitespace
+    layout normalize to identical strings. Pure column expression
+    (codegen), identical semantics in ANSI SQL via
+    ``regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def word_bigrams(col: str | Column) -> Column:
+    """Adjacent lowercase word pairs ("a b") as an array — the n=2
+    slice of the n-gram family, kept as a dedicated helper because
+    bigram frequency is the workhorse of corpus-quality dashboards.
+    Documents with fewer than two tokens yield an empty array (the
+    sequence() guard matters: Spark's sequence(1, 0) counts DOWN, it
+    is not empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(F.trim(c), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(
+            F.lower(F.element_at(w, i)), F.lit(" "), F.lower(F.element_at(w, i + 1))
+        ),
+    )
+    return F.when(
+        (F.trim(c) == "") | (F.size(w) < 2), F.array().cast("array<string>")
+    ).otherwise(pairs)

@@ -258,3 +258,38 @@ def test_tfidf_broadcasts_bounded_tf_side(spark):
     # and the doc_id slice must reach the build side's parquet scan
     assert "LessThan(doc_id,50)" in plan
     assert "WindowGroupLimit" in plan  # rank<=3 reaches the window sort
+
+
+def test_cdc_latest_prunes_map_side(spark):
+    # ROW_NUMBER()=1 per key must plan as WindowGroupLimit with a
+    # Partial phase BEFORE the exchange: each map task keeps one row
+    # per key, so the shuffle carries ~|keys| rows, not the fact table
+    df = e._q_cdc_latest_events(spark, SF)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_bigram_top_terms_take_ordered(spark):
+    df = e._q_bigram_top_terms(spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # only the text column may reach the documents scan
+    assert read_schema_columns(df, "documents.parquet") == ["text"]
+
+
+def test_median_filter_broadcasts_median_side(spark):
+    df = e._q_median_length_filter(spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_decile_single_partition_only_post_aggregate(spark):
+    # NTILE needs a global sort — but only over the per-user AGGREGATE
+    # (dim-sized). Exactly one SinglePartition exchange, and the
+    # per-user sum must shuffle hash-partitioned first.
+    import re
+
+    df = e._q_decile_revenue_share(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Exchange SinglePartition") == 1
+    assert re.search(r"Exchange hashpartitioning\(user_id", plan)
