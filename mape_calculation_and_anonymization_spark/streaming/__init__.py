@@ -5,6 +5,7 @@ from mape_calculation_and_anonymization_spark.streaming.upsert import (
 from mape_calculation_and_anonymization_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
+    run_stream_to_parquet,
     sliding_event_counts,
     stateful_distinct_users,
     stream_stream_interval_join,
@@ -15,6 +16,7 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
     "streaming_hourly_wape",
     "sliding_event_counts",
     "stream_stream_interval_join",

@@ -221,6 +221,53 @@ def run_stream_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Drain a (stateless or append-emitting) streaming DataFrame into
+    a parquet file sink with Trigger.AvailableNow — the
+    stream-to-lake ingestion half of the lambda-free pattern: land
+    micro-batches as parquet, run every analytic as a batch query over
+    the landed files. The file sink's _spark_metadata transaction log
+    gives exactly-once file commits, so a completed run lands every
+    input row exactly once regardless of micro-batch boundaries.
+    Raises TimeoutError on an unfinished run (partially-landed files
+    are the caller's cue to discard the directory)."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="parquet_sink_ckpt_"),
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        raise TimeoutError(
+            f"parquet-sink stream into {out_dir!r} did not finish "
+            f"within {timeout_s}s"
+        )
+
+
 def stream_static_enrich(
     events: DataFrame,
     dim: DataFrame,
