@@ -36,6 +36,19 @@ def main() -> None:
     # first query's timing isn't session bootstrap
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # first-touch the fact/corpus tables through the engine reader:
+    # footer parsing, schema adaptation (nanos ts probe), and file
+    # listing otherwise land entirely on whichever query the registry
+    # happens to order first, skewing its per-query number
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+
+    for t in ("events", "documents", "lineitem", "orders", "embeddings"):
+        load_table(spark, SF_DIR, t).count()
+    # ... and the noop sink + broadcast-join machinery (ServiceLoader
+    # scan and broadcast thread pool init are one-time session costs)
+    warm = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    warm.join(F.broadcast(spark.range(100).withColumnRenamed("id", "k")), "k") \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
