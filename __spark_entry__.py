@@ -4025,8 +4025,8 @@ def _q_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_DEDUP_ORACLE = """
-    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+_NORM_DEDUP_ORACLE = r"""
+    SELECT md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')))
                AS norm_hash,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS keep_id

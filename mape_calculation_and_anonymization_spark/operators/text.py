@@ -347,13 +347,15 @@ def contamination_check(
 
 def normalize_text(col: str | Column) -> Column:
     """Canonical text form for normalization-aware dedup: lowercase,
-    every non-alphanumeric run collapsed to one space, trimmed. Two
-    documents differing only in case, punctuation, or whitespace
-    layout normalize to identical strings. Pure column expression
-    (codegen), identical semantics in ANSI SQL via
-    ``regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')``."""
+    every run of non-letter/non-digit characters collapsed to one
+    space, trimmed. Two documents differing only in case, punctuation,
+    or whitespace layout normalize to identical strings. The character
+    classes are UNICODE (\\p{L}\\p{N}, supported identically by Java
+    regex and RE2): an ASCII-only class would delete every CJK/accented
+    character and collapse whole non-Latin corpora into one giant
+    false "duplicate" group. Pure column expression (codegen)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]+", " "))
 
 
 def word_bigrams(col: str | Column) -> Column:

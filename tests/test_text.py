@@ -134,3 +134,35 @@ def test_pack_and_contamination_empty_inputs(spark):
     # empty bench → nothing is contaminated; empty train → no rows
     assert contamination_check(some, empty).count() == 0
     assert contamination_check(empty, some).count() == 0
+
+
+def test_normalize_text_canonical_forms(spark):
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        normalize_text,
+    )
+
+    n = lambda t: _one(spark, t, normalize_text("text"))  # noqa: E731
+    # case / punctuation / whitespace-layout variants converge
+    assert n("Hello,   World!") == n("hello world") == "hello world"
+    assert n("a-b_c") == "a b c"
+    assert n("") == ""
+    assert n("!!!") == ""
+    # CJK and accented text SURVIVES normalization — an ASCII-only
+    # class would collapse whole non-Latin corpora into one giant
+    # false duplicate group
+    assert n("你好，世界！") == "你好 世界"
+    assert n("Café   déjà-vu") == "café déjà vu"
+    assert n("数字123与abc") == "数字123与abc"
+
+
+def test_word_bigrams_edges(spark):
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        word_bigrams,
+    )
+
+    b = lambda t: _one(spark, t, word_bigrams("text"))  # noqa: E731
+    assert b("The cat  sat down") == ["the cat", "cat sat", "sat down"]
+    assert b("solo") == []
+    assert b("") == []
+    assert b("   ") == []
+    assert b("A B") == ["a b"]
