@@ -1905,8 +1905,20 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_ok = ngram_repetition_stats(gated, "doc_id", "text", 3).filter(
         F.round("rep3", 6) < 0.2
     )
-    survivors = gated.join(rep_ok.select("doc_id"), on="doc_id")
-    unique = exact_dedup(survivors, ["text"], "doc_id")
+    # MATERIALIZE stage boundaries: without them, dedup's two consumers
+    # × packing's three (local cumsum window, per-shard totals, final
+    # join) each re-derive the whole upstream subtree — measured 12
+    # documents scans in one lazy plan, every one re-evaluating the
+    # interpreted language/quality HOF gates. Landing each stage's
+    # survivor set (here lineage-truncated in memory; in production, a
+    # lake table per stage) is the honest pipeline shape: gates run
+    # once, dedup runs once, packing reads a materialized input.
+    survivors = gated.join(rep_ok.select("doc_id"), on="doc_id").localCheckpoint(
+        eager=True
+    )
+    unique = exact_dedup(survivors, ["text"], "doc_id").localCheckpoint(
+        eager=True
+    )
     return pack_sequences(unique, budget=512, shard_size=256)
 
 
