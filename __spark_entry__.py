@@ -486,6 +486,12 @@ _DEDUP_EXACT_ORACLE = """
 _JACCARD_BANDS = 4
 _JACCARD_ROWS_PER_BAND = 2
 _JACCARD_THRESHOLD = 0.5
+# Bucket-size guard shared by the Spark derivation AND the DuckDB
+# oracle — both must drop the same oversized band buckets or the
+# candidate sets diverge. Inert at test scale (max observed bucket at
+# sf0.1 is 168); binds against quadratic pair expansion at corpus
+# scale.
+_JACCARD_MAX_BUCKET = 1000
 
 
 def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +547,7 @@ def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
         group_cols=["lang", "source"],
         bands=_JACCARD_BANDS,
         rows_per_band=_JACCARD_ROWS_PER_BAND,
+        max_bucket_size=_JACCARD_MAX_BUCKET,
     ).select("id_a", "id_b")
     a = corpus.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = corpus.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -600,10 +607,19 @@ def _jaccard_ctes() -> str:
     bands AS (
 {band_selects}
     ),
+    bands_ok AS (
+        SELECT * FROM bands
+        WHERE (lang, source, band_idx, band_key) IN (
+            SELECT (lang, source, band_idx, band_key)
+            FROM bands
+            GROUP BY lang, source, band_idx, band_key
+            HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+        )
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b
+        FROM bands_ok a
+        JOIN bands_ok b
           ON a.lang = b.lang AND a.source = b.source
          AND a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id

@@ -349,15 +349,30 @@ def md5_lsh_candidate_pairs(
     group_cols: list[str] | None = None,
     bands: int = 8,
     rows_per_band: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs from :func:`md5_band_buckets` buckets, optionally
     scoped to equal ``group_cols`` (e.g. per-language dedup). Linear
-    bucket self-join — never all-pairs. Output: distinct
-    (group_cols..., id_a, id_b)."""
+    bucket self-join — never all-pairs; buckets larger than
+    ``max_bucket_size`` are dropped before pair expansion (same guard
+    as :func:`lsh_candidate_pairs` — a hot band over boilerplate-heavy
+    docs would otherwise expand quadratically; route such floods
+    through exact dedup). Callers with a SQL oracle must mirror the
+    cap so both engines derive the identical candidate set. Output:
+    distinct (group_cols..., id_a, id_b)."""
     group_cols = group_cols or []
     bucketed = md5_band_buckets(
         docs, id_col, toks_col, group_cols, bands, rows_per_band
     )
+    if max_bucket_size:
+        bucket_key = [*group_cols, "band_idx", "band_key"]
+        ok = (
+            bucketed.groupBy(*bucket_key)
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        bucketed = bucketed.join(ok, on=bucket_key, how="left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cond = (
         [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols]
