@@ -1,0 +1,123 @@
+"""Property-based invariants (hypothesis) for text/dedup/packing
+operators: generated inputs catch the edge shapes example-based tests
+don't enumerate (exotic whitespace, unicode planes, empty/singleton
+token sets). Each property evaluates a BATCH of generated rows in one
+DataFrame so the per-example Spark overhead stays bounded."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# printable-ish unicode including CJK/accents; exclude surrogates
+_TEXT = st.text(
+    alphabet=st.characters(
+        exclude_categories=("Cs", "Cc"), max_codepoint=0x2FFFF
+    ),
+    max_size=60,
+)
+_TEXTS = st.lists(_TEXT, min_size=1, max_size=12)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=_TEXTS)
+@_SETTINGS
+def test_normalize_text_idempotent(spark, texts):
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    once = df.select(normalize_text("text").alias("text"))
+    twice = once.select(normalize_text("text").alias("n2"))
+    pairs = zip(
+        [r["text"] for r in once.collect()],
+        [r["n2"] for r in twice.collect()],
+    )
+    for a, b in pairs:
+        assert a == b, f"not idempotent: {a!r} -> {b!r}"
+
+
+@given(texts=_TEXTS)
+@_SETTINGS
+def test_word_bigrams_count_invariant(spark, texts):
+    """len(bigrams) == max(0, token_count - 1), evaluated with the same
+    tokenizer on both sides of the assertion."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        token_count,
+        word_bigrams,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(
+        F.size(word_bigrams("text")).alias("nb"),
+        token_count("text").alias("nt"),
+    ).collect()
+    for r in rows:
+        assert r["nb"] == max(0, r["nt"] - 1), (r["nb"], r["nt"])
+
+
+@given(toks=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=20))
+@_SETTINGS
+def test_jaccard_self_similarity_and_bounds(spark, toks):
+    from mape_calculation_and_anonymization_spark.operators.dedup import jaccard
+
+    df = spark.createDataFrame([(toks, toks)], ["a", "b"])
+    sim = df.select(jaccard(F.col("a"), F.col("b")).alias("s")).collect()[0]["s"]
+    assert sim == 1.0
+
+
+@given(
+    toks_a=st.lists(st.text(min_size=1, max_size=6), min_size=0, max_size=15),
+    toks_b=st.lists(st.text(min_size=1, max_size=6), min_size=0, max_size=15),
+)
+@_SETTINGS
+def test_jaccard_symmetric_within_unit_interval(spark, toks_a, toks_b):
+    from mape_calculation_and_anonymization_spark.operators.dedup import jaccard
+
+    df = spark.createDataFrame(
+        [(toks_a, toks_b)], "a array<string>, b array<string>"
+    )
+    row = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("ab"),
+        jaccard(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()[0]
+    if row["ab"] is None:
+        assert not toks_a or not toks_b
+    else:
+        assert 0.0 <= row["ab"] <= 1.0
+        assert row["ab"] == row["ba"]
+
+
+@given(
+    texts=st.lists(_TEXT, min_size=1, max_size=10),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@_SETTINGS
+def test_pack_sequences_partition_invariants(spark, texts, budget):
+    """Packing is a PARTITION of the corpus: every doc assigned exactly
+    once, seq ids non-negative and equal to floor(prefix/budget) under
+    id order, n_tokens faithful to the tokenizer."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = pack_sequences(docs, budget=budget, shard_size=3)
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["seq_id"]) for r in out.collect()
+    )
+    assert [d for d, _, _ in rows] == list(range(len(texts)))
+    prefix = 0
+    for _, n_tokens, seq_id in rows:
+        assert seq_id == prefix // budget
+        assert n_tokens >= 0
+        prefix += n_tokens
