@@ -4387,12 +4387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_key_upsert": _q_stream_key_upsert,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
         "k2_excel_sheets": _q_k2_excel_sheets,
+        # jaccard_pairs precedes clusters so the memoized pair
+        # derivation's cost attributes to the query that owns it
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_clusters": _q_dedup_clusters,
         # (b) last green row = round 3 — 29 of the 34 refresh now;
         # x3/x4/j1/u1/dedup_exact_groups (triple-green r1–r3, the most
         # stable reference core) ceded their slots to round-5 additions
         # and MUST be in round 6's window
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "f4_unmatched_uids": _q_f4_unmatched_uids,
