@@ -4315,8 +4315,12 @@ def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_signup_users",
             "n_converted",
-            F.round(
-                F.col("n_converted") / F.col("n_signup_users"), 6
+            # guarded division: under the driver's ANSI session a
+            # regenerated dataset with zero signup events would
+            # otherwise throw DIVIDE_BY_ZERO instead of returning NULL
+            F.when(
+                F.col("n_signup_users") > 0,
+                F.round(F.col("n_converted") / F.col("n_signup_users"), 6),
             ).alias("conversion_rate"),
         )
     )
@@ -4340,8 +4344,10 @@ _FUNNEL_ORACLE = """
     )
     SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
            (SELECT COUNT(*) FROM c) AS n_converted,
-           ROUND((SELECT COUNT(*) FROM c) * 1.0
-                 / (SELECT COUNT(*) FROM s), 6) AS conversion_rate
+           CASE WHEN (SELECT COUNT(*) FROM s) > 0
+                THEN ROUND((SELECT COUNT(*) FROM c) * 1.0
+                           / (SELECT COUNT(*) FROM s), 6)
+           END AS conversion_rate
 """
 
 
