@@ -1318,10 +1318,30 @@ def _fixture_sf_tag(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
 
 
+def _source_token(sf_dir: str, table: str) -> str:
+    """Content fingerprint (size + mtime) of a source table file.
+
+    Fixture paths that are checked against a SOURCE-reading oracle
+    (k1, stream_key, stream_sink) embed this token: the driver
+    regenerates /root/testdata between rounds while /tmp fixtures can
+    survive, and an existence-only guard would then happily validate a
+    fixture derived from the PREVIOUS round's data against this
+    round's source — a guaranteed red row. A regenerated source file
+    changes the token, which changes the path, which forces a rebuild.
+    (Fixture-to-fixture compares — k2/s1/s3, where both engines read
+    the same file — are stale-consistent and keep their stable paths.)
+    """
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}_{int(st.st_mtime)}"
+
+
 def _k1_fixture_path(sf_dir: str) -> str:
     # K3 naming: clientx_suppliers.csv → client_demo_suppliers.snappy.parquet
     return (
         f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"src{_source_token(sf_dir, 'supplier')}/"
         + anonymized_output_name("clientx_suppliers.csv", "clientx")
     )
 
@@ -2118,7 +2138,10 @@ def _q_stream_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_key_table_upsert,
     )
 
-    key_dir = f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/stream_key"
+    key_dir = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"stream_key_{_source_token(sf_dir, 'events')}"
+    )
     # Guard on a completion marker, not mere table existence: foreachBatch
     # commits the key table per micro-batch, so a timed-out/interrupted
     # ingest leaves a PARTIAL table behind. Without the marker every later
@@ -4184,7 +4207,10 @@ def _q_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_parquet,
     )
 
-    sink_dir = f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/stream_sink"
+    sink_dir = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"stream_sink_{_source_token(sf_dir, 'events')}"
+    )
     done_marker = sink_dir + ".__COMPLETE"
     if not os.path.exists(done_marker):
         shutil.rmtree(sink_dir, ignore_errors=True)
