@@ -1347,7 +1347,16 @@ def _k1_fixture_path(sf_dir: str) -> str:
 
 
 def _k2_workbook_path(sf_dir: str) -> str:
-    return f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/mape_report.xlsx"
+    # The sheet compare is fixture-to-fixture (stale-consistent), but
+    # the sheet CONTENT derives from events via the mape pipeline —
+    # fingerprinting keeps a stale workbook from surviving a source
+    # regeneration that also changed the sheet schema. oracle_sql()
+    # builds the oracle path through this same function in the same
+    # round, so query and oracle always agree on the token.
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"mape_report_{_source_token(sf_dir, 'events')}.xlsx"
+    )
 
 
 # The driver contract (brief + TESTDATA.md) runs every oracle at
