@@ -1233,6 +1233,59 @@ _S1_ORACLE = f"""
     GROUP BY zone
 """
 
+_JSONL_FIXTURE = "/tmp/mape_spark_fixtures/events_sample.jsonl"
+
+
+def _q_s5_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — newline-JSON source: export a
+    deterministic event sample as JSONL once, read it back through the
+    engine's reader with an EXPLICIT schema (the production posture —
+    inference doubles the scan), aggregate. Fixture-to-fixture: the
+    oracle reads the same file via read_json_auto, so the compare is
+    immune to which round's data wrote it. Timestamps are deliberately
+    excluded from the payload — JSON timestamp serialization is the
+    classic cross-engine divergence."""
+    import glob
+    import os
+    import shutil
+
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        read_jsonl,
+    )
+
+    os.makedirs(os.path.dirname(_JSONL_FIXTURE), exist_ok=True)
+    if not os.path.exists(_JSONL_FIXTURE):
+        tmp_dir = _JSONL_FIXTURE + ".spark"
+        (
+            load_events(spark, sf_dir)
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(tmp_dir)
+        )
+        part = glob.glob(os.path.join(tmp_dir, "part-*.json"))[0]
+        os.replace(part, _JSONL_FIXTURE)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    df = read_jsonl(
+        spark,
+        _JSONL_FIXTURE,
+        schema="event_id bigint, user_id bigint, event_type string, value double",
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+_S5_ORACLE = f"""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 4) AS volume
+    FROM read_json_auto('{_JSONL_FIXTURE}')
+    GROUP BY event_type
+"""
+
 
 def _q_s3_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — newest-dated-folder discovery through the engine reader
@@ -4453,7 +4506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,
-        "events_json_props": _q_events_json_props,
         "s1_csv_scan": _q_s1_csv_scan,
         "s3_latest_partition": _q_s3_latest_partition,
         "o1_top_revenue": _q_o1_top_revenue,
@@ -4486,8 +4538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_user_avg": _q_rolling_hour_user_avg,
         "funnel_conversion": _q_funnel_conversion,
         "events_variant_props": _q_events_variant_props,
+        "s5_jsonl_scan": _q_s5_jsonl_scan,
         # ---- below the driver's 50-row window (all round-4 green or
-        # ---- rows-only by design) ----
+        # ---- rows-only by design; events_json_props ceded its slot
+        # ---- to s5 and joins the round-6 must-refresh list) ----
+        "events_json_props": _q_events_json_props,
         "x3_perturb_values": _q_x3_perturb_values,
         "x4_label_anonymization": _q_x4_label_anonymization,
         "j1_key_join": _q_j1_key_join,
@@ -4646,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hour_user_avg": _ROLLING_HOUR_ORACLE,
         "funnel_conversion": _FUNNEL_ORACLE,
         "events_variant_props": _EVENTS_VARIANT_ORACLE,
+        "s5_jsonl_scan": _S5_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -2,6 +2,7 @@ from mape_calculation_and_anonymization_spark.sources.readers import (
     latest_partition,
     lowercase_columns,
     read_csv,
+    read_jsonl,
     read_input_folder,
     read_parquet,
 )
@@ -13,6 +14,7 @@ from mape_calculation_and_anonymization_spark.sources.sinks import (
 
 __all__ = [
     "read_csv",
+    "read_jsonl",
     "read_parquet",
     "read_input_folder",
     "latest_partition",

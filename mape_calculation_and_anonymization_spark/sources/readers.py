@@ -57,6 +57,25 @@ def read_parquet(spark: SparkSession, path: str, lowercase: bool = False) -> Dat
     return lowercase_columns(df) if lowercase else df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON scan (the interchange format most
+    crawl/event feeds arrive in). Pass ``schema`` (DDL string) in
+    production: without it Spark runs a full inference pass over the
+    files, and at 100 TB that doubles the scan. Malformed lines go to
+    NULL-rows under the default PERMISSIVE mode instead of failing the
+    pipeline."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return lowercase_columns(df) if lowercase else df
+
+
 def latest_partition(input_directory: str) -> str:
     """S3 — newest lexicographic child folder (``YYYY-MM-DD`` sorts
     correctly as text). Driver-side single listing, O(#folders) —

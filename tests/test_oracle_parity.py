@@ -45,6 +45,7 @@ def test_oracle_sf_contract():
     allowed = {
         "s1_csv_scan": entrymod._CSV_FIXTURE,
         "s3_latest_partition": entrymod._PARTITIONED_FIXTURE,
+        "s5_jsonl_scan": entrymod._JSONL_FIXTURE,
         "k2_excel_sheets": entrymod._k2_workbook_path(entrymod._ORACLE_SF_DIR),
     }
     for name, sql in _ORACLES.items():
