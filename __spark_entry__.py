@@ -708,6 +708,24 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(corpus, max_hamming=3)
 
 
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only: codebook k-means is not
+    SQL-expressible; recall vs brute force pinned by
+    tests/test_similarity.py). 32x-compressed codes + per-query ADC
+    lookup tables + exact cosine re-rank of an 8x shortlist — the
+    memory-bound leg of the IVF+PQ stack every trillion-vector corpus
+    search runs on."""
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        pq_top_k,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    codebooks = train_pq_codebooks(emb)
+    return pq_top_k(emb, queries, codebooks, k=10, shortlist_factor=8)
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for every 100th vector (exact ANN
     baseline; deterministic ties via rounded-sim + neighbor id)."""
@@ -4593,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_parts": _q_q20_excess_parts,
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
+        "pq_ann_topk": _q_pq_ann_topk,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,

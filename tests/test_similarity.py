@@ -85,3 +85,55 @@ def test_embedding_near_duplicates(spark):
     assert planted <= pairs
     # random gaussian vectors in 16-d essentially never hit 0.95 cosine
     assert pairs == planted
+
+
+def test_pq_codebooks_deterministic_and_codes_valid(spark):
+    import numpy as np
+
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        encode_pq,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = train_pq_codebooks(emb, m=8, k=16)
+    assert cb.shape == (8, 16, 8)
+    assert np.array_equal(cb, train_pq_codebooks(emb, m=8, k=16))
+    codes = encode_pq(emb, cb).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+
+def test_pq_recall_against_brute_force(spark):
+    """ADC + exact re-rank recall on RANDOM vectors (PQ's adversarial
+    case — no cluster structure to exploit): >=0.7 of brute-force
+    top-10 at an 8x shortlist, and more shortlist must never hurt."""
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        pq_top_k,
+        train_pq_codebooks,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cb = train_pq_codebooks(emb)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_top_k(emb, queries, k=10).collect()
+    }
+    got8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_top_k(emb, queries, cb, k=10, shortlist_factor=8).collect()
+    }
+    got16 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_top_k(emb, queries, cb, k=10, shortlist_factor=16).collect()
+    }
+    assert len(got8 & bf) / len(bf) >= 0.7
+    assert len(got16 & bf) >= len(got8 & bf)
