@@ -726,6 +726,29 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_top_k(emb, queries, codebooks, k=10, shortlist_factor=8)
 
 
+def _q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF+PQ stack (rows-only; exhaustive-probe == PQ-only and
+    partial-probe recall pinned in tests/test_similarity.py): coarse
+    cells bound what is read, PQ codes bound bytes per read, exact
+    re-rank restores true similarities on the shortlist."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        ivf_pq_top_k,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    assigned, centroids = build_ivf_index(emb)
+    codebooks = train_pq_codebooks(emb)
+    return ivf_pq_top_k(
+        assigned, centroids, queries, codebooks, k=10, nprobe=4,
+        shortlist_factor=8,
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for every 100th vector (exact ANN
     baseline; deterministic ties via rounded-sim + neighbor id)."""
@@ -4612,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -85,6 +85,7 @@ def encode_pq(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every corpus vector as ``m`` small-int codes (argmin
     centroid per subvector block). One Arrow-batched pass; the einsum
@@ -114,7 +115,10 @@ def encode_pq(
             out[:, b] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return corpus.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return corpus.select(
+        F.col(id_col), *extra, _codes(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_top_k(
@@ -223,6 +227,134 @@ def pq_top_k(
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias(
                 "cosine_sim"
             ),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_top_k(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist_factor: int = 8,
+) -> DataFrame:
+    """The full IVF+PQ stack: coarse cell routing (touch ~nprobe/k of
+    the corpus) × compressed-code ADC scoring (m bytes per candidate)
+    × exact cosine re-rank (shortlist-sized). This is the architecture
+    a trillion-vector search actually deploys — IVF bounds how much is
+    read, PQ bounds the bytes per read, the re-rank restores exact
+    similarities on the shortlist.
+
+    ``assigned``/``centroids`` come from ``build_ivf_index``;
+    ``codebooks`` from ``train_pq_codebooks``. Output schema matches
+    ``brute_force_top_k``."""
+    from pyspark.sql import Window
+
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        cosine,
+    )
+
+    mm, kk, sub = codebooks.shape
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([np.asarray(r[1], np.float64) for r in q_rows])
+    luts = np.empty((len(q_ids), mm, kk), dtype=np.float64)
+    for b in range(mm):
+        qb = q_mat[:, b * sub : (b + 1) * sub]
+        cent = codebooks[b]
+        luts[:, b, :] = (
+            (qb * qb).sum(axis=1)[:, None]
+            - 2.0 * qb @ cent.T
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+    lut_index = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    # coarse routing: query -> nprobe nearest cells (broadcast centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    routed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("_csim", cosine(F.col("_qv"), F.col("centroid")))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_csim").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "cluster")
+    )
+
+    codes_df = encode_pq(
+        assigned, codebooks, vec_col, id_col, keep_cols=["cluster"]
+    )
+    pairs = (
+        routed.join(codes_df, on="cluster")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx_dist", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = np.asarray(
+                [lut_index[int(v)] for v in pdf["query_id"]], dtype=np.int64
+            )
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            dist = luts[qidx[:, None], np.arange(mm)[None, :], codes].sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "approx_dist": dist,
+                }
+            )
+
+    scored = pairs.mapInPandas(_score, out_schema)
+    shortlist_k = k * shortlist_factor
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist_k)
+        .select("query_id", "neighbor_id")
+    )
+    cv = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)

@@ -137,3 +137,57 @@ def test_pq_recall_against_brute_force(spark):
     }
     assert len(got8 & bf) / len(bf) >= 0.7
     assert len(got16 & bf) >= len(got8 & bf)
+
+
+def test_ivf_pq_exhaustive_probe_equals_pq_only(spark):
+    """With nprobe = n_clusters the coarse routing excludes nothing, so
+    IVF+PQ must return the identical result set as the PQ-only path
+    (same codebooks -> same approx distances -> same shortlist -> same
+    exact re-rank); partial probing may only lose, never invent."""
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        ivf_pq_top_k,
+        pq_top_k,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    assigned, centroids = build_ivf_index(emb, n_clusters=16)
+    cb = train_pq_codebooks(emb)
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in ivf_pq_top_k(
+            assigned, centroids, queries, cb, k=10, nprobe=16,
+            shortlist_factor=8,
+        ).collect()
+    }
+    pq_only = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in pq_top_k(
+            emb, queries, cb, k=10, shortlist_factor=8
+        ).collect()
+    }
+    assert full == pq_only
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_top_k(
+            assigned, centroids, queries, cb, k=10, nprobe=4,
+            shortlist_factor=8,
+        ).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in ivf_pq_top_k(
+            assigned, centroids, queries, cb, k=10, nprobe=16,
+            shortlist_factor=8,
+        ).collect()
+    }
+    # partial probe recall against the exhaustive-probe answer
+    full_pairs = {(q, n) for q, n, _ in bf}
+    assert len(partial & full_pairs) / len(full_pairs) >= 0.5
