@@ -38,6 +38,9 @@ from mape_calculation_and_anonymization_spark.operators.anonymize import (
     stamp_metadata,
 )
 from mape_calculation_and_anonymization_spark.operators.graph import duplicate_clusters
+from mape_calculation_and_anonymization_spark.operators.rebalance import (
+    ensure_min_partitions,
+)
 from mape_calculation_and_anonymization_spark.operators.joins import salted_join
 from mape_calculation_and_anonymization_spark.operators.sampling import (
     stratified_sample,
@@ -58,6 +61,7 @@ from mape_calculation_and_anonymization_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
     tokens,
+    word_ngrams,
 )
 from mape_calculation_and_anonymization_spark.operators.mape import (
     daily_mape_aggregation,
@@ -479,10 +483,19 @@ _DEDUP_EXACT_ORACLE = """
 """
 
 
-# 4 bands × 2 rows = 8 md5s per token: at threshold 0.5 a twin pair
+# 4 bands × 2 rows = 8 md5s per shingle: at threshold 0.5 a twin pair
 # (s ≈ 0.95) is caught with p ≈ 1-(1-s²)⁴ > 0.9999; halving the band
 # count halves the dominant md5 cost. Recall misses are identical on
 # both sides (the oracle re-derives the same bands).
+#
+# Shingle space: word 3-GRAMS, not unigrams — the same space the
+# MinHash path shingles into. Unigram-set Jaccard over a templated
+# corpus is saturated (documents drawn from shared templates exceed
+# 0.5 unigram overlap broadly — measured 404k "near-dup" pairs over
+# 10k docs at sf0.1, i.e. the signal is vocabulary, not duplication);
+# 3-gram overlap requires shared phrasing, which is the actual
+# near-duplication signal, and keeps the verified pair set
+# answer-sized instead of quadratic.
 _JACCARD_BANDS = 4
 _JACCARD_ROWS_PER_BAND = 2
 _JACCARD_THRESHOLD = 0.5
@@ -495,8 +508,9 @@ _JACCARD_MAX_BUCKET = 1000
 
 
 def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ lightly-edited twins (ids +1_000_000), tokenized —
-    the shared input of the jaccard-pairs and cluster queries."""
+    """documents ∪ lightly-edited twins (ids +1_000_000), shingled
+    into word 3-grams — the shared input of the jaccard-pairs and
+    cluster queries."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
@@ -506,8 +520,10 @@ def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
     )
-    corpus = docs.unionByName(twins).select(
-        "doc_id", "lang", "source", tokens("text").alias("toks")
+    # rebalance BEFORE tokenizing: the single-row-group scan would
+    # otherwise run the tokenize + downstream md5 banding on one core
+    corpus = ensure_min_partitions(docs.unionByName(twins)).select(
+        "doc_id", "lang", "source", word_ngrams("text", 3).alias("toks")
     )
     # Materialize the tokenized corpus once: the band derivation, both
     # verification sides, and (in the cluster query) the final join
@@ -566,7 +582,7 @@ def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
 
 
 def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-set Jaccard near-dup over LSH candidate pairs.
+    """Word-3-gram-set Jaccard near-dup over LSH candidate pairs.
 
     The md5 banding uses only engine-portable primitives (md5 hex,
     string min, concat), so the DuckDB oracle re-derives the EXACT
@@ -600,9 +616,19 @@ def _jaccard_ctes() -> str:
         FROM documents
     ),
     t AS (
+        -- word 3-gram shingles, bit-identical to Spark's
+        -- word_ngrams(text, 3): i in 0..greatest(len-3, 0), gram =
+        -- ' '-joined raw[i+1 : i+3] (short docs yield one short gram)
         SELECT doc_id, lang, source,
-               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        FROM base
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(raw) - 3, 0) + 1),
+                   i -> array_to_string(raw[i+1:i+3], ' ')
+               )) AS toks
+        FROM (
+            SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM base
+        )
     ),
     bands AS (
 {band_selects}
@@ -871,7 +897,7 @@ _TEXT_TOKEN_ORACLE = r"""
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
@@ -918,7 +944,7 @@ _TEXT_QUALITY_ORACLE = rf"""
 
 
 def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", language_id("text").alias("lang_pred"))
 
 
@@ -1940,7 +1966,7 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
     )
-    scored = docs.unionByName(twins).select(
+    scored = ensure_min_partitions(docs.unionByName(twins)).select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality")
     )
     joined = clusters.join(scored, on="doc_id")
@@ -2036,7 +2062,9 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     gated = docs.filter(
         (language_id("text") == "en")
         & (F.round(quality_score("text"), 6) >= 0.4)

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .rebalance import ensure_min_partitions
+
 # ---------------------------------------------------------------------------
 # shingling (all JVM-side)
 # ---------------------------------------------------------------------------
@@ -61,15 +63,31 @@ def char_shingles(col: str | Column, k: int = 5, lowercase: bool = True) -> Colu
 
 
 def word_ngrams(col: str | Column, n: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word n-grams (space-joined)."""
+    """Distinct word n-grams (space-joined).
+
+    Built as n−1 chained zip_with ops over shifted slices — one walk
+    of the token array per zip (the same trick as
+    ``text.word_bigrams``); the index-based form
+    ``transform(sequence(0, sz−n), i → array_join(slice(toks, i+1,
+    n)))`` re-slices per index and measured ~2× slower on the sf0.1
+    corpus. Documents shorter than ``n`` tokens yield their whole
+    text as one (short) gram — identical to the historical
+    slice-takes-what-exists behavior."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
     toks = F.split(F.trim(c), r"\s+")
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.array_join(toks, " "))
         )
     )
 
@@ -318,7 +336,9 @@ def md5_band_buckets(
     Output: (group_cols..., _id, band_idx, band_key).
     """
     group_cols = group_cols or []
-    exploded = docs.select(
+    # the bands×rows_per_band md5 computations per exploded token dwarf
+    # the row's bytes — spread a coarse scan across cores first
+    exploded = ensure_min_partitions(docs).select(
         *group_cols,
         F.col(id_col).alias("_id"),
         F.explode(toks_col).alias("_tok"),
@@ -432,7 +452,9 @@ def minhash_near_duplicates(
     # candidates only) is materialized via an eager localCheckpoint and
     # the shingles are unpersisted before returning, so repeated corpus
     # runs in one session don't accumulate cached shingle frames.
-    sh = docs.select(
+    # shingling is an interpreted HOF over every text — rebalance a
+    # coarse scan before it so the hot loop runs on all cores
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col).alias("_id"), shingler(text_col, shingle_k).alias("sh")
     ).persist()
     try:
@@ -535,7 +557,9 @@ def simhash_near_duplicates(
     base_w, extra = divmod(64, chunks)
     widths = [base_w + (1 if j < extra else 0) for j in range(chunks)]
     offsets = [sum(widths[:j]) for j in range(chunks)]
-    sigs = docs.select(
+    # the pandas-UDF signature is the hot loop — parallelize a coarse
+    # scan before shipping Arrow batches to the Python workers
+    sigs = ensure_min_partitions(docs).select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
     )
     def _chunk(j: int):

@@ -135,8 +135,12 @@ def hyperplane_buckets_udf(n_tables: int, n_bits: int, dim: int, seed: int):
 def _bucketed(df: DataFrame, vec_col: str, n_tables: int, n_bits: int, dim: int, seed: int) -> DataFrame:
     """Attach (table idx, bucket id) rows: one posexplode over the
     per-vector bucket array → single join key for all tables."""
+    from .rebalance import ensure_min_partitions
+
     b = hyperplane_buckets_udf(n_tables, n_bits, dim, seed)
-    return df.select(
+    # the Arrow-batched matmul is the hot loop — spread a coarse scan
+    # across cores before shipping batches to the Python workers
+    return ensure_min_partitions(df).select(
         "*", F.posexplode(b(F.col(vec_col))).alias("_table", "_bucket")
     )
 

@@ -221,19 +221,29 @@ def ngram_repetition_stats(
     inline-vs-explode duality as minhash_signature/minhash_signatures.
 
     Output: (id_col, rep{n}: double)."""
+    from .rebalance import ensure_min_partitions
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    # n−1 chained zip_with ops over shifted slices (one array walk per
+    # zip) — the transform(sequence(...), i -> slice) form re-slices
+    # per index (see dedup.word_ngrams). Duplicates kept: repetition
+    # is the signal here.
+    def _grams(tk):
+        m = F.size(tk) - F.lit(n - 1)
+        g = F.slice(tk, 1, m)
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(tk, 1 + j, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return g
+
     exploded = (
-        df.select(F.col(id_col), toks.alias("_toks"))
+        ensure_min_partitions(df).select(F.col(id_col), toks.alias("_toks"))
         .filter(F.size("_toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - F.lit(n)),
-                    lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
-                )
-            ).alias("_gram"),
-        )
+        .select(id_col, F.explode(_grams(F.col("_toks"))).alias("_gram"))
     )
     agg = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_total"),
@@ -331,7 +341,9 @@ def contamination_check(
     """
     from mape_calculation_and_anonymization_spark.operators.dedup import word_ngrams
 
-    t = train.select(
+    from .rebalance import ensure_min_partitions
+
+    t = ensure_min_partitions(train).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=n)).alias("_shingle")
     )
     b = (

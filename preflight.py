@@ -56,7 +56,14 @@ def main(argv: list[str]) -> int:
     for name in names:
         t = time.time()
         try:
-            ok, msg = compare_query(spark, sf_dir, qs[name], oracles[name])
+            if name not in oracles:
+                # rows-only by design (no SQL oracle) — mirror the
+                # driver's weaker check: the query must run and yield
+                # a stable row count ≥ 0
+                n = qs[name](spark, sf_dir).count()
+                ok, msg = True, f"rows-only: {n} rows"
+            else:
+                ok, msg = compare_query(spark, sf_dir, qs[name], oracles[name])
         except Exception as exc:  # noqa: BLE001 — report, keep going
             ok, msg = False, f"exception: {exc}"
         status = "ok" if ok else "FAIL"
