@@ -4517,6 +4517,256 @@ _FUNNEL_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# round-5 second wave: keyword search / retention / data quality
+# ---------------------------------------------------------------------------
+
+# Fixed keyword query for the BM25 ranking demo. In a real deployment
+# the term set arrives per-request; here it is a constant so the oracle
+# can re-derive the exact same search.
+_BM25_TERMS = ("hash", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the documents corpus: top-20 docs for a
+    fixed 3-term query, Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: one tokenize pass feeds BOTH the doc-length table and
+    the (query-term-filtered) term frequencies — the `isin` predicate
+    collapses the posting side to docs containing a query term before
+    any shuffle. The df table (≤ n_query_terms rows) and the corpus
+    stats scalar (1 row) are provably tiny and broadcast explicitly;
+    the tf⋈dl join is left to AQE because the matched-doc set is
+    data-dependent (tiny for selective queries, corpus-sized for
+    stopwords). Per-term scores are summed per doc (≤ n_terms doubles,
+    deterministic at ROUND 6), ranked by (score desc, doc_id) through
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / (
+        F.col("tf") + norm
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("s"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_BM25_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ) WHERE len(tok) > 0
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM t
+        WHERE tok IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * ({1.0 - _BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                 AS s
+        FROM tf
+        JOIN dfc USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms, ROUND(SUM(s), 6) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, distinct
+    actives counted at each day offset. Two hash aggregates (cohort
+    derivation, then distinct-count) — the join is user-keyed, and the
+    cohort table is one row per user, so at 100 TB both sides
+    co-partition on user_id and the join adds no extra shuffle beyond
+    the cohort agg's own exchange."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, ev.d) AS day_offset,
+           COUNT(DISTINCT ev.user_id) AS n_users
+    FROM ev JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: one row per check with its
+    violation count — the pre-ingest contract gate a training pipeline
+    runs before accepting a drop.
+
+    Fused, not one-scan-per-check: each table is scanned ONCE with all
+    its checks as conditional aggregates, then stack() unpivots the
+    single aggregate row into (check, n_violations) rows. The only
+    join is the referential-integrity probe, a left_anti against the
+    orders keys (hash semi-join; at 100 TB the key side stays a join,
+    never a collect). Output is bounded by the number of checks."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_events(spark, sf_dir)
+
+    o = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+    ).selectExpr(
+        "stack(3, 'orders_null_custkey', null_custkey,"
+        " 'orders_nonpositive_price', nonpositive_price,"
+        " 'orders_dup_orderkey', dup_orderkey) AS (check, n_violations)"
+    )
+    li = lineitem.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("qty_out_of_range"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discount_out_of_range"),
+    ).selectExpr(
+        "stack(2, 'lineitem_qty_out_of_range', qty_out_of_range,"
+        " 'lineitem_discount_out_of_range', discount_out_of_range)"
+        " AS (check, n_violations)"
+    )
+    orphans = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("check"), "n_violations"
+        )
+    )
+    ev = events.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_user")
+    ).selectExpr(
+        "stack(1, 'events_null_user', null_user) AS (check, n_violations)"
+    )
+    return o.unionByName(li).unionByName(orphans).unionByName(ev)
+
+
+_DQ_ORACLE = """
+    SELECT 'orders_null_custkey' AS check,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           COUNT(*)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4553,15 +4803,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_returns": _q_q12_priority_returns,
         "training_pipeline": _q_training_pipeline,
         "stream_sliding_counts": _q_stream_sliding_counts,
-        # (c) implementation changes this round
-        "stream_session_windows": _q_stream_session_windows,
+        # (c) implementation changes this round (semantic changes only;
+        # stream_session_windows / dedup_jaccard_pairs / dedup_clusters
+        # had perf- or guard-only changes, are r4-green, and ceded
+        # their slots to the second-wave additions — they sit just
+        # below the window and MUST be in round 6's)
         "stream_key_upsert": _q_stream_key_upsert,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
         "k2_excel_sheets": _q_k2_excel_sheets,
-        # jaccard_pairs precedes clusters so the memoized pair
-        # derivation's cost attributes to the query that owns it
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
         # (b) last green row = round 3 — 29 of the 34 refresh now;
         # x3/x4/j1/u1/dedup_exact_groups (triple-green r1–r3, the most
         # stable reference core) ceded their slots to round-5 additions
@@ -4608,9 +4857,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "events_variant_props": _q_events_variant_props,
         "s5_jsonl_scan": _q_s5_jsonl_scan,
+        # (d) second wave
+        "bm25_search": _q_bm25_search,
+        "retention_cohorts": _q_retention_cohorts,
+        "dq_expectations": _q_dq_expectations,
         # ---- below the driver's 50-row window (all round-4 green or
-        # ---- rows-only by design; events_json_props ceded its slot
-        # ---- to s5 and joins the round-6 must-refresh list) ----
+        # ---- rows-only by design; events_json_props /
+        # ---- stream_session_windows / dedup_jaccard_pairs /
+        # ---- dedup_clusters ceded their slots to round-5 additions
+        # ---- and join the round-6 must-refresh list) ----
+        "stream_session_windows": _q_stream_session_windows,
+        # jaccard_pairs precedes clusters so the memoized pair
+        # derivation's cost attributes to the query that owns it
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "events_json_props": _q_events_json_props,
         "x3_perturb_values": _q_x3_perturb_values,
         "x4_label_anonymization": _q_x4_label_anonymization,
@@ -4773,6 +5033,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _FUNNEL_ORACLE,
         "events_variant_props": _EVENTS_VARIANT_ORACLE,
         "s5_jsonl_scan": _S5_ORACLE,
+        "bm25_search": _BM25_ORACLE,
+        "retention_cohorts": _RETENTION_ORACLE,
+        "dq_expectations": _DQ_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
