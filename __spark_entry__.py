@@ -4766,6 +4766,171 @@ _DQ_ORACLE = """
 """
 
 
+def _q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from an event log: per user, compress
+    consecutive runs of the same event_type into validity intervals
+    (effective_from, effective_to; NULL = current). The
+    dimension-table build step of every warehouse ingest.
+
+    Gaps-and-islands with two user-partitioned windows: island ids via
+    a running sum of change flags, then lead() over the per-island
+    minima for the closing timestamp. Both windows partition by
+    user_id — per-user history is bounded, so no window ever sees more
+    than one user's rows and there is no global sort anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w_seq).isNull()
+        | (F.lag("event_type").over(w_seq) != F.col("event_type"))
+    ).cast("long")
+    islands = ev.withColumn(
+        "island", F.sum(changed).over(w_seq)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "effective_from",
+        F.lead("effective_from").over(w_isl).alias("effective_to"),
+        "n_events",
+    )
+
+
+_SCD2_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT *,
+               SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, island,
+               MIN(event_type) AS event_type,
+               MIN(ts) AS effective_from,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, effective_from,
+           LEAD(effective_from) OVER (
+               PARTITION BY user_id ORDER BY island
+           ) AS effective_to,
+           n_events
+    FROM runs
+"""
+
+
+def _q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend over the month: ordinary-least-
+    squares slope/intercept of value against day offset plus the
+    correlation, via the SQL-standard REGR_* / CORR aggregates — one
+    hash aggregate, JVM-side, no window and no UDF. Day offsets are
+    small integers so the moment sums stay well-conditioned at any
+    corpus size (the aggregate itself is a map-side-combinable
+    moment sketch — scales like any sum)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("value", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+            F.round(F.corr("value", "x"), 6).alias("r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TREND_ORACLE = """
+    WITH ev AS (
+        SELECT event_type, value,
+               CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE))
+                    AS DOUBLE) AS x
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(regr_slope(value, x), 6) AS slope,
+           ROUND(regr_intercept(value, x), 6) AS intercept,
+           ROUND(corr(value, x), 6) AS r
+    FROM ev
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split with per-(split, lang)
+    counts: md5-band assignment (operators/sampling.py:hash_split) —
+    content-stable so eval membership survives corpus rebuilds, pure
+    projection so the split itself adds zero shuffle; only the audit
+    count aggregates."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.withColumn(
+            "split",
+            hash_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _split_oracle() -> str:
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        rate_to_hex_threshold as thr,
+    )
+
+    return f"""
+    SELECT CASE
+             WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)
+                  < '{thr(0.8)}' THEN 'train'
+             WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 4)
+                  < '{thr(0.9)}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+_SPLIT_ORACLE = _split_oracle()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4865,7 +5030,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only by design; events_json_props /
         # ---- stream_session_windows / dedup_jaccard_pairs /
         # ---- dedup_clusters ceded their slots to round-5 additions
-        # ---- and join the round-6 must-refresh list) ----
+        # ---- and join the round-6 must-refresh list; the three
+        # ---- third-wave queries below debut in round 6's window) ----
+        "scd2_event_history": _q_scd2_event_history,
+        "trend_slope_by_type": _q_trend_slope_by_type,
+        "train_val_test_split": _q_train_val_test_split,
         "stream_session_windows": _q_stream_session_windows,
         # jaccard_pairs precedes clusters so the memoized pair
         # derivation's cost attributes to the query that owns it
@@ -5036,6 +5205,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_ORACLE,
         "retention_cohorts": _RETENTION_ORACLE,
         "dq_expectations": _DQ_ORACLE,
+        "scd2_event_history": _SCD2_ORACLE,
+        "trend_slope_by_type": _TREND_ORACLE,
+        "train_val_test_split": _SPLIT_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -39,6 +39,41 @@ def hash_sample_predicate(
     return prefix < F.lit(rate_to_hex_threshold(rate))
 
 
+def hash_split(
+    key: str | Column, fractions: dict[str, float], salt: str = "split"
+) -> Column:
+    """Deterministic dataset-split assignment (train/val/test): maps
+    the md5-prefix of the salted key into cumulative-fraction hex
+    bands. Content-stable — a document keeps its split across re-runs
+    and incremental refreshes, which is what keeps eval sets
+    uncontaminated when the corpus is rebuilt. Pure projection: no
+    shuffle, no RNG.
+
+    ``fractions`` are name → fraction; they must sum to 1.0 (within
+    1/65536). Iteration order of the dict defines the band order, so
+    pass an ordered mapping (dicts preserve insertion order)."""
+    total = sum(fractions.values())
+    if not 0.999984 <= total <= 1.000016:  # 1/65536 tolerance
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    c = F.col(key) if isinstance(key, str) else key
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, _HEX_DIGITS
+    )
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = F.lit(rate_to_hex_threshold(min(cum, 1.0)))
+        expr = (
+            F.when(prefix < thr, name)
+            if expr is None
+            else expr.when(prefix < thr, name)
+        )
+    # last band absorbs the remainder so the assignment is total
+    return F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

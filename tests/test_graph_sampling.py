@@ -91,6 +91,35 @@ def test_hash_sample_deterministic_and_unbiased(spark):
     assert s10 <= s50
 
 
+def test_hash_split_total_disjoint_stable(spark):
+    from mape_calculation_and_anonymization_spark.operators.sampling import hash_split
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    out = df.withColumn(
+        "split", hash_split("k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # total: every row lands in exactly one band
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+    # stable across evaluations
+    first = {r["k"]: r["split"] for r in out.collect()}
+    again = {r["k"]: r["split"] for r in out.collect()}
+    assert first == again
+
+    with pytest.raises(ValueError):
+        hash_split("k", {"train": 0.8, "val": 0.1})  # doesn't sum to 1
+
+    # single-band degenerate case assigns everything to that band
+    one = df.withColumn("split", hash_split("k", {"all": 1.0}))
+    assert one.filter(F.col("split") == "all").count() == 20000
+
+
 def test_stratified_sample_rates(spark):
     df = (
         spark.range(30000)
