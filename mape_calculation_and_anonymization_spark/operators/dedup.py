@@ -482,55 +482,91 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-@F.pandas_udf(T.LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens.
+def make_simhash64_udf(shingle_n: int = 1):
+    """Build a 64-bit SimHash pandas UDF over word ``shingle_n``-gram
+    feature sets (``shingle_n=1`` = whitespace tokens).
+
+    Feature space matters as much as the hash: over a templated corpus
+    unigram feature sets overlap broadly even between unrelated
+    documents, which saturates the signature (measured 473k pairs at
+    Hamming ≤ 3 over the 20k-doc sf0.1 twin corpus — vocabulary, not
+    duplication). Word 3-grams require shared PHRASING, the actual
+    near-dup signal, and keep the bucket join answer-sized — the same
+    space the MinHash/Jaccard paths shingle into.
 
     Python is justified here: the per-bit weighted-majority needs 64
     bitplane accumulations per document, which as built-in expressions
     would be a 64-branch aggregate per row (codegen blowup measured in
     the MAPE pipeline). Vectorized numpy over Arrow batches instead.
-    Deterministic: token hash = blake2b-8byte (stable across runs,
+    Deterministic: feature hash = blake2b-8byte (stable across runs,
     unlike Python's salted hash()).
     """
-    import hashlib
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
 
-    import numpy as np
-    import pandas as pd
+    @F.pandas_udf(T.LongType())
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
 
-    # token → 64 unpacked hash bits, memoized across the batch (real
-    # corpora have far fewer distinct tokens than token instances)
-    memo: dict[str, "np.ndarray"] = {}
-    shifts = np.arange(64, dtype=np.uint64)
+        import numpy as np
+        import pandas as pd
 
-    def bits_of(tok: str) -> "np.ndarray":
-        b = memo.get(tok)
-        if b is None:
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        # feature → 64 unpacked hash bits, memoized across the batch
+        # (real corpora have far fewer distinct features than feature
+        # instances, and templated near-dups share almost all of them)
+        memo: dict[str, "np.ndarray"] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def bits_of(feat: str) -> "np.ndarray":
+            b = memo.get(feat)
+            if b is None:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(feat.encode(), digest_size=8).digest(),
+                        "big",
+                    )
                 )
-            )
-            b = ((h >> shifts) & np.uint64(1)).astype(np.int32)
-            memo[tok] = b
-        return b
+                b = ((h >> shifts) & np.uint64(1)).astype(np.int32)
+                memo[feat] = b
+            return b
 
-    def one(text):
-        if text is None:
-            return None
-        toks = set(text.lower().split())
-        if not toks:
-            return 0
-        votes = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            votes += bits_of(t)
-        votes = votes * 2 - len(toks)  # (+1/-1 majority per bitplane)
-        sim = 0
-        for i in np.nonzero(votes > 0)[0]:
-            sim |= 1 << int(i)
-        return sim - (1 << 64) if sim >= (1 << 63) else sim  # signed long
+        def features(text: str) -> set:
+            toks = text.lower().split()
+            if shingle_n == 1 or len(toks) < shingle_n:
+                # short docs: whole text as one feature, mirroring
+                # word_ngrams' short-document behavior
+                if shingle_n > 1:
+                    return {" ".join(toks)} if toks else set()
+                return set(toks)
+            return {
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            }
 
-    return pd.Series([one(t) for t in texts])
+        def one(text):
+            if text is None:
+                return None
+            feats = features(text)
+            if not feats:
+                return 0
+            votes = np.zeros(64, dtype=np.int64)
+            for t in feats:
+                votes += bits_of(t)
+            votes = votes * 2 - len(feats)  # (+1/-1 majority per bitplane)
+            sim = 0
+            for i in np.nonzero(votes > 0)[0]:
+                sim |= 1 << int(i)
+            return sim - (1 << 64) if sim >= (1 << 63) else sim  # signed long
+
+        return pd.Series([one(t) for t in texts])
+
+    return _simhash64
+
+
+# token-level instance (the historical surface; tests pin its digest
+# behavior) — near-dup detection should prefer the 3-gram space via
+# simhash_near_duplicates' default
+simhash64_udf = make_simhash64_udf(1)
 
 
 def simhash_near_duplicates(
@@ -539,6 +575,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int | None = None,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """SimHash near-dup: by pigeonhole, two signatures within Hamming
     distance ``chunks-1`` share at least one identical chunk — so
@@ -548,6 +585,10 @@ def simhash_near_duplicates(
     guaranteed recall). Narrow chunks mean bigger buckets — keep
     max_hamming small (≤3 typical) at corpus scale, where 4 chunks of
     16 bits keep bucket-join fan-out tiny.
+
+    ``shingle_n=3`` hashes word-3-gram feature sets (shared PHRASING);
+    pass 1 for the historical unigram space — see make_simhash64_udf
+    for why unigrams saturate on templated corpora.
     """
     if chunks is None:
         chunks = min(64, max_hamming + 1)
@@ -559,8 +600,14 @@ def simhash_near_duplicates(
     offsets = [sum(widths[:j]) for j in range(chunks)]
     # the pandas-UDF signature is the hot loop — parallelize a coarse
     # scan before shipping Arrow batches to the Python workers
-    sigs = ensure_min_partitions(docs).select(
-        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sim")
+    sig_udf = make_simhash64_udf(shingle_n)
+    # materialize the signature table (id + one long per doc — tiny):
+    # both sides of the bucket self-join consume it, and without the
+    # barrier each side would re-run the pandas-UDF projection
+    sigs = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sim"))
+        .localCheckpoint(eager=True)
     )
     def _chunk(j: int):
         c = F.shiftrightunsigned(F.col("sim"), offsets[j])
