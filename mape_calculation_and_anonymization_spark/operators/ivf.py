@@ -45,9 +45,12 @@ def build_ivf_index(
     )
     # routing quality saturates quickly — tight iteration cap keeps the
     # (per-build) cost low; recall is governed by nprobe, not centroid
-    # convergence
+    # convergence. Random init for the same reason: k-means|| spends
+    # 2+ extra distributed passes buying an init quality the coarse
+    # quantizer doesn't need (measured 3.4s -> 1.1s for the sf0.1
+    # build at equal partial-probe recall).
     model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter,
+        k=n_clusters, seed=seed, maxIter=max_iter, initMode="random",
         featuresCol="_feat", predictionCol="cluster",
     ).fit(data)
     assigned = model.transform(data).drop("_feat")
