@@ -206,7 +206,12 @@ def embedding_near_duplicates(
     dim = dim_row["d"]
 
     base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    b = _bucketed(base, "_v", n_tables, n_bits, dim, seed)
+    # materialize the bucket table: both sides of the self-join consume
+    # it, and without the barrier each side re-runs the Arrow-batched
+    # hyperplane matmul (n_tables rows per vector — linear in corpus)
+    b = _bucketed(base, "_v", n_tables, n_bits, dim, seed).localCheckpoint(
+        eager=True
+    )
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(
