@@ -4931,6 +4931,284 @@ def _split_oracle() -> str:
 _SPLIT_ORACLE = _split_oracle()
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts of
+    (previous event_type → event_type) steps per user timeline — the
+    Markov-chain summary behind funnel and churn models. One
+    user-partitioned lag window (per-user history is bounded) feeding
+    one hash aggregate over a 25-cell key space."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH steps AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    )
+    SELECT prev_type, next_type, COUNT(*) AS n_steps
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
+
+def _q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join on entity names (edit distance ≤ 1):
+    the entity-resolution primitive for dirty dimension data. NOT
+    all-pairs — candidates come from an equi-join on a blocking key
+    (name length + all-but-last-3 prefix), so the quadratic blowup is
+    confined to same-block groups and the join stays a hash join on
+    the block key; levenshtein verifies candidates only. The probe
+    side is capped to custkeys < 200 to keep the audit output
+    answer-sized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.length("c_name").alias("_l"),
+        F.expr("substr(c_name, 1, length(c_name) - 3)").alias("_blk"),
+    )
+    a = cust.filter(F.col("c_custkey") < 200).alias("a")
+    b = cust.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._l") == F.col("b._l"),
+                F.col("a._blk") == F.col("b._blk"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+_FUZZY_ORACLE = """
+    WITH c AS (
+        SELECT c_custkey, c_name, length(c_name) AS l,
+               substr(c_name, 1, length(c_name) - 3) AS blk
+        FROM customer
+    )
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a JOIN c b
+      ON a.l = b.l AND a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 200 AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key between two table
+    versions as unchanged / changed / deleted and count each class —
+    the validation step after any CDC replay or backfill. The 'new'
+    snapshot is derived deterministically (drop keys ≡0 mod 101,
+    reprice keys ≡0 mod 97); the diff itself is one full outer join
+    on the key followed by a CASE classification, no row ever leaves
+    the executors."""
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price_old")
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                F.round(F.col("price_old") * 1.1, 2),
+            )
+            .otherwise(F.col("price_old"))
+            .alias("price_new"),
+        )
+    )
+    classified = old.join(new, "o_orderkey", "full_outer").select(
+        F.when(F.col("price_new").isNull(), "deleted")
+        .when(F.col("price_old") != F.col("price_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return classified.groupBy("change").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH old AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price_old FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN ROUND(price_old * 1.1, 2)
+                    ELSE price_old END AS price_new
+        FROM old WHERE o_orderkey % 101 <> 0
+    )
+    SELECT CASE WHEN new.price_new IS NULL THEN 'deleted'
+                WHEN old.price_old <> new.price_new THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           COUNT(*) AS n_keys
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    GROUP BY 1
+"""
+
+
+def _q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the (lang × source)
+    contingency table — the association check behind corpus-mix
+    monitoring. Observed cell counts are one hash aggregate; expected
+    counts come from broadcast row/column marginals; the final sum
+    collapses a bounded cell space (|langs|×|sources|), so every join
+    here is a broadcast of a marginal-sized table."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    col_tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                F.pow(
+                    F.col("o") - F.col("rt") * F.col("ct") / F.col("n"),
+                    F.lit(2.0),
+                )
+                / (F.col("rt") * F.col("ct") / F.col("n"))
+            ).alias("contrib")
+        )
+    )
+    dof = (
+        row_tot.count() - 1
+    ) * (col_tot.count() - 1)  # marginal-sized dimension counts
+    return cells.agg(
+        F.round(F.sum("contrib"), 4).alias("chi2"),
+        F.lit(dof).cast("long").alias("dof"),
+    )
+
+
+_CHI2_ORACLE = """
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, COUNT(*) AS rt FROM documents GROUP BY 1),
+    ct AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT ROUND(SUM(POW(obs.o - rt.rt * ct.ct / n.n, 2)
+                     / (rt.rt * ct.ct / n.n)), 4) AS chi2,
+           (SELECT (COUNT(DISTINCT lang) - 1) FROM documents)
+             * (SELECT (COUNT(DISTINCT source) - 1) FROM documents) AS dof
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+"""
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan: null count, distinct count, and
+    string-cast min/max for each profiled column as conditional
+    aggregates over a single pass, unpivoted with stack() — the
+    schema-drift monitor a lake ingest runs per drop. Never
+    one-job-per-column."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " AS (column, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+_PROFILE_ORACLE = """
+    SELECT 'o_orderstatus' AS "column",
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+           MAX(CAST(o_orderstatus AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(CAST(o_orderpriority AS VARCHAR)),
+           MAX(CAST(o_orderpriority AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           MIN(CAST(o_custkey AS VARCHAR)),
+           MAX(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_totalprice),
+           MIN(CAST(o_totalprice AS VARCHAR)),
+           MAX(CAST(o_totalprice AS VARCHAR))
+    FROM orders
+"""
+
+
+def _q_fixed_size_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample (exactly 20 docs per
+    language): rank rows inside each group by a salted md5 of the key
+    and keep the top-20 — the distributed, content-stable equivalent
+    of per-stratum reservoir sampling (same rows on every re-run and
+    in any engine). Rate-based sampling (``stratified_sample``) can't
+    promise exact group sizes; this can. The window partitions by
+    lang and orders by a hash — no global sort, and the rank is
+    group-local."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rank_key = F.md5(F.concat(F.lit("fs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        docs.withColumn("rank_in_lang", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_lang") <= 20)
+        .select("lang", "rank_in_lang", "doc_id")
+    )
+
+
+_FIXED_SAMPLE_ORACLE = """
+    SELECT lang, rank_in_lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('fs:', CAST(doc_id AS VARCHAR))),
+                            doc_id
+               ) AS rank_in_lang
+        FROM documents
+    )
+    WHERE rank_in_lang <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5035,6 +5313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_event_history": _q_scd2_event_history,
         "trend_slope_by_type": _q_trend_slope_by_type,
         "train_val_test_split": _q_train_val_test_split,
+        "event_transitions": _q_event_transitions,
+        "fuzzy_name_match": _q_fuzzy_name_match,
+        "snapshot_diff": _q_snapshot_diff,
+        "lang_source_chi2": _q_lang_source_chi2,
+        "profile_orders": _q_profile_orders,
+        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
         "stream_session_windows": _q_stream_session_windows,
         # jaccard_pairs precedes clusters so the memoized pair
         # derivation's cost attributes to the query that owns it
@@ -5208,6 +5492,12 @@ def oracle_sql() -> dict[str, str]:
         "scd2_event_history": _SCD2_ORACLE,
         "trend_slope_by_type": _TREND_ORACLE,
         "train_val_test_split": _SPLIT_ORACLE,
+        "event_transitions": _TRANSITIONS_ORACLE,
+        "fuzzy_name_match": _FUZZY_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "lang_source_chi2": _CHI2_ORACLE,
+        "profile_orders": _PROFILE_ORACLE,
+        "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -293,3 +293,36 @@ def test_decile_single_partition_only_post_aggregate(spark):
     plan = physical_plan(df)
     assert plan.count("Exchange SinglePartition") == 1
     assert re.search(r"Exchange hashpartitioning\(user_id", plan)
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    # the df table (<= n_query_terms rows) and the corpus stats scalar
+    # are the provably tiny sides — both must broadcast; the tf⋈dl
+    # join is data-dependent and stays AQE-planned
+    df = e._q_bm25_search(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_fuzzy_match_blocked_never_cartesian(spark):
+    # the blocking key turns the fuzzy self-join into an equi join;
+    # a cartesian (or broadcast nested loop) here would be the
+    # all-pairs shape that cannot scale
+    df = e._q_fuzzy_name_match(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_orders_single_scan(spark):
+    # all per-column stats fuse into ONE aggregate over ONE scan —
+    # never one job per profiled column
+    df = e._q_profile_orders(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("orders.parquet") == 1
+
+
+def test_chi2_broadcasts_marginals(spark):
+    df = e._q_lang_source_chi2(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastExchange") >= 3  # row/col marginals + n
