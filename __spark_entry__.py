@@ -5209,6 +5209,50 @@ _FIXED_SAMPLE_ORACLE = """
 """
 
 
+def _q_stream_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the Spark 4 arbitrary-state API):
+    per-user running totals in a ValueState plus a MapState acting as
+    the distinct-event-type set. The final update per user equals the
+    batch aggregate — which is exactly what the oracle recomputes.
+
+    NOT in the registry: the API's state-server handshake imports
+    protobuf (StateMessage_pb2), absent from this container; see
+    streaming/stateful.py:user_activity_totals. Kept callable for
+    protobuf-equipped environments and exercised by the skip-gated
+    test in tests/test_ivf_stateful.py."""
+    from pyspark.sql import Window as W
+
+    from mape_calculation_and_anonymization_spark.streaming.stateful import (
+        user_activity_totals,
+    )
+
+    out = run_stream_to_memory(
+        user_activity_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+        shuffle_partitions=8,
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = out.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        "n_distinct_types",
+        F.round("volume", 6).alias("volume"),
+    )
+
+
+_STREAM_USER_ACTIVITY_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_distinct_types,
+           ROUND(SUM(value), 6) AS volume
+    FROM events
+    GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5319,6 +5363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "profile_orders": _q_profile_orders,
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
+        # stream_user_activity (transformWithStateInPandas) is NOT
+        # registered: the Spark 4 arbitrary-state API needs the
+        # protobuf wheel, which this container lacks (state-server
+        # handshake imports StateMessage_pb2). The operator ships
+        # import-gated in streaming/stateful.py with a skip-gated
+        # test; applyInPandasWithState (stream_stateful_wape) covers
+        # the custom-stateful slot in this environment.
         "stream_session_windows": _q_stream_session_windows,
         # jaccard_pairs precedes clusters so the memoized pair
         # derivation's cost attributes to the query that owns it
