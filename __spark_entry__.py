@@ -5253,6 +5253,118 @@ _STREAM_USER_ACTIVITY_ORACLE = """
 """
 
 
+def _q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: per-document average add-one-smoothed
+    bigram log-probability under the corpus's own bigram model — the
+    cheap statistical stand-in for perplexity filtering in a training
+    pipeline (templated/duplicated text scores high, noise scores low).
+
+    Two count tables (unigram, bigram) built by explode→hash-agg with
+    map-side partials; the per-doc scoring join shuffles on the bigram
+    then the first-word key — both data-proportional hash joins, with
+    only the vocabulary-size scalar broadcast. No UDFs anywhere."""
+    from mape_calculation_and_anonymization_spark.operators.text import word_bigrams
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.trim("text") != "")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w1"),
+    ).filter(F.length("w1") > 0)
+    c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    bg_doc = docs.select(
+        "doc_id", F.explode(word_bigrams("text")).alias("bg")
+    ).withColumn("w1", F.split("bg", " ")[0])
+    c2 = bg_doc.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg_doc.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+_BIGRAM_LM_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    t AS (
+        SELECT doc_id, unnest(w) AS w1 FROM tok
+    ),
+    c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM t WHERE len(w1) > 0 GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg, w[i] AS w1
+        FROM tok, UNNEST(range(1, len(w))) AS u(i)
+    ),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS avg_logprob
+    FROM bg
+    JOIN c2 USING (bg)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+"""
+
+
+def _q_anomaly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma anomaly screen per event type: global per-type moments
+    (one hash aggregate over a 5-key space) broadcast back against the
+    stream, conditional count of out-of-band values. The moments side
+    is type-universe-sized BY CONSTRUCTION — the broadcast is provably
+    bounded no matter the fact-table size."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("value") - F.col("mu")) > F.lit(3.0) * F.col("sigma")
+        ).alias("is_anomaly"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+    )
+
+
+_ANOMALY_ORACLE = """
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - s.mu) > 3.0 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5363,6 +5475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "profile_orders": _q_profile_orders,
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
+        "bigram_logprob_scores": _q_bigram_logprob_scores,
+        "anomaly_counts": _q_anomaly_counts,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server
@@ -5549,6 +5663,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": _CHI2_ORACLE,
         "profile_orders": _PROFILE_ORACLE,
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,
+        "bigram_logprob_scores": _BIGRAM_LM_ORACLE,
+        "anomaly_counts": _ANOMALY_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
