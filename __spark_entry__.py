@@ -5365,6 +5365,106 @@ _ANOMALY_ORACLE = """
 """
 
 
+def _evolving_fixture_path(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"evolving_{_source_token(sf_dir, 'documents')}"
+    )
+
+
+def _q_s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — schema-evolution read over an append-only
+    lake dir: drop v1 (doc_id, lang) and a later, WIDER drop v2
+    (+n_chars) land side by side; ``mergeSchema`` reads them as one
+    frame with NULLs where v1 predates the column. The oracle reads
+    the SOURCE table and re-derives both drops' contribution, so a
+    sink/reader corruption cannot self-validate."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        read_parquet_merged,
+    )
+
+    path = _evolving_fixture_path(sf_dir)
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    if not os.path.isdir(path):
+        write_parquet_snappy(
+            base.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+            os.path.join(path, "drop=v1"),
+        )
+        write_parquet_snappy(
+            base.filter(F.col("doc_id") % 2 == 1),
+            os.path.join(path, "drop=v2"),
+        )
+    merged = read_parquet_merged(spark, path)
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_S6_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+               AS total_chars
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def _compacted_fixture_path(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"compacted_{_source_token(sf_dir, 'events')}"
+    )
+
+
+def _q_k4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension — small-file compaction: land an
+    intentionally fragmented table (16 part files), compact it to 2
+    with ``sinks.compact_parquet`` (coalesce — no shuffle), read back
+    and aggregate. The oracle re-derives from the SOURCE events, so
+    the row proves compaction preserved content exactly; the file-
+    count drop itself is pinned by the unit test."""
+    import glob
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    path = _compacted_fixture_path(sf_dir)
+    if not os.path.isdir(path):
+        (
+            load_events(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .repartition(16)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
+        compact_parquet(spark, path, target_partitions=2)
+        assert len(glob.glob(os.path.join(path, "part-*.parquet"))) <= 2
+    df = spark.read.parquet(path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_K4_ORACLE = """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5477,6 +5577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
         "bigram_logprob_scores": _q_bigram_logprob_scores,
         "anomaly_counts": _q_anomaly_counts,
+        "s6_schema_evolution": _q_s6_schema_evolution,
+        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server
@@ -5665,6 +5767,8 @@ def oracle_sql() -> dict[str, str]:
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,
         "bigram_logprob_scores": _BIGRAM_LM_ORACLE,
         "anomaly_counts": _ANOMALY_ORACLE,
+        "s6_schema_evolution": _S6_ORACLE,
+        "k4_compaction_roundtrip": _K4_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

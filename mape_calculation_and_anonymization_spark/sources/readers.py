@@ -76,6 +76,23 @@ def read_jsonl(
     return lowercase_columns(df) if lowercase else df
 
 
+def read_parquet_merged(
+    spark: SparkSession, path: str, lowercase: bool = False
+) -> DataFrame:
+    """Schema-evolution parquet scan: ``mergeSchema`` unions the
+    footers of every drop under ``path``, so a dataset whose later
+    drops ADDED columns reads as one frame (old drops yield NULL for
+    the new columns) — the append-only lake layout where each
+    ingestion wave may carry a wider schema.
+
+    Costs a footer read per file at planning (not a data scan); at
+    100 TB prefer declaring the superset schema explicitly via
+    ``spark.read.schema(...)`` and leave mergeSchema for exploration
+    or migration backfills."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return lowercase_columns(df) if lowercase else df
+
+
 def latest_partition(input_directory: str) -> str:
     """S3 — newest lexicographic child folder (``YYYY-MM-DD`` sorts
     correctly as text). Driver-side single listing, O(#folders) —

