@@ -5465,6 +5465,116 @@ _K4_ORACLE = """
 """
 
 
+def _versioned_fixture_path(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"versioned_{_source_token(sf_dir, 'orders')}"
+    )
+
+
+def _q_k5_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension — versioned snapshots with time travel
+    (sinks.write_versioned / read_versioned): v0 is the orders price
+    table, v1 reprices keys ≡0 mod 97 by +5%; the query reads BOTH
+    committed versions back through the manifest and returns each
+    version's audit row. The manifest rename is the commit point, so
+    a reader never sees a half-written snapshot. Oracle re-derives
+    both versions' aggregates from the SOURCE table."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.sinks import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = _versioned_fixture_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_manifest.json")):
+        v0 = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        write_versioned(v0, path)
+        v1 = v0.select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.round(F.col("price") * 1.05, 2)
+            )
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        write_versioned(v1, path)
+    out = []
+    for v in (0, 1):
+        out.append(
+            read_versioned(spark, path, version=v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("price"), 2).alias("total_price"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+_K5_ORACLE = """
+    SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS total_price
+    FROM orders
+    UNION ALL
+    SELECT 1, COUNT(*),
+           ROUND(SUM(CASE WHEN o_orderkey % 97 = 0
+                          THEN ROUND(ROUND(o_totalprice, 2) * 1.05, 2)
+                          ELSE ROUND(o_totalprice, 2) END), 2)
+    FROM orders
+"""
+
+
+def _zorder_fixture_path(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"zorder_{_source_token(sf_dir, 'events')}"
+    )
+
+
+def _q_k6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension — Z-ordered layout (operators/layout.py):
+    events written clustered on the interleaved (user_id, day) Morton
+    key, then scanned with a user_id predicate. The multi-dimensional
+    sort tightens per-row-group min/max spans for BOTH columns, so
+    parquet data skipping prunes most row groups for either
+    predicate (span tightening pinned by the unit test); the oracle
+    re-derives the filtered aggregate from the SOURCE table, proving
+    the layout rewrite preserved content."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.layout import (
+        zorder_write,
+    )
+
+    path = _zorder_fixture_path(sf_dir)
+    if not os.path.isdir(path):
+        ev = load_events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "value",
+            F.dayofmonth("ts").cast("long").alias("day"),
+        )
+        zorder_write(ev, path, cols=["user_id", "day"], bits=8, n_files=8)
+    df = spark.read.parquet(path).filter(F.col("user_id") < 15)
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_K6_ORACLE = """
+    SELECT EXTRACT(day FROM make_timestamp(epoch_ns(ts) // 1000)) AS day,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE user_id < 15
+    GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5579,6 +5689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_counts": _q_anomaly_counts,
         "s6_schema_evolution": _q_s6_schema_evolution,
         "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,
+        "k5_time_travel": _q_k5_time_travel,
+        "k6_zorder_scan": _q_k6_zorder_scan,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server
@@ -5769,6 +5881,8 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_counts": _ANOMALY_ORACLE,
         "s6_schema_evolution": _S6_ORACLE,
         "k4_compaction_roundtrip": _K4_ORACLE,
+        "k5_time_travel": _K5_ORACLE,
+        "k6_zorder_scan": _K6_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -129,3 +129,53 @@ def write_excel_workbook(filepath: str, **sheets: DataFrame) -> str:
         pdf.to_csv(csv_path, index=False)
         first = first or csv_path
     return first
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Versioned snapshot write (time travel): each call lands a full
+    snapshot under ``<path>/v=<N>/`` and then atomically points the
+    JSON manifest at it — the minimal form of the lake-table pattern
+    (Delta/Iceberg) where readers never see a half-written version:
+    the manifest rename is the commit.
+
+    Returns the version number written. Single-writer discipline (like
+    the reference's key-table append); concurrent writers need a real
+    table format's conditional commit.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    manifest = os.path.join(path, "_manifest.json")
+    current = -1
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            current = json.load(fh)["version"]
+    version = current + 1
+    df.write.mode("overwrite").option("compression", "snappy").parquet(
+        os.path.join(path, f"v={version}")
+    )
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, manifest)  # the commit point
+    return version
+
+
+def read_versioned(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: ``version=None`` reads the manifest's current
+    snapshot; an explicit version reads that historical snapshot. A
+    version never committed (no manifest entry reached it) raises."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "_manifest.json")
+    with open(manifest) as fh:
+        current = json.load(fh)["version"]
+    if version is None:
+        version = current
+    if not 0 <= version <= current:
+        raise ValueError(
+            f"version {version} not in committed range [0, {current}]"
+        )
+    return spark.read.parquet(os.path.join(path, f"v={version}"))

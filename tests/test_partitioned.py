@@ -112,3 +112,91 @@ def test_read_parquet_merged_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert len(rows) == 10
     assert rows[0] is None and rows[7] == 14
+
+
+def test_zvalue_interleaves_bits(spark):
+    from mape_calculation_and_anonymization_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 0), (0, 3), (3, 3)], ["x", "y"]
+    )
+    got = [
+        r["z"]
+        for r in df.select(zvalue(["x", "y"], bits=2).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # x at even bit positions, y at odd: (0,1)->2, (0,3)->10, (1,0)->1,
+    # (3,0)->5, (3,3)->15
+    assert got == [2, 10, 1, 5, 15]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zvalue(["x", "y"], bits=32)  # 64 bits > signed long
+
+
+def test_zorder_write_tightens_rowgroup_spans(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from mape_calculation_and_anonymization_spark.operators.layout import (
+        zorder_write,
+    )
+
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.col("id") % 199).alias("a"),
+            ((F.col("id") * 7919) % 211).alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    df.repartition(8).write.parquet(plain)
+    zorder_write(df, zed, cols=["a", "b"], bits=8, n_files=8)
+
+    def avg_span(path, col):
+        import glob
+
+        spans, idx = [], None
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if idx is None:
+                names = [md.schema.column(i).name for i in range(len(md.schema))]
+                idx = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    # The round-robin layout leaves every file spanning ~the full
+    # domain of both columns; the Z layout must tighten both. The
+    # bound is 0.75, not the bit-prefix ideal (0.25/0.5 for 8 files):
+    # repartitionByRange splits on z-QUANTILES, which don't align
+    # with Morton bit boundaries, so each file straddles two prefix
+    # blocks in the worst case — still a strict span win on every
+    # participating column, which is the property skipping needs.
+    assert avg_span(zed, "a") < avg_span(plain, "a") * 0.75
+    assert avg_span(zed, "b") < avg_span(plain, "b") * 0.75
+    # content preserved
+    assert (
+        spark.read.parquet(zed).agg(F.sum("payload")).first()[0]
+        == sum(range(40_000))
+    )
+
+
+def test_versioned_write_read_time_travel(spark, tmp_path):
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.sources.sinks import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    assert write_versioned(spark.range(5), path) == 0
+    assert write_versioned(spark.range(8), path) == 1
+    assert read_versioned(spark, path).count() == 8  # current
+    assert read_versioned(spark, path, version=0).count() == 5
+    with pytest.raises(ValueError):
+        read_versioned(spark, path, version=2)
