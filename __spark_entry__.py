@@ -5575,6 +5575,112 @@ _K6_ORACLE = """
 """
 
 
+def _sentinel_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Events + a late sentinel event as two separately-committed files
+    (sentinel mtime strictly newer), so a maxFilesPerTrigger=1 stream
+    processes them as two micro-batches — the watermark-advancement
+    recipe outer joins need (streaming/windows.py:
+    stream_stream_left_outer_join)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    path = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"sentinel_stream_{_source_token(sf_dir, 'events')}"
+    )
+    if os.path.isdir(os.path.join(path, "all")):
+        return os.path.join(path, "all")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "b1"))
+    mx = ev.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=6), -1, "sentinel", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "b2"))
+    tmp = os.path.join(path, "all.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(path, "b1", "part-*.parquet")))
+    ):
+        shutil.copy(f, os.path.join(tmp, f"a{i}.parquet"))
+    time.sleep(1.1)  # mtime granularity: sentinel must sort strictly later
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(path, "b2", "part-*.parquet")))
+    ):
+        shutil.copy(f, os.path.join(tmp, f"b{i}.parquet"))
+    os.rename(tmp, os.path.join(path, "all"))
+    return os.path.join(path, "all")
+
+
+def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch-identical: every
+    purchase paired with same-user clicks from the preceding hour, and
+    purchases with NO such click emit a NULL-click row. Outer rows
+    only emit once the watermark proves no match can arrive, so the
+    source is rate-limited to two micro-batches and a sentinel event
+    past max(ts)+watermark+interval flows through BOTH sides to push
+    the final watermark beyond every real row's expiry; the sentinel
+    is filtered from the output. State stays bounded by
+    watermark+interval exactly as in the inner-join query."""
+    from mape_calculation_and_anonymization_spark.streaming import (
+        stream_stream_left_outer_join,
+    )
+
+    src = _sentinel_stream_fixture(spark, sf_dir)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+
+    purchases = stream().filter(
+        F.col("event_type").isin("purchase", "sentinel")
+    )
+    clicks = stream().filter(F.col("event_type").isin("click", "sentinel"))
+    joined = stream_stream_left_outer_join(
+        purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
+    )
+    out = run_stream_to_memory(joined, shuffle_partitions=8)
+    return out.filter(F.col("l_id") >= 0).select(
+        F.col("l_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_id").alias("click_id"),
+    )
+
+
+_STREAM_OUTER_JOIN_ORACLE = """
+    WITH p AS (
+        SELECT event_id, user_id,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5691,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,
         "k5_time_travel": _q_k5_time_travel,
         "k6_zorder_scan": _q_k6_zorder_scan,
+        "stream_outer_join": _q_stream_outer_join,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server
@@ -5883,6 +5990,7 @@ def oracle_sql() -> dict[str, str]:
         "k4_compaction_roundtrip": _K4_ORACLE,
         "k5_time_travel": _K5_ORACLE,
         "k6_zorder_scan": _K6_ORACLE,
+        "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

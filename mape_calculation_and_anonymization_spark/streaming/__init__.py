@@ -9,6 +9,7 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
     sliding_event_counts,
     stateful_distinct_users,
     stream_stream_interval_join,
+    stream_stream_left_outer_join,
     streaming_hourly_wape,
     user_session_windows,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_hourly_wape",
     "sliding_event_counts",
     "stream_stream_interval_join",
+    "stream_stream_left_outer_join",
     "user_session_windows",
     "stateful_distinct_users",
     "stream_key_table_upsert",

@@ -291,3 +291,49 @@ def stream_static_enrich(
     return agg.select(
         F.col("w.start").alias("window_start"), "tier", "n_events", "volume"
     )
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    interval: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: like
+    :func:`stream_stream_interval_join`, but unmatched left events
+    emit a NULL-right row once the watermark proves no match can
+    still arrive.
+
+    Outer emission timing is the subtle part: Spark emits the NULL
+    rows only in a micro-batch AFTER the watermark has passed the
+    left row's state-expiry bound. Under Trigger.AvailableNow with
+    everything in one batch, the final watermark never advances past
+    the newest events and their outer rows are silently withheld.
+    Callers who need BATCH-IDENTICAL results must (a) rate-limit the
+    source so at least two micro-batches run (maxFilesPerTrigger=1)
+    and (b) append a late SENTINEL event, beyond max(ts) + watermark
+    + interval, flowing through BOTH sides, so the final watermark
+    passes every real row's expiry — then filter the sentinel out of
+    the result. See the stream_outer_join registry query for the
+    full recipe."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (l.l_key == r.r_key)
+        & (r.r_ts >= l.l_ts - F.expr(interval))
+        & (r.r_ts <= l.l_ts)
+    )
+    return l.join(r, cond, "left_outer").select(
+        F.col("l_id"),
+        F.col("l_key").alias(on),
+        F.col("r_id"),
+    )
