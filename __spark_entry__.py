@@ -5681,6 +5681,132 @@ _STREAM_OUTER_JOIN_ORACLE = """
 """
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over a co-occurrence graph — the
+    classic multi-way self-join benchmark shape. Edges: user pairs
+    with same-typed events in the same minute (sparse at minute
+    grain); triangles: the ordered three-way edge join
+    e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) with u<v<w, which counts each
+    triangle exactly once and keeps every join an equi hash join.
+    The edge list is materialized once (three consumers); at 100 TB
+    the u<v<w orientation is what bounds the join fan-out — each edge
+    participates only in its orientation class, never 6 permutations."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("m"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("a.m") == F.col("b.m"),
+                F.col("a.user_id") < F.col("b.user_id"),
+            ],
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    e1 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = edges.select(F.col("u").alias("t_v"), F.col("v").alias("t_w"))
+    e3 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_w"))
+    tri = e1.join(e2, "t_v").join(e3, ["t_u", "t_w"])
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               date_trunc('minute', make_timestamp(epoch_ns(ts) // 1000)) AS m
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM e a
+        JOIN e b ON a.event_type = b.event_type AND a.m = b.m
+                AND a.user_id < b.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*)
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+"""
+
+
+def _q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: hours from each user's first
+    signup to their first subsequent purchase, summarized per signup
+    week as count + exact median/p90 — the funnel-latency report
+    behind activation dashboards. Two per-user min-aggregates, a
+    dimension-sized join, then exact percentiles per week bucket
+    (week cardinality-bounded)."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        s.join(p, "user_id")
+        .filter(F.col("p_ts") >= F.col("s_ts"))
+        .select(
+            F.weekofyear("s_ts").cast("long").alias("signup_week"),
+            (
+                (
+                    F.col("p_ts").cast("double")
+                    - F.col("s_ts").cast("double")
+                )
+                / 3600.0
+            ).alias("hours"),
+        )
+    )
+    return lat.groupBy("signup_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("median_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+    )
+
+
+_TIME_TO_CONVERT_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM ev
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lat AS (
+        SELECT CAST(weekofyear(s_ts) AS BIGINT) AS signup_week,
+               (epoch(p_ts) - epoch(s_ts)) / 3600.0 AS hours
+        FROM s JOIN p USING (user_id)
+        WHERE p_ts >= s_ts
+    )
+    SELECT signup_week,
+           COUNT(*) AS n_users,
+           ROUND(quantile_cont(hours, 0.5), 4) AS median_hours,
+           ROUND(quantile_cont(hours, 0.9), 4) AS p90_hours
+    FROM lat
+    GROUP BY signup_week
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5798,6 +5924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_time_travel": _q_k5_time_travel,
         "k6_zorder_scan": _q_k6_zorder_scan,
         "stream_outer_join": _q_stream_outer_join,
+        "triangle_count": _q_triangle_count,
+        "time_to_convert": _q_time_to_convert,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server
@@ -5991,6 +6119,8 @@ def oracle_sql() -> dict[str, str]:
         "k5_time_travel": _K5_ORACLE,
         "k6_zorder_scan": _K6_ORACLE,
         "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
+        "triangle_count": _TRIANGLE_ORACLE,
+        "time_to_convert": _TIME_TO_CONVERT_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
