@@ -5807,6 +5807,38 @@ _TIME_TO_CONVERT_ORACLE = """
 """
 
 
+def _q_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the minute-grain co-occurrence graph (the same
+    edge derivation as triangle_count): top-20 users by influence.
+    Rows-only by design — grouped aggregation inside recursion is
+    outside portable SQL; the power-iteration semantics are pinned
+    against numpy in tests/test_graph_sampling.py."""
+    from mape_calculation_and_anonymization_spark.operators.graph import pagerank
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("a.m") == F.col("b.m"),
+                F.col("a.user_id") < F.col("b.user_id"),
+            ],
+        )
+        .select(F.col("a.user_id").alias("id_a"), F.col("b.user_id").alias("id_b"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=10)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5926,6 +5958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join": _q_stream_outer_join,
         "triangle_count": _q_triangle_count,
         "time_to_convert": _q_time_to_convert,
+        # rows-only (iterative; numpy-pinned): joins the
+        # x5/minhash/simhash/embedding/multimodal_features class
+        "pagerank_influencers": _q_pagerank_influencers,
         # stream_user_activity (transformWithStateInPandas) is NOT
         # registered: the Spark 4 arbitrary-state API needs the
         # protobuf wheel, which this container lacks (state-server

@@ -117,3 +117,59 @@ def duplicate_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list (each edge contributes
+    both directions), fixed iteration count. Returns (id, rank);
+    ranks over all nodes sum to ~1.
+
+    Same distributed shape as :func:`connected_components`: the
+    symmetrized edge list and per-node degree are materialized once
+    (every iteration joins them), each round is one join + one hash
+    aggregate re-keyed on the destination, and localCheckpoint
+    truncates the growing lineage so round N's plan doesn't replay
+    rounds 0..N-1. Nothing node-proportional ever reaches the driver
+    — the only scalar is the node count, and the undirected graph has
+    no dangling nodes (every node has degree ≥ 1) so no dangling-mass
+    collect either. Iteration count is fixed rather than
+    residual-checked: a residual test would add a per-round scalar
+    aggregate for little benefit at the typical 10-20 rounds.
+
+    Not SQL-oracle-able (grouped aggregation inside recursion is
+    outside portable recursive CTEs); semantics pinned against a
+    numpy power-iteration in tests/test_graph_sampling.py.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()  # node-universe scalar (dimension-sized)
+    base = (1.0 - damping) / n
+    ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("u")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("id"), "rank")

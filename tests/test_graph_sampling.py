@@ -214,3 +214,34 @@ def test_fill_hourly_gaps_forward_fills(spark):
         ("a", 3): (4.0, False),
         ("b", 1): (7.0, False),
     }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from mape_calculation_and_anonymization_spark.operators.graph import pagerank
+
+    # path graph 0-1-2-3 plus a hub 4 connected to all
+    edges = [(0, 1), (1, 2), (2, 3), (4, 0), (4, 1), (4, 2), (4, 3)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=15).collect()}
+
+    # numpy reference: identical undirected semantics, same iterations
+    n, d = 5, 0.85
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        r = (1 - d) / n + d * (adj.T @ (r / deg))
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # the hub dominates
+    assert max(got, key=got.get) == 4
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
