@@ -5934,12 +5934,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "retention_cohorts": _q_retention_cohorts,
         "dq_expectations": _q_dq_expectations,
-        # ---- below the driver's 50-row window (all round-4 green or
-        # ---- rows-only by design; events_json_props /
-        # ---- stream_session_windows / dedup_jaccard_pairs /
-        # ---- dedup_clusters ceded their slots to round-5 additions
-        # ---- and join the round-6 must-refresh list; the three
-        # ---- third-wave queries below debut in round 6's window) ----
+        # ---- below the driver's 50-row window ----
+        # Round-6 window plan, in priority order:
+        #  (a) the ~20 round-5 additions below (scd2_event_history
+        #      through time_to_convert) have ONLY local/preflight
+        #      green — they debut in round 6's window;
+        #  (b) events_json_props / stream_session_windows /
+        #      dedup_jaccard_pairs / dedup_clusters ceded slots this
+        #      round (last driver row r4) and must return by round 6;
+        #  (c) x3/x4/j1/u1/dedup_exact_groups (last row r3!) are at
+        #      the rotation-hygiene limit and MUST be in round 6's 50.
+        # Everything else below is round-4-green or rows-only and
+        # stays locally gated by tests/test_oracle_parity.py.
         "scd2_event_history": _q_scd2_event_history,
         "trend_slope_by_type": _q_trend_slope_by_type,
         "train_val_test_split": _q_train_val_test_split,

@@ -39,7 +39,9 @@ def main(argv: list[str]) -> int:
     oracles = entrymod.oracle_sql()
 
     if argv and argv[0] == "--all":
-        names = [n for n in qs if n in oracles]
+        # every registry entry: oracle-backed queries get the full
+        # compare, rows-only ones the driver's weaker run-and-count
+        names = list(qs)
     elif argv:
         names = argv
     else:
