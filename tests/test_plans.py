@@ -326,3 +326,11 @@ def test_chi2_broadcasts_marginals(spark):
     df = e._q_lang_source_chi2(spark, SF)
     plan = physical_plan(df)
     assert plan.count("BroadcastExchange") >= 3  # row/col marginals + n
+
+
+def test_triangle_count_no_cartesian(spark):
+    # the ordered three-way edge join must stay equi hash joins —
+    # a cartesian/BNLJ here is the shape that cannot scale
+    df = e._q_triangle_count(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

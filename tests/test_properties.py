@@ -121,3 +121,55 @@ def test_pack_sequences_partition_invariants(spark, texts, budget):
         assert seq_id == prefix // budget
         assert n_tokens >= 0
         prefix += n_tokens
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zvalue_injective_and_bounded(spark, pairs):
+    """Morton interleave must be a bijection on its bit domain:
+    distinct (x, y) pairs map to distinct z values, and every z fits
+    in bits*2 bits."""
+    from mape_calculation_and_anonymization_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    zs = [
+        r["z"] for r in df.select(zvalue(["x", "y"], bits=8).alias("z")).collect()
+    ]
+    assert len(set(zs)) == len(pairs)  # injective
+    assert all(0 <= z < (1 << 16) for z in zs)
+
+
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.05, max_value=1.0), min_size=1, max_size=5
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_split_total_for_arbitrary_fractions(spark, fracs):
+    """Any normalized fraction vector yields a TOTAL assignment: every
+    row lands in exactly one band, band names exhaust the input."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        hash_split,
+    )
+
+    total = sum(fracs)
+    names = [f"b{i}" for i in range(len(fracs))]
+    fractions = {n: f / total for n, f in zip(names, fracs)}
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = df.withColumn("split", hash_split("k", fractions))
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 2000
+    assert set(counts) <= set(names)
