@@ -5839,6 +5839,81 @@ def _q_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance from a stream: events arrive in
+    TWO micro-batches (event_id-parity split files, rate-limited to
+    one file per trigger), and foreachBatch folds each batch's partial
+    (count, sum) per event type into a running parquet aggregate via
+    full-outer merge + atomic swap
+    (streaming/upsert.py:merge_partial_aggregate). After the drain the
+    table must equal the batch aggregate over ALL events — which is
+    exactly what the oracle recomputes; both merges carry data, so a
+    broken merge (overwrite instead of add) cannot pass."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from mape_calculation_and_anonymization_spark.streaming.upsert import (
+        stream_incremental_agg,
+    )
+
+    root = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"inc_agg_{_source_token(sf_dir, 'events')}"
+    )
+    src, table = os.path.join(root, "src"), os.path.join(root, "table")
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        )
+        for tag, pred in (("h0", 0), ("h1", 1)):
+            ev.filter(F.col("event_id") % 2 == pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, tag))
+        tmp = src + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for tag, prefix in (("h0", "a"), ("h1", "b")):
+            for i, f in enumerate(
+                sorted(glob.glob(os.path.join(root, tag, "part-*.parquet")))
+            ):
+                shutil.copy(f, os.path.join(tmp, f"{prefix}{i}.parquet"))
+            time.sleep(1.1)  # mtime order fixes batch order
+        shutil.rmtree(src, ignore_errors=True)
+        os.rename(tmp, src)
+        shutil.rmtree(table, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        try:
+            stream_incremental_agg(stream, table, key="event_type")
+        except BaseException:
+            shutil.rmtree(table, ignore_errors=True)
+            raise
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return spark.read.parquet(table).select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+_STREAM_INC_AGG_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5964,6 +6039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join": _q_stream_outer_join,
         "triangle_count": _q_triangle_count,
         "time_to_convert": _q_time_to_convert,
+        "stream_incremental_agg": _q_stream_incremental_agg,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6162,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
         "triangle_count": _TRIANGLE_ORACLE,
         "time_to_convert": _TIME_TO_CONVERT_ORACLE,
+        "stream_incremental_agg": _STREAM_INC_AGG_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

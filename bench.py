@@ -99,6 +99,7 @@ def main() -> None:
         "s6_schema_evolution", "k1_parquet_roundtrip", "k2_excel_sheets",
         "k4_compaction_roundtrip", "k5_time_travel", "k6_zorder_scan",
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
+        "stream_incremental_agg",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:

@@ -74,3 +74,90 @@ def stream_key_table_upsert(
         raise TimeoutError(
             f"key-table upsert stream did not finish within {timeout_s}s"
         )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized-view upkeep)
+# ---------------------------------------------------------------------------
+
+
+def merge_partial_aggregate(
+    batch_df: DataFrame, table_path: str, key: str = "event_type"
+) -> None:
+    """Fold one micro-batch's partial (count, sum) per key into the
+    running aggregate table — the materialized-view maintenance every
+    dashboard-serving pipeline runs instead of rescanning history.
+
+    COUNT/SUM are mergeable sketches: batch-partial + full-outer join
+    + coalesce-add is exact regardless of how rows were split across
+    batches. The rewrite is key-cardinality-sized (never the event
+    history) and lands via write-temp-then-swap so a concurrent reader
+    sees the old or new table, never a torn one. Batches arrive
+    serially per query, so read-modify-swap is single-writer."""
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    if os.path.isdir(table_path):
+        old = spark.read.parquet(table_path)
+        # Materialize before the swap: lazy plans must not read the
+        # directory we are about to replace.
+        merged = (
+            old.withColumnRenamed("n_events", "n_old")
+            .withColumnRenamed("total_value", "v_old")
+            .join(partial, on=key, how="full_outer")
+            .select(
+                key,
+                (
+                    F.coalesce("n_old", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce("v_old", F.lit(0.0))
+                    + F.coalesce("total_value", F.lit(0.0))
+                ).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        merged = partial
+    tmp = table_path.rstrip("/") + ".merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_path, ignore_errors=True)
+    shutil.move(tmp, table_path)
+
+
+def stream_incremental_agg(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str = "event_type",
+    timeout_s: int = 300,
+) -> None:
+    """Drain ``stream_df`` with Trigger.AvailableNow, merging each
+    micro-batch's partial aggregate into the running table. After the
+    stream finishes the table equals the batch aggregate over
+    everything delivered — exactness pinned by the registry oracle."""
+    import tempfile as _tf
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_partial_aggregate(batch_df, table_path, key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="inc_agg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"incremental-agg stream did not finish within {timeout_s}s"
+        )
