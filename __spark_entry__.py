@@ -5914,6 +5914,44 @@ _STREAM_INC_AGG_ORACLE = """
 """
 
 
+def _q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: clip values at the type's exact
+    [p05, p95] before averaging — the outlier-insensitive summary a
+    metrics pipeline publishes instead of the raw mean. Percentile
+    bounds are one hash aggregate over the type universe, broadcast
+    back against the stream; the clip is a pure projection."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("w"), 6).alias("winsorized_mean"),
+    )
+
+
+_WINSORIZED_ORACLE = """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6)
+               AS winsorized_mean
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6040,6 +6078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "time_to_convert": _q_time_to_convert,
         "stream_incremental_agg": _q_stream_incremental_agg,
+        "winsorized_stats": _q_winsorized_stats,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6239,6 +6278,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRIANGLE_ORACLE,
         "time_to_convert": _TIME_TO_CONVERT_ORACLE,
         "stream_incremental_agg": _STREAM_INC_AGG_ORACLE,
+        "winsorized_stats": _WINSORIZED_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
