@@ -4994,7 +4994,9 @@ def _q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("long")
+            .alias("dist"),
         )
         .filter(F.col("dist") <= 1)
     )
@@ -5007,7 +5009,7 @@ _FUZZY_ORACLE = """
         FROM customer
     )
     SELECT a.c_name AS name_a, b.c_name AS name_b,
-           levenshtein(a.c_name, b.c_name) AS dist
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
     FROM c a JOIN c b
       ON a.l = b.l AND a.blk = b.blk AND a.c_custkey < b.c_custkey
     WHERE a.c_custkey < 200 AND levenshtein(a.c_name, b.c_name) <= 1
@@ -5952,6 +5954,59 @@ _WINSORIZED_ORACLE = """
 """
 
 
+def _q_asof_tolerance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match TOLERANCE (pandas merge_asof parity):
+    like asof_join_rates, but a rate older than 30 minutes at the
+    event's timestamp is rejected — its enrichment comes back NULL.
+    The matched right timestamp rides through the windowed fill, so
+    the gap test is a pure projection; the oracle blanks the same
+    matches via a CASE over DuckDB's native ASOF join."""
+    from mape_calculation_and_anonymization_spark.operators.joins import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("zone"), "ts", "value"
+    )
+    rates = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "zone")
+        .agg(F.sum("value").alias("hourly_volume"))
+        .select("zone", F.col("w.start").alias("ts"), "hourly_volume")
+    )
+    out = asof_join(
+        ev,
+        rates,
+        on="ts",
+        by=["zone"],
+        right_cols=["hourly_volume"],
+        tolerance="30 MINUTES",
+    )
+    return out.select(
+        "event_id",
+        "zone",
+        F.round("value", 6).alias("value"),
+        F.round("hourly_volume", 6).alias("hourly_volume"),
+    )
+
+
+_ASOF_TOLERANCE_ORACLE = """
+    WITH e AS (
+        SELECT event_id, event_type AS zone,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        FROM events
+    ),
+    rates AS (
+        SELECT zone, date_trunc('hour', ts) AS hr,
+               SUM(value) AS hourly_volume
+        FROM e GROUP BY zone, date_trunc('hour', ts)
+    )
+    SELECT e.event_id, e.zone, ROUND(e.value, 6) AS value,
+           CASE WHEN e.ts - r.hr <= INTERVAL 30 MINUTE
+                THEN ROUND(r.hourly_volume, 6) END AS hourly_volume
+    FROM e
+    ASOF LEFT JOIN rates r
+      ON e.zone = r.zone AND e.ts >= r.hr
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6079,6 +6134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_convert": _q_time_to_convert,
         "stream_incremental_agg": _q_stream_incremental_agg,
         "winsorized_stats": _q_winsorized_stats,
+        "asof_tolerance_rates": _q_asof_tolerance_rates,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6279,6 +6335,7 @@ def oracle_sql() -> dict[str, str]:
         "time_to_convert": _TIME_TO_CONVERT_ORACLE,
         "stream_incremental_agg": _STREAM_INC_AGG_ORACLE,
         "winsorized_stats": _WINSORIZED_ORACLE,
+        "asof_tolerance_rates": _ASOF_TOLERANCE_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

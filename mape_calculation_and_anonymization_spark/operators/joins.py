@@ -32,6 +32,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     allow_unpartitioned: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Enrich each left row with the most recent right row at-or-before
     (``backward``) or the earliest at-or-after (``forward``) its ``on``
@@ -40,6 +41,12 @@ def asof_join(
     Equivalent to pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     (with allow_exact_matches=True). Implemented as union + windowed
     forward-fill: one shuffle on ``by``.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) mirrors
+    pandas merge_asof's: a match further than the tolerance from the
+    left timestamp is rejected — its right columns come back NULL.
+    The matched right timestamp rides along through the fill, so the
+    gap test is a pure projection afterwards.
 
     ``by`` may only be empty with ``allow_unpartitioned=True``: an
     unpartitioned window collapses the whole frame onto ONE task —
@@ -69,22 +76,32 @@ def asof_join(
             "Rename one side (e.g. right.withColumnRenamed) first."
         )
 
+    fill_cols = list(right_cols)
+    if tolerance is not None:
+        fill_cols.append("_r_on")
+
     l_marked = left.withColumn("_is_left", F.lit(1))
     for c in right_cols:
         l_marked = l_marked.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    if tolerance is not None:
+        l_marked = l_marked.withColumn(
+            "_r_on", F.lit(None).cast(right.schema[on].dataType)
+        )
     r_marked = right.select(
         *by, F.col(on), *right_cols
     ).withColumn("_is_left", F.lit(0))
+    if tolerance is not None:
+        r_marked = r_marked.withColumn("_r_on", F.col(on))
     for c in left.columns:
         if c not in by and c != on:
             r_marked = r_marked.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     unioned = l_marked.select(
-        *by, on, "_is_left", *right_cols,
+        *by, on, "_is_left", *fill_cols,
         *[c for c in left.columns if c not in by and c != on],
     ).unionByName(
         r_marked.select(
-            *by, on, "_is_left", *right_cols,
+            *by, on, "_is_left", *fill_cols,
             *[c for c in left.columns if c not in by and c != on],
         )
     )
@@ -98,17 +115,32 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in right_cols}
+        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
     else:
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).desc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in right_cols}
+        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
 
     filled = unioned.withColumns(fill)
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    if tolerance is not None:
+        gap_ok = (
+            F.col(on) - F.col("_r_on") <= F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_r_on") - F.col(on) <= F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.withColumns(
+            {
+                c: F.when(gap_ok, F.col(c)).otherwise(
+                    F.lit(None).cast(right.schema[c].dataType)
+                )
+                for c in right_cols
+            }
+        ).drop("_r_on")
+    return out
 
 
 def salted_join(

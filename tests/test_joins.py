@@ -137,3 +137,30 @@ def test_salted_aggregate_equals_plain(spark):
     for k in plain:
         assert plain[k][0] == pytest.approx(salted[k][0])
         assert plain[k][1] == pytest.approx(salted[k][1])
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    trades, quotes = _frames(spark)
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            on="ts",
+            by=["sym"],
+            tolerance="5 SECONDS",
+        )
+        .orderBy("sym", "ts")
+        .collect()
+    )
+    expect = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+        tolerance=pd.Timedelta(seconds=5),
+    ).sort_values(["sym", "ts"])
+    assert len(got) == len(expect)
+    for g, (_, e) in zip(got, expect.iterrows()):
+        assert g["sym"] == e["sym"] and g["qty"] == e["qty"]
+        if pd.isna(e["px"]):
+            assert g["px"] is None  # match exists but beyond tolerance
+        else:
+            assert g["px"] == e["px"]
