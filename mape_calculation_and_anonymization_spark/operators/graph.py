@@ -159,6 +159,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = deg.count()  # node-universe scalar (dimension-sized)
+    if n == 0:
+        # empty graph: no nodes, no ranks (mirrors connected_components
+        # returning no labels for an empty edge list)
+        return edges.sparkSession.createDataFrame([], "id long, rank double")
     base = (1.0 - damping) / n
     ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):

@@ -245,3 +245,12 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+def test_pagerank_empty_graph(spark):
+    from mape_calculation_and_anonymization_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert out.columns == ["id", "rank"]
