@@ -6104,8 +6104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": _q_dq_expectations,
         # ---- below the driver's 50-row window ----
         # Round-6 window plan, in priority order:
-        #  (a) the ~20 round-5 additions below (scd2_event_history
-        #      through time_to_convert) have ONLY local/preflight
+        #  (a) the round-5 additions below (scd2_event_history
+        #      through asof_tolerance_rates) have ONLY local/preflight
         #      green — they debut in round 6's window;
         #  (b) events_json_props / stream_session_windows /
         #      dedup_jaccard_pairs / dedup_clusters ceded slots this
