@@ -164,12 +164,17 @@ def pagerank(
         # returning no labels for an empty edge list)
         return edges.sparkSession.createDataFrame([], "id long, rank double")
     base = (1.0 - damping) / n
+    # fold 1/deg into the edge list ONCE: each iteration is then a
+    # single join + aggregate instead of join+join+aggregate
+    sym_w = (
+        sym.join(deg, "u")
+        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            sym.join(ranks, "u")
-            .join(deg, "u")
-            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
+        contrib = sym_w.join(ranks, "u").select(
+            F.col("v").alias("u"), (F.col("rank") * F.col("w")).alias("c")
         )
         ranks = (
             contrib.groupBy("u")

@@ -173,3 +173,80 @@ def test_hash_split_total_for_arbitrary_fractions(spark, fracs):
     }
     assert sum(counts.values()) == 2000
     assert set(counts) <= set(names)
+
+
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol_s=st.sampled_from([None, 3, 10]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_pandas_on_random_frames(spark, data, direction, tol_s):
+    """asof_join must equal pandas merge_asof on ARBITRARY frames:
+    random per-key timestamp sets on both sides, both directions,
+    with and without tolerance."""
+    import pandas as pd
+
+    from mape_calculation_and_anonymization_spark.operators.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    keys = ["a", "b"]
+    left_rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys), st.integers(min_value=0, max_value=60)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    right_rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys), st.integers(min_value=0, max_value=60)
+            ),
+            min_size=1,
+            max_size=12,
+            unique=True,  # right (ts, key) must be unique for a well-defined match value
+        )
+    )
+    left = pd.DataFrame(
+        {
+            "sym": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in left_rows],
+            "qty": list(range(len(left_rows))),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "sym": [k for k, _ in right_rows],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in right_rows],
+            "px": [float(100 + s) for _, s in right_rows],
+        }
+    )
+    got = {
+        (r["sym"], r["ts"], r["qty"]): r["px"]
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=["sym"],
+            direction=direction,
+            tolerance=None if tol_s is None else f"{tol_s} SECONDS",
+        ).collect()
+    }
+    expect = pd.merge_asof(
+        left.sort_values(["ts", "qty"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction=direction,
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+    )
+    assert len(got) == len(expect)
+    for _, e in expect.iterrows():
+        g = got[(e["sym"], e["ts"], e["qty"])]
+        if pd.isna(e["px"]):
+            assert g is None, (e["sym"], e["ts"], g)
+        else:
+            assert g == e["px"], (e["sym"], e["ts"], g, e["px"])
