@@ -6007,6 +6007,118 @@ _ASOF_TOLERANCE_ORACLE = """
 """
 
 
+def _q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean value and
+    the weekday's share of the type's total volume — the seasonal
+    baseline a forecast pipeline subtracts before modeling trend. One
+    hash aggregate over a 35-cell key space plus a broadcast of the
+    per-type totals (type-universe-sized). ISO weekday (Monday=0) on
+    both engines."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.weekday("ts").cast("long").alias("dow"),
+        "value",
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("vol"),
+        F.avg("value").alias("avg_value"),
+    )
+    totals = ev.groupBy("event_type").agg(F.sum("value").alias("total"))
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round("avg_value", 6).alias("avg_value"),
+            F.round(F.col("vol") / F.col("total"), 6).alias("volume_share"),
+        )
+    )
+
+
+_WEEKDAY_ORACLE = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(isodow(make_timestamp(epoch_ns(ts) // 1000)) - 1
+                    AS BIGINT) AS dow,
+               value
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, dow, COUNT(*) AS n, SUM(value) AS vol,
+               AVG(value) AS avg_value
+        FROM ev GROUP BY event_type, dow
+    ),
+    totals AS (
+        SELECT event_type, SUM(value) AS total FROM ev GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n,
+           ROUND(c.avg_value, 6) AS avg_value,
+           ROUND(c.vol / t.total, 6) AS volume_share
+    FROM cells c JOIN totals t USING (event_type)
+"""
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: posting lists (first 15 doc ids)
+    for the 10 highest-document-frequency terms — the index-build step
+    behind the BM25 query. Distinct (term, doc) pairs collapse repeats
+    map-side; collect_list runs per term AFTER the df cut, so no
+    posting list is ever corpus-sized in this audit query (a full
+    index build would shard postings by term range). Lists are sorted
+    and serialized so the driver's value compare sees a canonical
+    string."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    top = (
+        td.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(10)
+    )
+    return (
+        td.join(F.broadcast(top), "tok")
+        .groupBy("tok", "df")
+        .agg(
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 15), ","
+            ).alias("postings_head")
+        )
+        .select("tok", "df", "postings_head")
+    )
+
+
+_INVERTED_INDEX_ORACLE = r"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ) WHERE len(tok) > 0
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS df
+        FROM td GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT 10
+    )
+    SELECT td.tok, top.df,
+           array_to_string(
+               list_slice(list(td.doc_id ORDER BY td.doc_id), 1, 15), ','
+           ) AS postings_head
+    FROM td JOIN top USING (tok)
+    GROUP BY td.tok, top.df
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6135,6 +6247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_agg": _q_stream_incremental_agg,
         "winsorized_stats": _q_winsorized_stats,
         "asof_tolerance_rates": _q_asof_tolerance_rates,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "inverted_index": _q_inverted_index,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6336,6 +6450,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_agg": _STREAM_INC_AGG_ORACLE,
         "winsorized_stats": _WINSORIZED_ORACLE,
         "asof_tolerance_rates": _ASOF_TOLERANCE_ORACLE,
+        "weekday_seasonality": _WEEKDAY_ORACLE,
+        "inverted_index": _INVERTED_INDEX_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -112,3 +112,38 @@ def test_sketches_within_exact_bounds(spark):
     for r in rows:
         assert abs(r["hll"] - r["exact_users"]) <= 0.06 * r["exact_users"]
         assert r["band"][0] <= r["ap50"] <= r["band"][1]
+
+
+def test_sql_surface_matches_dataframe_formulation(spark):
+    """spark.sql over the registered views must produce the SAME rows
+    as the DataFrame registry query — one Catalyst, two front ends."""
+    from mape_calculation_and_anonymization_spark.sql import run_sql
+
+    sql_rows = sorted(
+        map(
+            tuple,
+            run_sql(
+                spark,
+                SF_DIR,
+                """
+                SELECT l_returnflag, l_linestatus,
+                       ROUND(SUM(l_quantity), 2) AS sum_qty,
+                       COUNT(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= DATE '1998-09-02'
+                GROUP BY l_returnflag, l_linestatus
+                """,
+            ).collect(),
+        )
+    )
+    import __spark_entry__ as e
+
+    df_rows = sorted(
+        map(
+            tuple,
+            e._q_q1_pricing_summary(spark, SF_DIR)
+            .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+            .collect(),
+        )
+    )
+    assert sql_rows == df_rows
