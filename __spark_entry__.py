@@ -6119,6 +6119,47 @@ _INVERTED_INDEX_ORACLE = r"""
 """
 
 
+def _q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-segmentation plumbing (mapInPandas, Arrow-batched): the
+    text payload stands in for PCM bytes at 16 kHz × 2 B; fixed
+    0.25 s chunks with time bounds. Chunk arithmetic is pure metadata,
+    so the oracle re-derives chunk count/bounds from octet_length —
+    proving the distributed chunker's geometry exactly; the real codec
+    decode would slot into the same Arrow loop."""
+    from mape_calculation_and_anonymization_spark.operators.multimodal import (
+        audio_chunk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = audio_chunk(attach_binary_payload(docs))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.round("start_s", 6).alias("start_s"),
+        F.round("end_s", 6).alias("end_s"),
+        F.octet_length("chunk").alias("chunk_bytes"),
+    )
+
+
+# 16_000 Hz * 2 B * 0.25 s = 8000 bytes per chunk
+_AUDIO_CHUNK_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nb, CAST(j.j AS INTEGER) AS chunk_idx
+        FROM d, (SELECT unnest(range(0, 1000)) AS j) j
+        WHERE j.j < GREATEST((nb + 7999) // 8000, 1)
+    )
+    SELECT doc_id, chunk_idx,
+           ROUND(chunk_idx * 0.25, 6) AS start_s,
+           ROUND(chunk_idx * 0.25
+                 + LEAST(nb - chunk_idx * 8000, 8000) / 32000.0, 6) AS end_s,
+           CAST(LEAST(nb - chunk_idx * 8000, 8000) AS INTEGER) AS chunk_bytes
+    FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6249,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance_rates": _q_asof_tolerance_rates,
         "weekday_seasonality": _q_weekday_seasonality,
         "inverted_index": _q_inverted_index,
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6452,6 +6494,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_tolerance_rates": _ASOF_TOLERANCE_ORACLE,
         "weekday_seasonality": _WEEKDAY_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
+        "multimodal_audio_chunks": _AUDIO_CHUNK_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

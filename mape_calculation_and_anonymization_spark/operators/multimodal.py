@@ -140,3 +140,60 @@ def frame_sample(
     return df.mapInPandas(
         sample, schema=f"{id_col} long, frame_idx int, frame binary"
     )
+
+
+def audio_chunk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    chunk_seconds: float = 0.25,
+) -> DataFrame:
+    """Audio segmentation stub: treat the payload as PCM at
+    ``sample_rate``×``bytes_per_sample`` and split it into fixed-
+    duration chunks (stand-in for VAD/segment extraction), one row per
+    chunk with its time bounds — the shape an ASR/data pipeline feeds
+    to a transcription or embedding stage. Arrow-batched mapInPandas;
+    the real codec decode would slot into the same loop
+    (see decode_image's import-gated pattern)."""
+    chunk_bytes = int(sample_rate * bytes_per_sample * chunk_seconds)
+    if chunk_bytes < 1:
+        raise ValueError("chunk too small for the given rate/width")
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, chunks = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                for j in range(0, max(1, (len(b) + chunk_bytes - 1) // chunk_bytes)):
+                    chunk = b[j * chunk_bytes : (j + 1) * chunk_bytes]
+                    if not chunk and j > 0:
+                        break
+                    ids.append(i)
+                    idxs.append(j)
+                    starts.append(j * chunk_seconds)
+                    ends.append(
+                        j * chunk_seconds
+                        + len(chunk) / (sample_rate * bytes_per_sample)
+                    )
+                    chunks.append(chunk)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "start_s": starts,
+                    "end_s": ends,
+                    "chunk": chunks,
+                }
+            )
+
+    return df.mapInPandas(
+        chunker,
+        schema=(
+            f"{id_col} long, chunk_idx int, start_s double, end_s double,"
+            " chunk binary"
+        ),
+    )
