@@ -2089,10 +2089,12 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(unique, budget=512, shard_size=256)
 
 
-def _training_pipeline_oracle() -> str:
+def _training_stage_ctes() -> str:
+    """The lang → quality → repetition → dedup CTE chain shared by the
+    training-pipeline oracle and the funnel-stats oracle (one source
+    of truth for the stage semantics on the SQL side)."""
     lang_sql = _lang_id_oracle()
-    return rf"""
-    WITH lang AS ({lang_sql}),
+    return rf"""lang AS ({lang_sql}),
     qual AS (
         SELECT doc_id,
                ROUND(
@@ -2145,7 +2147,12 @@ def _training_pipeline_oracle() -> str:
                    MIN(doc_id) OVER (PARTITION BY text) AS keep_id
             FROM surv
         ) WHERE doc_id = keep_id
-    ),
+    )"""
+
+
+def _training_pipeline_oracle() -> str:
+    return rf"""
+    WITH {_training_stage_ctes()},
     tok AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
@@ -6160,6 +6167,80 @@ _AUDIO_CHUNK_ORACLE = """
 """
 
 
+def _q_pipeline_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts for the training-data pipeline — the
+    observability row every production pipeline publishes (how many
+    docs each gate dropped). The three text gates are conditional
+    aggregates over ONE pass of the corpus; the repetition and dedup
+    stages reuse the exact operators the pipeline runs. The oracle
+    re-derives every stage from the SAME CTE chain as the
+    training-pipeline oracle (one source of truth)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import exact_dedup
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        ngram_repetition_stats,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    gated = docs.select(
+        "doc_id",
+        "text",
+        (language_id("text") == "en").alias("g_lang"),
+        (F.round(quality_score("text"), 6) >= 0.4).alias("g_qual"),
+    )
+    head = gated.agg(
+        F.count(F.lit(1)).alias("p0_total"),
+        F.sum(F.when(F.col("g_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("p1_lang"),
+        F.sum(F.when(F.col("g_lang") & F.col("g_qual"), 1).otherwise(0))
+        .cast("long")
+        .alias("p2_quality"),
+    )
+    survivors = gated.filter(F.col("g_lang") & F.col("g_qual")).join(
+        ngram_repetition_stats(
+            gated.filter(F.col("g_lang") & F.col("g_qual")), "doc_id", "text", 3
+        )
+        .filter(F.round("rep3", 6) < 0.2)
+        .select("doc_id"),
+        "doc_id",
+    )
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n"))
+    uniq_n = exact_dedup(survivors.select("doc_id", "text"), ["text"], "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stacked = head.selectExpr(
+        "stack(3, 'p0_total', p0_total, 'p1_lang', p1_lang,"
+        " 'p2_quality', p2_quality) AS (stage, n_docs)"
+    )
+    tail = surv_n.select(
+        F.lit("p3_repetition").alias("stage"), F.col("n").alias("n_docs")
+    ).unionByName(
+        uniq_n.select(
+            F.lit("p4_dedup").alias("stage"), F.col("n").alias("n_docs")
+        )
+    )
+    return stacked.unionByName(tail)
+
+
+def _pipeline_funnel_oracle() -> str:
+    return rf"""
+    WITH {_training_stage_ctes()}
+    SELECT 'p0_total' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT 'p1_lang', COUNT(*) FROM lang WHERE lang_pred = 'en'
+    UNION ALL
+    SELECT 'p2_quality', COUNT(*)
+    FROM lang JOIN qual USING (doc_id)
+    WHERE lang_pred = 'en' AND quality >= 0.4
+    UNION ALL
+    SELECT 'p3_repetition', COUNT(*) FROM surv
+    UNION ALL
+    SELECT 'p4_dedup', COUNT(*) FROM uniq
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6291,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_seasonality": _q_weekday_seasonality,
         "inverted_index": _q_inverted_index,
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,
+        "pipeline_funnel_stats": _q_pipeline_funnel_stats,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6495,6 +6577,7 @@ def oracle_sql() -> dict[str, str]:
         "weekday_seasonality": _WEEKDAY_ORACLE,
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "multimodal_audio_chunks": _AUDIO_CHUNK_ORACLE,
+        "pipeline_funnel_stats": _pipeline_funnel_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup
