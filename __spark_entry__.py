@@ -6241,6 +6241,33 @@ def _pipeline_funnel_oracle() -> str:
 """
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality confusion matrix: the corpus's labeled lang
+    against the n-gram language_id prediction, one count per
+    (actual, predicted) cell — the evaluation every heuristic gate
+    needs before it's trusted to drop data. One pass, one hash
+    aggregate over a |langs|² key space."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            language_id("text").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+    WITH lang AS ({_lang_id_oracle()})
+    SELECT d.lang AS actual, lang.lang_pred AS predicted,
+           COUNT(*) AS n_docs
+    FROM documents d JOIN lang USING (doc_id)
+    GROUP BY d.lang, lang.lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6373,6 +6400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,
+        "langid_confusion": _q_langid_confusion,
         # rows-only (iterative; numpy-pinned): joins the
         # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
@@ -6578,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_ORACLE,
         "multimodal_audio_chunks": _AUDIO_CHUNK_ORACLE,
         "pipeline_funnel_stats": _pipeline_funnel_oracle(),
+        "langid_confusion": _langid_confusion_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

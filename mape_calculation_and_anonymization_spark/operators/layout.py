@@ -63,3 +63,63 @@ def zorder_write(
         .option("compression", "snappy")
         .parquet(path)
     )
+
+
+def quantile_rank_column(
+    df: DataFrame, col: str, bits: int = 8, rel_err: float = 0.001
+) -> Column:
+    """Map an arbitrary numeric column onto the bounded integer domain
+    ``[0, 2^bits)`` by approximate-quantile bucketing — the standard
+    prep that makes :func:`zvalue` applicable to real-valued or skewed
+    dimensions (equal-POPULATION buckets, so the Morton key spreads
+    rows evenly no matter the distribution).
+
+    The quantile probe is one approx_percentile aggregate (a mergeable
+    sketch — one pass, map-side combinable); the returned expression
+    is a pure projection against the broadcast cut list."""
+    n_buckets = 1 << bits
+    cuts = (
+        df.agg(
+            F.percentile_approx(
+                col,
+                [i / n_buckets for i in range(1, n_buckets)],
+                int(1.0 / rel_err),
+            )
+        ).first()[0]
+    )
+    # A row's bucket is the highest cut it exceeds, so the HIGHEST cut
+    # must be the outermost when(): fold ascending, each new when()
+    # wraps (and shadows) the chain built so far. One flat codegen
+    # expression, ≤ n_buckets-1 comparisons per row.
+    expr = F.lit(0)
+    for i in range(len(cuts)):
+        expr = F.when(F.col(col) > F.lit(cuts[i]), i + 1).otherwise(expr)
+    return expr.cast("long")
+
+
+def zorder_write_auto(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Z-order write for ARBITRARY numeric columns: each dimension is
+    quantile-bucketed onto [0, 2^bits) first (one sketch aggregate per
+    column), then written via :func:`zorder_write`'s range shuffle on
+    the interleaved key."""
+    bucketed = df
+    tmp_cols = []
+    for c in cols:
+        bc = f"_zb_{c}"
+        bucketed = bucketed.withColumn(bc, quantile_rank_column(df, c, bits))
+        tmp_cols.append(bc)
+    keyed = bucketed.withColumn("_z", zvalue(tmp_cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *tmp_cols)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(path)
+    )

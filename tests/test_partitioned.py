@@ -200,3 +200,51 @@ def test_versioned_write_read_time_travel(spark, tmp_path):
     assert read_versioned(spark, path, version=0).count() == 5
     with pytest.raises(ValueError):
         read_versioned(spark, path, version=2)
+
+
+def test_quantile_rank_column_uniform_buckets(spark):
+    import numpy as np
+
+    from mape_calculation_and_anonymization_spark.operators.layout import (
+        quantile_rank_column,
+    )
+
+    # heavily skewed doubles: exp-distributed deterministic values
+    df = spark.range(20_000).select(
+        (F.exp(F.col("id") % 11) + F.col("id") / 1000.0).alias("x")
+    )
+    bits = 4
+    out = df.select(quantile_rank_column(df, "x", bits=bits).alias("b"))
+    counts = {
+        r["b"]: r["n"] for r in out.groupBy("b").agg(F.count("*").alias("n")).collect()
+    }
+    # every bucket in-domain
+    assert all(0 <= b < (1 << bits) for b in counts)
+    # equal-population within sketch error: no bucket > 3x the ideal
+    ideal = 20_000 / (1 << bits)
+    assert max(counts.values()) < 3 * ideal
+    # monotone: larger x never gets a smaller bucket
+    rows = sorted(
+        df.select("x", quantile_rank_column(df, "x", bits=bits).alias("b")).collect(),
+        key=lambda r: r["x"],
+    )
+    bs = [r["b"] for r in rows]
+    assert bs == sorted(bs)
+
+
+def test_zorder_write_auto_on_doubles(spark, tmp_path):
+    from mape_calculation_and_anonymization_spark.operators.layout import (
+        zorder_write_auto,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 977 * 1.37).alias("x"),
+        ((F.col("id") * 7919) % 983 / 3.0).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zauto")
+    zorder_write_auto(df, path, cols=["x", "y"], bits=4, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"x", "y", "payload"}  # helper cols dropped
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(10_000))
