@@ -212,3 +212,58 @@ def key_skew_stats(
         .orderBy(F.col("n_rows").desc(), key_col)
         .limit(top_k)
     )
+
+
+def choose_salt(
+    probe: DataFrame,
+    on: str,
+    skew_threshold: float = 4.0,
+    max_salt: int = 16,
+) -> int:
+    """Decide a salt factor for a probe-side join key: returns 1 (no
+    salting needed) when the max-key/mean-key count ratio is below
+    ``skew_threshold``, otherwise a salt ≈ the observed ratio capped
+    at ``max_salt``.
+
+    The probe is a full per-key count — deliberately NOT a sample:
+    key-hash sampling keeps or drops a key WHOLESALE, so a single hot
+    key evades a 5% sample 95% of the time, and row-level sampling
+    would need a row identity the frame may not have. The count is
+    one scan with map-side partial aggregation, so only
+    key-cardinality records shuffle — negligible next to the join
+    being planned, deterministic, and exact. Two driver scalars
+    (max, mean) come back — never row data.
+    """
+    row = (
+        probe.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
+        .first()
+    )
+    if row is None or row["mx"] is None or not row["mean"]:
+        return 1
+    ratio = row["mx"] / row["mean"]
+    if ratio < skew_threshold:
+        return 1
+    return min(max_salt, int(ratio))
+
+
+def auto_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    how: str = "inner",
+    skew_threshold: float = 4.0,
+    max_salt: int = 16,
+) -> DataFrame:
+    """Skew-adaptive equi join: measure probe-key skew on a sampled
+    probe (see :func:`choose_salt`), then run either the plain join or
+    the salted join — row-identical either way (pinned by tests), the
+    only difference is where the hot keys' rows land. Complements AQE
+    skew handling: AQE can only split post-shuffle partitions of a
+    sort-merge join; salting also covers the shuffled-hash path and
+    keeps the decision explicit and logged."""
+    salt = choose_salt(probe, on, skew_threshold, max_salt)
+    if salt <= 1:
+        return probe.join(build, on, how)
+    return salted_join(probe, build, on, salt=salt, how=how)

@@ -164,3 +164,36 @@ def test_asof_tolerance_matches_pandas(spark):
             assert g["px"] is None  # match exists but beyond tolerance
         else:
             assert g["px"] == e["px"]
+
+
+def test_auto_salted_join_decision_and_equality(spark):
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        auto_salted_join,
+        choose_salt,
+    )
+
+    # skewed probe: one key holds 90% of rows
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(4500)] + [(k, 0) for k in range(2, 502)],
+        ["k", "v"],
+    )
+    uniform = spark.createDataFrame(
+        [(i % 50, i) for i in range(5000)], ["k", "v"]
+    )
+    assert choose_salt(skewed, "k") > 1
+    assert choose_salt(uniform, "k") == 1
+    # decision is deterministic (exact counts, not a sample)
+    assert choose_salt(skewed, "k") == choose_salt(skewed, "k")
+
+    build = spark.createDataFrame([(k, f"d{k}") for k in range(0, 40)], ["k", "d"])
+    for probe in (skewed, uniform):
+        plain = probe.join(build, "k").groupBy("k").count()
+        auto = auto_salted_join(probe, build, "k").groupBy("k").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, auto.collect())
+        )
+
+    # empty probe: salt decision degrades to 1, join still works
+    empty = spark.createDataFrame([], "k long, v long")
+    assert choose_salt(empty, "k") == 1
+    assert auto_salted_join(empty, build, "k").count() == 0
