@@ -1457,6 +1457,56 @@ def _source_token(sf_dir: str, table: str) -> str:
     return f"{st.st_size}_{int(st.st_mtime)}"
 
 
+def _inc_agg_fixture_root(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"inc_agg_{_source_token(sf_dir, 'events')}"
+    )
+
+
+def bench_reset(sf_dir: str) -> None:
+    """Reset on-disk state whose CONSTRUCTION is the operator being
+    timed. bench.py calls this between the fixture pre-build and the
+    timed pass: stream_incremental_agg's fixture table IS the query's
+    output (the drained materialized view), so leaving it in place
+    would make the headline timing a tiny parquet read instead of the
+    stream drain. Source files (_SRC_COMPLETE) stay — they are input
+    setup, like the testdata itself."""
+    import os
+    import shutil
+
+    root = _inc_agg_fixture_root(sf_dir)
+    shutil.rmtree(os.path.join(root, "table"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(root, "_COMPLETE"))
+    except FileNotFoundError:
+        pass
+
+
+def _fixture_ready(path: str) -> bool:
+    """Crash-idempotent fixture guard: True iff the fixture at
+    ``path`` was built to COMPLETION (marker written last). A dir
+    without the marker is a crashed half-build — e.g. k5's v0 written
+    but not v1 — which a bare ``isdir`` check would treat as done and
+    then fail on every later run; wipe it so the caller rebuilds from
+    scratch. The ``_``-prefixed marker is invisible to Spark's parquet
+    reader (metadata-file convention, like ``_SUCCESS``)."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
+        return True
+    shutil.rmtree(path, ignore_errors=True)
+    return False
+
+
+def _mark_fixture_ready(path: str) -> None:
+    import os
+
+    with open(os.path.join(path, "_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+
+
 def _k1_fixture_path(sf_dir: str) -> str:
     # K3 naming: clientx_suppliers.csv → client_demo_suppliers.snappy.parquet
     return (
@@ -5398,7 +5448,7 @@ def _q_s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    if not os.path.isdir(path):
+    if not _fixture_ready(path):
         write_parquet_snappy(
             base.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
             os.path.join(path, "drop=v1"),
@@ -5407,6 +5457,7 @@ def _q_s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.filter(F.col("doc_id") % 2 == 1),
             os.path.join(path, "drop=v2"),
         )
+        _mark_fixture_ready(path)
     merged = read_parquet_merged(spark, path)
     return merged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -5448,7 +5499,7 @@ def _q_k4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _compacted_fixture_path(sf_dir)
-    if not os.path.isdir(path):
+    if not _fixture_ready(path):
         (
             load_events(spark, sf_dir)
             .select("event_id", "event_type", "value")
@@ -5459,6 +5510,7 @@ def _q_k4_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         compact_parquet(spark, path, target_partitions=2)
         assert len(glob.glob(os.path.join(path, "part-*.parquet"))) <= 2
+        _mark_fixture_ready(path)
     df = spark.read.parquet(path)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5497,7 +5549,7 @@ def _q_k5_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _versioned_fixture_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_manifest.json")):
+    if not _fixture_ready(path):
         v0 = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", F.round("o_totalprice", 2).alias("price")
         )
@@ -5511,6 +5563,7 @@ def _q_k5_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price"),
         )
         write_versioned(v1, path)
+        _mark_fixture_ready(path)
     out = []
     for v in (0, 1):
         out.append(
@@ -5546,8 +5599,10 @@ def _zorder_fixture_path(sf_dir: str) -> str:
 def _q_k6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-family extension — Z-ordered layout (operators/layout.py):
     events written clustered on the interleaved (user_id, day) Morton
-    key, then scanned with a user_id predicate. The multi-dimensional
-    sort tightens per-row-group min/max spans for BOTH columns, so
+    key — each dimension quantile-bucketed onto [0, 2^8) first, so the
+    layout holds at ANY user cardinality — then scanned with a user_id
+    predicate. The multi-dimensional sort tightens per-row-group
+    min/max spans for BOTH columns, so
     parquet data skipping prunes most row groups for either
     predicate (span tightening pinned by the unit test); the oracle
     re-derives the filtered aggregate from the SOURCE table, proving
@@ -5555,18 +5610,23 @@ def _q_k6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from mape_calculation_and_anonymization_spark.operators.layout import (
-        zorder_write,
+        zorder_write_auto,
     )
 
     path = _zorder_fixture_path(sf_dir)
-    if not os.path.isdir(path):
+    if not _fixture_ready(path):
         ev = load_events(spark, sf_dir).select(
             "event_id",
             "user_id",
             "value",
             F.dayofmonth("ts").cast("long").alias("day"),
         )
-        zorder_write(ev, path, cols=["user_id", "day"], bits=8, n_files=8)
+        # quantile-bucketed variant: user_id is unbounded across scale
+        # factors (>256 users at sf>=0.1 would saturate a raw 8-bit
+        # Morton dimension); equal-population bucketing keeps skipping
+        # quality at ANY cardinality
+        zorder_write_auto(ev, path, cols=["user_id", "day"], bits=8, n_files=8)
+        _mark_fixture_ready(path)
     df = spark.read.parquet(path).filter(F.col("user_id") < 15)
     return df.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5697,28 +5757,26 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain); triangles: the ordered three-way edge join
     e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w) with u<v<w, which counts each
     triangle exactly once and keeps every join an equi hash join.
-    The edge list is materialized once (three consumers); at 100 TB
-    the u<v<w orientation is what bounds the join fan-out — each edge
-    participates only in its orientation class, never 6 permutations."""
+    The edge list comes from the shared hot-bucket-guarded derivation
+    (operators/graph.py:cooccurrence_edges — a viral minute with k
+    co-active users would otherwise emit k²/2 edges; the 256 cap is
+    ~40× the max bucket at sf0.1, so test-scale semantics are exact
+    and the oracle matches) and is materialized once (three
+    consumers); at 100 TB the u<v<w orientation is what bounds the
+    join fan-out — each edge participates only in its orientation
+    class, never 6 permutations."""
+    from mape_calculation_and_anonymization_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
     ev = load_events(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.date_trunc("minute", "ts").alias("m"),
     )
-    a, b = ev.alias("a"), ev.alias("b")
-    edges = (
-        a.join(
-            b,
-            on=[
-                F.col("a.event_type") == F.col("b.event_type"),
-                F.col("a.m") == F.col("b.m"),
-                F.col("a.user_id") < F.col("b.user_id"),
-            ],
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # three consumers below
-    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ["event_type", "m"], max_bucket_size=256
+    ).localCheckpoint(eager=True)  # three consumers below
     e1 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
     e2 = edges.select(F.col("u").alias("t_v"), F.col("v").alias("t_w"))
     e3 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_w"))
@@ -5821,25 +5879,19 @@ def _q_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge derivation as triangle_count): top-20 users by influence.
     Rows-only by design — grouped aggregation inside recursion is
     outside portable SQL; the power-iteration semantics are pinned
-    against numpy in tests/test_graph_sampling.py."""
-    from mape_calculation_and_anonymization_spark.operators.graph import pagerank
+    against numpy in tests/test_graph_sampling.py. Edge derivation is
+    the shared hot-bucket-guarded helper (see triangle_count)."""
+    from mape_calculation_and_anonymization_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
 
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
     )
-    a, b = ev.alias("a"), ev.alias("b")
-    edges = (
-        a.join(
-            b,
-            on=[
-                F.col("a.event_type") == F.col("b.event_type"),
-                F.col("a.m") == F.col("b.m"),
-                F.col("a.user_id") < F.col("b.user_id"),
-            ],
-        )
-        .select(F.col("a.user_id").alias("id_a"), F.col("b.user_id").alias("id_b"))
-        .distinct()
-    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ["event_type", "m"], max_bucket_size=256
+    ).select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
     ranks = pagerank(edges, iterations=10)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -5867,13 +5919,20 @@ def _q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_incremental_agg,
     )
 
-    root = (
-        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
-        f"inc_agg_{_source_token(sf_dir, 'events')}"
-    )
+    root = _inc_agg_fixture_root(sf_dir)
     src, table = os.path.join(root, "src"), os.path.join(root, "table")
+    # two-phase markers: _SRC_COMPLETE gates the input-file build
+    # (setup, like the testdata itself); _COMPLETE gates the drained
+    # table (the OPERATOR's output). bench.py resets only the second
+    # so the timed pass measures the drain, not a tiny parquet read.
+    src_marker = os.path.join(root, "_SRC_COMPLETE")
     marker = os.path.join(root, "_COMPLETE")
-    if not os.path.exists(marker):
+    if not os.path.exists(src_marker):
+        # src is being (re)built: any drained table from an older
+        # single-marker layout is stale — drop it with the marker
+        shutil.rmtree(table, ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
         ev = load_events(spark, sf_dir).select(
             "event_id", "event_type", "value"
         )
@@ -5892,6 +5951,9 @@ def _q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(1.1)  # mtime order fixes batch order
         shutil.rmtree(src, ignore_errors=True)
         os.rename(tmp, src)
+        with open(src_marker, "w") as fh:
+            fh.write("ok\n")
+    if not os.path.exists(marker):
         shutil.rmtree(table, ignore_errors=True)
         stream = (
             spark.readStream.schema(
@@ -6183,12 +6245,16 @@ def _q_pipeline_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # materialize the gate columns ONCE: the head aggregate and the
+    # survivors branch both consume `gated`, and without the barrier
+    # the language_id/quality_score expression trees evaluate per
+    # consumer (the r5 plan paid 2 full corpus passes over the gates)
     gated = docs.select(
         "doc_id",
         "text",
         (language_id("text") == "en").alias("g_lang"),
         (F.round(quality_score("text"), 6) >= 0.4).alias("g_qual"),
-    )
+    ).localCheckpoint(eager=True)
     head = gated.agg(
         F.count(F.lit(1)).alias("p0_total"),
         F.sum(F.when(F.col("g_lang"), 1).otherwise(0))
@@ -6198,14 +6264,13 @@ def _q_pipeline_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p2_quality"),
     )
-    survivors = gated.filter(F.col("g_lang") & F.col("g_qual")).join(
-        ngram_repetition_stats(
-            gated.filter(F.col("g_lang") & F.col("g_qual")), "doc_id", "text", 3
-        )
+    passing = gated.filter(F.col("g_lang") & F.col("g_qual"))
+    survivors = passing.join(
+        ngram_repetition_stats(passing, "doc_id", "text", 3)
         .filter(F.round("rep3", 6) < 0.2)
         .select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)  # two consumers: count + dedup
     surv_n = survivors.agg(F.count(F.lit(1)).alias("n"))
     uniq_n = exact_dedup(survivors.select("doc_id", "text"), ["text"], "doc_id").agg(
         F.count(F.lit(1)).alias("n")
@@ -6280,43 +6345,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 5): the driver's correctness harness checks
-    # the FIRST 50 entries, so the window holds, in priority order:
-    # (a) queries with NO green driver row yet — q12 (round-4 red,
-    #     oracle HUGEINT cast fixed), training_pipeline and
-    #     stream_sliding_counts (added last in r4, below the window);
-    # (b) every oracle-backed query whose last green row is round 3 —
-    #     the rotation-hygiene rule is that no oracle-backed query goes
-    #     more than two rounds without a driver row, so all 34 of these
-    #     refresh now and the round-4-green set (TPC-H, mape_*, most
-    #     streaming) sits out one round;
-    # (c) queries whose implementation changes this round
-    #     (stream_session_windows perf fix, stream_key_upsert atomic
-    #     promote, k1/k2 sink-oracle sf handling, dedup_clusters
-    #     iteration guard);
-    # (d) round-5 additions (new queries always debut inside the
-    #     window).
-    # Entries after slot 50 are rows-only by design (no DuckDB oracle:
-    # x5/minhash/simhash/embedding/multimodal_features) or carry a
-    # round-4 green row and stay verified locally by
-    # tests/test_oracle_parity.py each run.
+    # Ordering policy (round 6): the driver's correctness harness checks
+    # the FIRST 50 entries. This round executes the rotation planned in
+    # round 5's registry comment (and endorsed by VERDICT.md item 1):
+    # (a) the 26 oracle-backed round-5 additions that have ONLY
+    #     local/preflight green — they debut in the window;
+    # (b) every query whose last driver row is round 3 — the
+    #     rotation-hygiene rule (no oracle-backed query goes more than
+    #     two rounds without a driver row) is now EXECUTABLE:
+    #     tests/test_oracle_parity.py:test_rotation_hygiene parses the
+    #     CORRECTNESS_r*.json history and fails if this window would
+    #     let any query exceed the limit;
+    # (c) queries whose implementation changed this round
+    #     (k2_excel_sheets: real stdlib-zipfile xlsx sink replaces the
+    #     CSV fallback; k5/k6/s6/k4/triangle_count/pipeline_funnel_stats
+    #     also changed — fixture markers, quantile z-order, capped edge
+    #     derivation, checkpointed gates — and already sit in (a));
+    # (d) the oldest round-4-green rows (stream_session_windows and
+    #     dedup_clusters ceded their r5 slots; the mape_* reference
+    #     core; the text/packing batch). The ~30 remaining r4-green
+    #     queries stay locally gated and MUST rotate into round 7's
+    #     window — test_rotation_hygiene will enforce exactly that
+    #     next round.
     return {
-        # (a) no driver row yet
+        # (a) round-5 additions: local/preflight green only — debut
+        "scd2_event_history": _q_scd2_event_history,
+        "trend_slope_by_type": _q_trend_slope_by_type,
+        "train_val_test_split": _q_train_val_test_split,
+        "event_transitions": _q_event_transitions,
+        "fuzzy_name_match": _q_fuzzy_name_match,
+        "snapshot_diff": _q_snapshot_diff,
+        "lang_source_chi2": _q_lang_source_chi2,
+        "profile_orders": _q_profile_orders,
+        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
+        "bigram_logprob_scores": _q_bigram_logprob_scores,
+        "anomaly_counts": _q_anomaly_counts,
+        "s6_schema_evolution": _q_s6_schema_evolution,
+        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,
+        "k5_time_travel": _q_k5_time_travel,
+        "k6_zorder_scan": _q_k6_zorder_scan,
+        "stream_outer_join": _q_stream_outer_join,
+        "triangle_count": _q_triangle_count,
+        "time_to_convert": _q_time_to_convert,
+        "stream_incremental_agg": _q_stream_incremental_agg,
+        "winsorized_stats": _q_winsorized_stats,
+        "asof_tolerance_rates": _q_asof_tolerance_rates,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "inverted_index": _q_inverted_index,
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,
+        "pipeline_funnel_stats": _q_pipeline_funnel_stats,
+        "langid_confusion": _q_langid_confusion,
+        # (b) last driver row = round 3 (hygiene limit)
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "events_json_props": _q_events_json_props,
+        "x3_perturb_values": _q_x3_perturb_values,
+        "x4_label_anonymization": _q_x4_label_anonymization,
+        "j1_key_join": _q_j1_key_join,
+        "u1_union_dedup": _q_u1_union_dedup,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        # (c) implementation changed this round (real xlsx sink)
+        "k2_excel_sheets": _q_k2_excel_sheets,
+        # (d) oldest r4-green refresh (jaccard stays ahead of clusters
+        # so the memoized pair-derivation cost keeps its attribution)
+        "stream_session_windows": _q_stream_session_windows,
+        "dedup_clusters": _q_dedup_clusters,
+        "mape_hourly_portfolio": _q_mape_hourly_portfolio,
+        "mape_hourly_zone": _q_mape_hourly_zone,
+        "mape_daily_portfolio": _q_mape_daily_portfolio,
+        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
+        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
+        "gap_fill_hourly": _q_gap_fill_hourly,
+        "zone_unpivot": _q_zone_unpivot,
+        "seq_packing": _q_seq_packing,
+        "contamination_check": _q_contamination_check,
+        "batch_sessionize": _q_batch_sessionize,
+        "vocab_top_terms": _q_vocab_top_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_pii_redaction": _q_text_pii_redaction,
+        "text_repetition": _q_text_repetition,
+        # ---- below the driver's 50-row window ----
+        # Everything below is r4/r5-green or rows-only by design
+        # (x5/minhash/simhash/embedding/multimodal_features/pagerank:
+        # no portable-SQL oracle; semantics pinned by unit tests) and
+        # stays locally gated by tests/test_oracle_parity.py each run.
+        # stream_user_activity (transformWithStateInPandas) is NOT
+        # registered: the Spark 4 arbitrary-state API needs the
+        # protobuf wheel, which this container lacks (state-server
+        # handshake imports StateMessage_pb2). The operator ships
+        # import-gated in streaming/stateful.py with a skip-gated
+        # test; applyInPandasWithState (stream_stateful_wape) covers
+        # the custom-stateful slot in this environment.
         "q12_priority_returns": _q_q12_priority_returns,
         "training_pipeline": _q_training_pipeline,
         "stream_sliding_counts": _q_stream_sliding_counts,
-        # (c) implementation changes this round (semantic changes only;
-        # stream_session_windows / dedup_jaccard_pairs / dedup_clusters
-        # had perf- or guard-only changes, are r4-green, and ceded
-        # their slots to the second-wave additions — they sit just
-        # below the window and MUST be in round 6's)
         "stream_key_upsert": _q_stream_key_upsert,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
-        "k2_excel_sheets": _q_k2_excel_sheets,
-        # (b) last green row = round 3 — 29 of the 34 refresh now;
-        # x3/x4/j1/u1/dedup_exact_groups (triple-green r1–r3, the most
-        # stable reference core) ceded their slots to round-5 additions
-        # and MUST be in round 6's window
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "f4_unmatched_uids": _q_f4_unmatched_uids,
@@ -6344,7 +6467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        # (d) round-5 additions
         "argmax_user_events": _q_argmax_user_events,
         "cdc_latest_events": _q_cdc_latest_events,
         "decile_revenue_share": _q_decile_revenue_share,
@@ -6359,84 +6481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "events_variant_props": _q_events_variant_props,
         "s5_jsonl_scan": _q_s5_jsonl_scan,
-        # (d) second wave
         "bm25_search": _q_bm25_search,
         "retention_cohorts": _q_retention_cohorts,
         "dq_expectations": _q_dq_expectations,
-        # ---- below the driver's 50-row window ----
-        # Round-6 window plan, in priority order:
-        #  (a) the round-5 additions below (scd2_event_history
-        #      through asof_tolerance_rates) have ONLY local/preflight
-        #      green — they debut in round 6's window;
-        #  (b) events_json_props / stream_session_windows /
-        #      dedup_jaccard_pairs / dedup_clusters ceded slots this
-        #      round (last driver row r4) and must return by round 6;
-        #  (c) x3/x4/j1/u1/dedup_exact_groups (last row r3!) are at
-        #      the rotation-hygiene limit and MUST be in round 6's 50.
-        # Everything else below is round-4-green or rows-only and
-        # stays locally gated by tests/test_oracle_parity.py.
-        "scd2_event_history": _q_scd2_event_history,
-        "trend_slope_by_type": _q_trend_slope_by_type,
-        "train_val_test_split": _q_train_val_test_split,
-        "event_transitions": _q_event_transitions,
-        "fuzzy_name_match": _q_fuzzy_name_match,
-        "snapshot_diff": _q_snapshot_diff,
-        "lang_source_chi2": _q_lang_source_chi2,
-        "profile_orders": _q_profile_orders,
-        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,
-        "bigram_logprob_scores": _q_bigram_logprob_scores,
-        "anomaly_counts": _q_anomaly_counts,
-        "s6_schema_evolution": _q_s6_schema_evolution,
-        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,
-        "k5_time_travel": _q_k5_time_travel,
-        "k6_zorder_scan": _q_k6_zorder_scan,
-        "stream_outer_join": _q_stream_outer_join,
-        "triangle_count": _q_triangle_count,
-        "time_to_convert": _q_time_to_convert,
-        "stream_incremental_agg": _q_stream_incremental_agg,
-        "winsorized_stats": _q_winsorized_stats,
-        "asof_tolerance_rates": _q_asof_tolerance_rates,
-        "weekday_seasonality": _q_weekday_seasonality,
-        "inverted_index": _q_inverted_index,
-        "multimodal_audio_chunks": _q_multimodal_audio_chunks,
-        "pipeline_funnel_stats": _q_pipeline_funnel_stats,
-        "langid_confusion": _q_langid_confusion,
-        # rows-only (iterative; numpy-pinned): joins the
-        # x5/minhash/simhash/embedding/multimodal_features class
         "pagerank_influencers": _q_pagerank_influencers,
-        # stream_user_activity (transformWithStateInPandas) is NOT
-        # registered: the Spark 4 arbitrary-state API needs the
-        # protobuf wheel, which this container lacks (state-server
-        # handshake imports StateMessage_pb2). The operator ships
-        # import-gated in streaming/stateful.py with a skip-gated
-        # test; applyInPandasWithState (stream_stateful_wape) covers
-        # the custom-stateful slot in this environment.
-        "stream_session_windows": _q_stream_session_windows,
-        # jaccard_pairs precedes clusters so the memoized pair
-        # derivation's cost attributes to the query that owns it
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "events_json_props": _q_events_json_props,
-        "x3_perturb_values": _q_x3_perturb_values,
-        "x4_label_anonymization": _q_x4_label_anonymization,
-        "j1_key_join": _q_j1_key_join,
-        "u1_union_dedup": _q_u1_union_dedup,
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "seq_packing": _q_seq_packing,
-        "contamination_check": _q_contamination_check,
-        "batch_sessionize": _q_batch_sessionize,
-        "vocab_top_terms": _q_vocab_top_terms,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "text_pii_redaction": _q_text_pii_redaction,
-        "text_repetition": _q_text_repetition,
         "doc_chunking": _q_doc_chunking,
-        "mape_hourly_portfolio": _q_mape_hourly_portfolio,
-        "mape_hourly_zone": _q_mape_hourly_zone,
-        "mape_daily_portfolio": _q_mape_daily_portfolio,
-        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,
-        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,
-        "gap_fill_hourly": _q_gap_fill_hourly,
-        "zone_unpivot": _q_zone_unpivot,
         "dedup_keep_best": _q_dedup_keep_best,
         "key_skew_stats": _q_key_skew_stats,
         "x6_stamp_metadata": _q_x6_stamp_metadata,

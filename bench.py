@@ -91,9 +91,12 @@ def main() -> None:
     # their FIRST run per (sf, source-fingerprint) and read it back on
     # every later run. The fixture is the query's INPUT — like the
     # testdata itself — so construction belongs in setup, not in the
-    # timed region; pre-build at the TARGET sf here. This never caches
-    # query RESULTS: only these explicitly listed queries touch disk
-    # state, every other query recomputes fully in the timed pass.
+    # timed region; pre-build at the TARGET sf here. One exception:
+    # stream_incremental_agg's fixture TABLE is the query's output
+    # (the drained materialized view), so after the pre-build we
+    # reset exactly that table (entrymod.bench_reset) and the timed
+    # pass re-runs the drain. Every other query recomputes fully in
+    # the timed pass.
     for name in (
         "s1_csv_scan", "s3_latest_partition", "s5_jsonl_scan",
         "s6_schema_evolution", "k1_parquet_roundtrip", "k2_excel_sheets",
@@ -110,6 +113,11 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
         gc.collect()
+
+    # see the pre-build comment: the drained incremental-agg table is
+    # query OUTPUT, not input — reset it so the timed pass drains
+    if hasattr(entrymod, "bench_reset"):
+        entrymod.bench_reset(SF_DIR)
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -119,6 +119,68 @@ def duplicate_clusters(
     )
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: one ``(u, v)`` row (with
+    ``u < v``) for every pair of distinct ids sharing a bucket — the
+    shared derivation behind the triangle-count and PageRank queries
+    (ids = users, bucket = (event_type, minute)).
+
+    The pair expansion is a bucket-keyed self equi join, so a bucket
+    with k co-active ids emits k·(k-1)/2 rows — quadratic in the hot
+    bucket. At test scale buckets are sparse, but at 100× one viral
+    minute is exactly the skew this repo guards against in the LSH
+    banding paths (dedup.py: the ``max_bucket_size`` semi-join guard).
+    With ``max_bucket_size`` set, over-size buckets are dropped BEFORE
+    the expansion and the drop is logged driver-side (no-silent-caps
+    rule: a capped graph must never read as the full graph). The
+    bucket-count probe is one map-side-combinable aggregate over
+    bucket cardinality — negligible next to the join it bounds — and
+    is localCheckpointed so the filter and the drop count share one
+    scan. ``None`` disables the guard (exact small-scale semantics —
+    what the DuckDB oracles re-derive).
+    """
+    import logging
+
+    keyed = df.select(F.col(id_col).alias("_id"), *bucket_cols)
+    if max_bucket_size:
+        counts = (
+            keyed.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True)
+        )
+        n_dropped = counts.filter(F.col("_n") > max_bucket_size).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "cooccurrence_edges: dropped %d hot bucket(s) larger than "
+                "max_bucket_size=%d before pair expansion — the edge list "
+                "is a capped subgraph",
+                n_dropped,
+                max_bucket_size,
+            )
+        keyed = keyed.join(
+            counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=bucket_cols,
+            how="left_semi",
+        )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("u"), F.col("b._id").alias("v"))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

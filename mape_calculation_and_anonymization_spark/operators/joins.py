@@ -256,13 +256,27 @@ def auto_salted_join(
     skew_threshold: float = 4.0,
     max_salt: int = 16,
 ) -> DataFrame:
-    """Skew-adaptive equi join: measure probe-key skew on a sampled
-    probe (see :func:`choose_salt`), then run either the plain join or
-    the salted join — row-identical either way (pinned by tests), the
+    """Skew-adaptive equi join: measure probe-key skew with an exact
+    per-key count probe (see :func:`choose_salt` for why it is
+    deliberately NOT sampled), then run either the plain join or the
+    salted join — row-identical either way (pinned by tests), the
     only difference is where the hot keys' rows land. Complements AQE
     skew handling: AQE can only split post-shuffle partitions of a
     sort-merge join; salting also covers the shuffled-hash path and
-    keeps the decision explicit and logged."""
+    keeps the decision explicit and logged.
+
+    Only ``inner`` and ``left`` are supported — the same contract as
+    :func:`salted_join` (the build side is replicated per salt, which
+    would duplicate unmatched build rows under right/full). Validated
+    eagerly so the failure is not data-dependent: without this check,
+    ``how='right'`` would succeed on uniform data and only raise once
+    skew was detected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"auto_salted_join supports how='inner'|'left', got {how!r} "
+            "(build-side salt replication would duplicate unmatched "
+            "build rows under right/full joins)"
+        )
     salt = choose_salt(probe, on, skew_threshold, max_salt)
     if salt <= 1:
         return probe.join(build, on, how)

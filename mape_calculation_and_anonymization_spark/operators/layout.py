@@ -21,9 +21,18 @@ from pyspark.sql import functions as F
 
 def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of each column into one Z
-    (Morton) key. Columns must already be non-negative integers of
-    bounded range — clamp/bucketize upstream (the usual recipe maps
-    each dimension to its quantile rank first).
+    (Morton) key. Columns should already be non-negative integers in
+    ``[0, 2^bits)`` — bucketize upstream for unbounded/real-valued
+    dimensions (:func:`quantile_rank_column` /
+    :func:`zorder_write_auto`).
+
+    Out-of-range values SATURATE at the domain edges
+    (``[0, 2^bits - 1]``) instead of silently keeping only the low
+    bits: mod-2^bits truncation would alias id ``257`` next to ``1``
+    and scatter the layout (data-skipping quality silently degrades);
+    saturation stays monotone, so an over-range tail merely collapses
+    into the top bucket while every in-range value still sorts
+    exactly.
 
     Unrolled shift/or expression tree: ``bits × n_cols`` ops, all
     inside whole-stage codegen — no UDF.
@@ -34,10 +43,15 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
         raise ValueError("zvalue needs at least one column")
     if bits * n > 63:
         raise ValueError(f"{bits} bits x {n} cols exceeds a signed long")
+    top = (1 << bits) - 1
     z = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, c in enumerate(cs):
-            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+    for i, c in enumerate(cs):
+        clamped = F.least(
+            F.greatest(c.cast("long"), F.lit(0).cast("long")),
+            F.lit(top).cast("long"),
+        )
+        for b in range(bits):
+            bit = F.shiftright(clamped, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
 

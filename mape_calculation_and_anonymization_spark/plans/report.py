@@ -19,9 +19,11 @@ from mape_calculation_and_anonymization_spark.plans.audit import physical_plan
 def audit_query(df) -> dict:
     plan = physical_plan(df)
     return {
-        "exchanges": len(
-            re.findall(r"^\s*(?:[:+| ]*[+-])?\s*Exchange (?:hash|range|Single)", plan, re.M)
-        ),
+        # any shuffle Exchange node (hashpartitioning, rangepartitioning,
+        # SinglePartition, RoundRobinPartitioning from repartition/
+        # ensure_min_partitions, ...); the lookbehind excludes
+        # BroadcastExchange, counted separately below
+        "exchanges": len(re.findall(r"(?<!Broadcast)Exchange \w+", plan)),
         "broadcasts": plan.count("BroadcastExchange"),
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,

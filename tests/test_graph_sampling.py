@@ -254,3 +254,62 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(empty)
     assert out.count() == 0
     assert out.columns == ["id", "rank"]
+
+
+def test_cooccurrence_edges_uncapped_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from mape_calculation_and_anonymization_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    rows = [
+        (1, "a", 0), (2, "a", 0), (3, "a", 0),          # triangle bucket
+        (4, "a", 1), (5, "a", 1),                        # one edge
+        (6, "b", 0),                                     # singleton bucket
+        (1, "b", 1), (5, "b", 1),                        # cross-bucket edge
+        (2, "a", 0),                                     # duplicate row: no dup edge
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "t", "m"])
+    got = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(df, "user_id", ["t", "m"]).collect()
+    }
+    want = set()
+    buckets = {}
+    for uid, t, m in rows:
+        buckets.setdefault((t, m), set()).add(uid)
+    for ids in buckets.values():
+        want |= {tuple(sorted(p)) for p in combinations(ids, 2)}
+    assert got == want
+
+
+def test_cooccurrence_edges_hot_bucket_cap(spark, caplog):
+    import logging
+
+    from mape_calculation_and_anonymization_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    # one viral bucket (8 users) + one normal bucket (2 users): with
+    # max_bucket_size=4 the hot bucket's 28 quadratic pairs must be
+    # dropped BEFORE expansion, the normal edge survives, and the drop
+    # is logged (no-silent-caps)
+    rows = [(i, "viral", 0) for i in range(8)] + [(100, "a", 1), (101, "a", 1)]
+    df = spark.createDataFrame(rows, ["user_id", "t", "m"])
+    with caplog.at_level(
+        logging.WARNING, logger="mape_calculation_and_anonymization_spark.operators.graph"
+    ):
+        got = {
+            (r["u"], r["v"])
+            for r in cooccurrence_edges(
+                df, "user_id", ["t", "m"], max_bucket_size=4
+            ).collect()
+        }
+    assert got == {(100, 101)}
+    assert any("dropped 1 hot bucket" in m for m in caplog.messages)
+    # a cap ABOVE every bucket is a no-op and logs nothing
+    caplog.clear()
+    full = cooccurrence_edges(df, "user_id", ["t", "m"], max_bucket_size=100)
+    assert full.count() == 28 + 1
+    assert not caplog.messages

@@ -70,3 +70,54 @@ def test_driver_window_contract():
     assert not missing, f"window entries without oracle: {missing}"
     dangling = [n for n in _ORACLES if n not in _QUERIES]
     assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_rotation_hygiene():
+    """The rotation-hygiene rule, executable (VERDICT r5 item 3): no
+    oracle-backed registry entry may go more than two rounds without a
+    green driver row. The upcoming round N = max(CORRECTNESS_r*) + 1
+    verifies exactly names[:50], so under the CURRENT ordering a query
+    outside the window keeps its staleness; this test fails the build
+    if that staleness would reach 3 rounds — i.e. the window was
+    mis-planned by hand — and also forces never-verified oracle-backed
+    queries (new additions) to debut inside the window."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        for q, res in json.load(open(f)).items():
+            ok = (
+                isinstance(res, dict)
+                and res.get("err") is None
+                and res.get("rows_match", True)
+                and res.get("schema_match", True)
+                and res.get("hash_match", True)
+            )
+            if ok:
+                last_green[q] = rnd
+    if not rounds:
+        pytest.skip("no CORRECTNESS history yet (round 1)")
+    upcoming = max(rounds) + 1
+    names = list(_QUERIES)
+    window = set(names[:50])
+    violations = []
+    for q in names:
+        if q not in _ORACLES or q in window:
+            continue
+        if q not in last_green:
+            violations.append(f"{q}: oracle-backed but never driver-verified")
+        elif upcoming - last_green[q] > 2:
+            violations.append(
+                f"{q}: last green r{last_green[q]}, would be "
+                f"{upcoming - last_green[q]} rounds stale after r{upcoming}"
+            )
+    assert not violations, (
+        "window mis-planned — rotate these into names[:50]:\n  "
+        + "\n  ".join(violations)
+    )
