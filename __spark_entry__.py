@@ -1547,27 +1547,38 @@ _K1_ORACLE = """
 
 
 def _q_k2_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 — multi-sheet workbook sink (reference/main.py:147-153; CSV
-    fallback per sheet in this container, openpyxl absent): write the
-    daily + hourly MAPE sheets once, read the daily sheet back through
-    the engine's CSV reader, and aggregate to numeric columns so CSV
-    type inference can't skew the compare. Sheet inputs are
-    post-aggregation tables (≤ thousands of rows) — the only kind this
-    driver-side sink accepts by design."""
+    """K2 — multi-sheet workbook sink (reference/main.py:147-153),
+    now a REAL ``.xlsx`` even without openpyxl: the stdlib-zipfile
+    OOXML writer (sources/sinks.py:_write_xlsx_stdlib) lands the daily
+    + hourly MAPE sheets, Spark reads the daily sheet back through the
+    stdlib OOXML reader (sources/readers.py:read_xlsx_sheet), and the
+    oracle reads a CSV sidecar written from the SAME collected frame —
+    so a green row proves the xlsx write→read roundtrip preserves
+    content exactly across formats (DuckDB 1.0 cannot read xlsx in
+    this container). Sheet inputs are post-aggregation tables
+    (≤ thousands of rows) — the only kind this driver-side sink
+    accepts by design. Crash-idempotent: marker written last."""
     import os
 
-    from mape_calculation_and_anonymization_spark.sources.readers import read_csv
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        read_xlsx_sheet,
+    )
 
     workbook = _k2_workbook_path(sf_dir)
-    sheet = workbook + ".daily.csv"
-    if not os.path.exists(sheet):
+    sidecar = workbook + ".daily.csv"
+    marker = workbook + "._COMPLETE"
+    if not os.path.exists(marker):
         os.makedirs(os.path.dirname(workbook), exist_ok=True)
+        daily_pdf = _q_mape_daily_portfolio(spark, sf_dir).toPandas()
         write_excel_workbook(
             workbook,
-            daily=_q_mape_daily_portfolio(spark, sf_dir),
+            daily=daily_pdf,
             hourly=_q_mape_hourly_portfolio(spark, sf_dir),
         )
-    df = read_csv(spark, sheet)
+        daily_pdf.to_csv(sidecar, index=False)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    df = read_xlsx_sheet(spark, workbook, "daily")
     return df.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.sum("forecast_mape"), 6).alias("sum_forecast_mape"),

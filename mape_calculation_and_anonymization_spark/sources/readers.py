@@ -140,3 +140,113 @@ def read_input_folder(
         elif filename.endswith(".parquet"):
             out.append((FolderFile(filename, path, "parquet"), read_parquet(spark, path)))
     return out
+
+
+def read_xlsx_sheet_pandas(filepath: str, sheet: str):
+    """Dependency-free OOXML worksheet reader (counterpart of
+    ``sinks._write_xlsx_stdlib``): resolve the sheet name through
+    workbook.xml + its rels, parse the worksheet XML, and return a
+    pandas DataFrame with row 1 as the header.
+
+    Handles the cell types both our stdlib writer and openpyxl emit:
+    inline strings (``t="inlineStr"``), shared strings (``t="s"`` via
+    xl/sharedStrings.xml), booleans (``t="b"``), and plain numeric
+    ``<v>`` (int when exact, else float). Columns that parse fully
+    numeric become numeric; anything mixed stays string — same
+    inference contract as a CSV read. Driver-side by design (xlsx is a
+    single-file, post-aggregation format here — see the sink)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rns = (
+        "{http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships}"
+    )
+    pns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+    with zipfile.ZipFile(filepath) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rid = None
+        for s in wb.iter(f"{ns}sheet"):
+            if s.get("name") == sheet:
+                rid = s.get(f"{rns}id")
+        if rid is None:
+            raise KeyError(f"sheet {sheet!r} not in {filepath}")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = None
+        for r in rels.iter(f"{pns}Relationship"):
+            if r.get("Id") == rid:
+                target = r.get("Target")
+        if target is None:
+            raise KeyError(f"no relationship {rid} in workbook rels")
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.iter(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        ws = ET.fromstring(z.read("xl/" + target.lstrip("/")))
+
+        def col_idx(ref: str) -> int:
+            n = 0
+            for ch in ref:
+                if ch.isalpha():
+                    n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+                else:
+                    break
+            return n - 1
+
+        def cell_value(c):
+            t = c.get("t")
+            if t == "inlineStr":
+                return "".join(
+                    el.text or "" for el in c.iter(f"{ns}t")
+                )
+            v = c.find(f"{ns}v")
+            if v is None or v.text is None:
+                return None
+            if t == "s":
+                return shared[int(v.text)]
+            if t == "b":
+                return bool(int(v.text))
+            if t == "str":  # cached formula result
+                return v.text
+            try:
+                f = float(v.text)
+                return int(f) if f.is_integer() and "." not in v.text else f
+            except ValueError:
+                return v.text
+
+        grid: list[dict[int, object]] = []
+        for row in ws.iter(f"{ns}row"):
+            cells = {}
+            for j, c in enumerate(row.iter(f"{ns}c")):
+                idx = col_idx(c.get("r", "")) if c.get("r") else j
+                cells[idx] = cell_value(c)
+            grid.append(cells)
+
+    if not grid:
+        return pd.DataFrame()
+    header_cells = grid[0]
+    width = max(header_cells) + 1 if header_cells else 0
+    columns = [str(header_cells.get(j, f"col{j}")) for j in range(width)]
+    data = {
+        col: [r.get(j) for r in grid[1:]] for j, col in enumerate(columns)
+    }
+    pdf = pd.DataFrame(data, columns=columns)
+    for col in pdf.columns:
+        non_null = pdf[col].dropna()
+        if len(non_null) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in non_null
+        ):
+            pdf[col] = pd.to_numeric(pdf[col])
+    return pdf
+
+
+def read_xlsx_sheet(spark: SparkSession, filepath: str, sheet: str) -> DataFrame:
+    """K2 read-back surface: one workbook sheet as a Spark DataFrame
+    (schema inferred by createDataFrame from the pandas frame)."""
+    return spark.createDataFrame(read_xlsx_sheet_pandas(filepath, sheet))

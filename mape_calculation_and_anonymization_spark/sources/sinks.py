@@ -88,6 +88,128 @@ def anonymized_output_name(filename: str, client: str, client_demo: str = "clien
     return filename.replace(client, client_demo).replace(".csv", ".snappy.parquet")
 
 
+def _col_ref(i: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 26→AA)."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(s)
+
+
+_XLSX_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _write_xlsx_stdlib(filepath: str, pdfs: dict) -> None:
+    """Dependency-free OOXML workbook writer (zip of XML parts —
+    [Content_Types], package rels, workbook + rels, one worksheet per
+    sheet). Strings go as inline strings (``t="inlineStr"``) so no
+    sharedStrings table is needed; numbers as plain ``<v>``; booleans
+    as ``t="b"``; NaN/None as omitted cells; anything else (dates,
+    timestamps) as its ``str()`` inline. Valid OOXML — Excel,
+    openpyxl, and :func:`..readers.read_xlsx_sheet` all read it."""
+    import math
+    import zipfile
+
+    def cell_xml(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, float) and math.isnan(v):
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{_xml_escape(str(v))}</t></is></c>"
+        )
+
+    def sheet_xml(pdf) -> str:
+        rows = [
+            "<row r=\"1\">"
+            + "".join(
+                cell_xml(f"{_col_ref(j)}1", str(c))
+                for j, c in enumerate(pdf.columns)
+            )
+            + "</row>"
+        ]
+        for i, rec in enumerate(pdf.itertuples(index=False), start=2):
+            rows.append(
+                f'<row r="{i}">'
+                + "".join(
+                    cell_xml(f"{_col_ref(j)}{i}", v) for j, v in enumerate(rec)
+                )
+                + "</row>"
+            )
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_XLSX_NS}"><sheetData>'
+            + "".join(rows)
+            + "</sheetData></worksheet>"
+        )
+
+    names = list(pdfs)
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/'
+        'vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f"{overrides}</Types>"
+    )
+    pkg_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS}">'
+        f'<Relationship Id="rId1" Type="{_REL_NS}/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    sheets_decl = "".join(
+        f'<sheet name="{_xml_escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_XLSX_NS}" xmlns:r="{_REL_NS}">'
+        f"<sheets>{sheets_decl}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{_REL_NS}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(filepath, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", pkg_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(pdfs[n]))
+
+
 def write_excel_workbook(filepath: str, **sheets: DataFrame) -> str:
     """K2 — one sheet per kwarg, like the reference's
     ``save_to_excelspreadsheet`` (reference/main.py:147-153).
@@ -97,9 +219,11 @@ def write_excel_workbook(filepath: str, **sheets: DataFrame) -> str:
     pass post-aggregation results (daily MAPE tables are ≤ a few
     thousand rows); raw fact tables would OOM the driver by design.
 
-    If no Excel writer engine (openpyxl/xlsxwriter) is installed, the
-    sink degrades to one CSV per sheet (``{filepath}.{sheet}.csv``) and
-    returns the first fallback path — same data, portable format.
+    Engine order: pandas' ``to_excel`` with openpyxl/xlsxwriter when
+    one is installed; otherwise the dependency-free stdlib OOXML
+    writer (:func:`_write_xlsx_stdlib`) — a real ``.xlsx`` either way,
+    matching the reference's actual sink format. Read back with
+    ``sources.readers.read_xlsx_sheet``.
     """
     import pandas as pd  # driver-side only
 
@@ -121,14 +245,9 @@ def write_excel_workbook(filepath: str, **sheets: DataFrame) -> str:
         with pd.ExcelWriter(filepath, mode="w") as writer:
             for sheet_name, pdf in pdfs.items():
                 pdf.to_excel(writer, sheet_name=sheet_name, index=False)
-        return filepath
-
-    first = None
-    for sheet_name, pdf in pdfs.items():
-        csv_path = f"{filepath}.{sheet_name}.csv"
-        pdf.to_csv(csv_path, index=False)
-        first = first or csv_path
-    return first
+    else:
+        _write_xlsx_stdlib(filepath, pdfs)
+    return filepath
 
 
 def write_versioned(df: DataFrame, path: str) -> int:
