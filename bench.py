@@ -97,12 +97,16 @@ def main() -> None:
     # reset exactly that table (entrymod.bench_reset) and the timed
     # pass re-runs the drain. Every other query recomputes fully in
     # the timed pass.
+    # the three ANN entries are here for their INDEX fixtures (PQ
+    # codebooks + IVF cells — offline index builds whose artifacts
+    # outlive queries); their timed pass still runs the full search
     for name in (
         "s1_csv_scan", "s3_latest_partition", "s5_jsonl_scan",
         "s6_schema_evolution", "k1_parquet_roundtrip", "k2_excel_sheets",
         "k4_compaction_roundtrip", "k5_time_travel", "k6_zorder_scan",
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
-        "stream_incremental_agg",
+        "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
+        "ivf_pq_ann_topk",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:
