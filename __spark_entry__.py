@@ -1472,13 +1472,14 @@ def _q_k1_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mape_calculation_and_anonymization_spark.sources.readers import read_parquet
 
     path = _k1_fixture_path(sf_dir)
-    if not os.path.isdir(path):
+    if not _fixture_ready(path):
         write_parquet_snappy(
             load_table(spark, sf_dir, "supplier").select(
                 "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
             ),
             path,
         )
+        _mark_fixture_ready(path)
     df = read_parquet(spark, path)
     return df.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),

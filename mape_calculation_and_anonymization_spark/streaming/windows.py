@@ -190,9 +190,24 @@ def run_stream_to_memory(
     Streaming state partitioning is pinned at the first checkpoint, so
     this is a per-query decision made at start; production queries
     size it to cluster parallelism, local runs to data volume. The
-    session value is restored after the run."""
+    session value is restored after the run.
+
+    Checkpoints go to tmpfs (``/dev/shm``) when available: an
+    AvailableNow drain into a memory sink is ephemeral BY CONTRACT —
+    nothing ever restarts from its checkpoint — so the offset-log and
+    state-store writes are pure overhead I/O; memory-speed is the
+    right price for them. (A production writeStream with a durable
+    sink must keep its checkpoint on durable storage — exactly what
+    the restartable sinks in upsert.py do.) The per-query checkpoint
+    dir is deleted after the run either way."""
+    import os
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_root, "mape_spark_ckpt", name)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -200,6 +215,7 @@ def run_stream_to_memory(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
@@ -211,6 +227,7 @@ def run_stream_to_memory(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     if not finished:
         # A timed-out AvailableNow run has only partially drained the
         # source; returning the memory table would silently ship
