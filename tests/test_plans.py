@@ -334,3 +334,15 @@ def test_triangle_count_no_cartesian(spark):
     df = e._q_triangle_count(spark, SF)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_gates_evaluate_once(spark):
+    # the gate expressions (language_id / quality_score) must be
+    # materialized ONCE behind the localCheckpoint barrier: the
+    # RESULT plan reads checkpointed blocks (ExistingRDD) and never
+    # re-scans documents.parquet or re-derives the gates (r5 paid two
+    # full corpus passes over them)
+    df = e._q_pipeline_funnel_stats(spark, SF)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan
+    assert "documents" not in plan

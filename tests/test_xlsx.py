@@ -129,3 +129,46 @@ def test_xlsx_shared_strings_read(tmp_path):
     got = read_xlsx_sheet_pandas(path, "s")
     assert list(got.columns) == ["name"]
     assert got["name"].tolist() == ["alice"]
+
+
+def test_xlsx_roundtrip_property():
+    """Property: any frame of int/float/unicode-string cells survives
+    the stdlib write→read roundtrip exactly (floats bit-exact via
+    repr; strings verbatim including XML metacharacters and
+    whitespace)."""
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(cell, min_size=3, max_size=3), min_size=1, max_size=6
+        )
+    )
+    def roundtrip(rows):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/p.xlsx"
+            pdf = pd.DataFrame(rows, columns=["a", "b", "c"])
+            _write_xlsx_stdlib(path, {"s": pdf})
+            got = read_xlsx_sheet_pandas(path, "s")
+            assert list(got.columns) == ["a", "b", "c"]
+            for col in ("a", "b", "c"):
+                for orig, back in zip(pdf[col].tolist(), got[col].tolist()):
+                    if isinstance(orig, float) and isinstance(back, (int, float)):
+                        assert float(back) == orig
+                    else:
+                        assert back == orig
+
+    roundtrip()
