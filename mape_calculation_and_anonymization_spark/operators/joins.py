@@ -277,7 +277,17 @@ def auto_salted_join(
             "(build-side salt replication would duplicate unmatched "
             "build rows under right/full joins)"
         )
+    import logging
+
     salt = choose_salt(probe, on, skew_threshold, max_salt)
     if salt <= 1:
         return probe.join(build, on, how)
+    logging.getLogger(__name__).info(
+        "auto_salted_join: probe key %r exceeds skew threshold %.1f — "
+        "salting with factor %d (build side replicated %dx)",
+        on,
+        skew_threshold,
+        salt,
+        salt,
+    )
     return salted_join(probe, build, on, salt=salt, how=how)
