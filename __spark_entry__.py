@@ -483,6 +483,111 @@ _DEDUP_EXACT_ORACLE = """
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state production dedup: a daily INCREMENT deduplicated
+    against the historical corpus's FINGERPRINT STORE — never a
+    full-corpus self-join. The store holds one md5 of
+    whitespace-normalized text per historical doc (16 bytes/doc; at
+    100 TB of text the store is ~GBs and can be bucketed on fp so the
+    daily anti join never reshuffles history). The increment keeps a
+    doc iff its fingerprint appears in NEITHER the store NOR earlier
+    (min doc_id, via the exact_dedup operator) within the increment
+    itself.
+
+    Fixture split (deterministic, mirrored verbatim in the oracle):
+    history = even doc_ids; increment = odd docs (unique) ∪ even-doc
+    copies at id+1M with two trailing spaces (history dupes — caught
+    only BECAUSE normalization runs before hashing) ∪ odd-doc copies
+    at id+2M (within-increment dupes). Per-lang ledger of the four
+    fates."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def fp(col):
+        return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    store = even.select(fp(F.col("text")).alias("fp")).distinct()
+    increment = (
+        odd.unionByName(
+            even.select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        ).unionByName(
+            odd.select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+                "lang",
+                "text",
+            )
+        )
+    ).select("doc_id", "lang", fp(F.col("text")).alias("fp"))
+    firsts = exact_dedup(increment, ["fp"], "doc_id")
+    # deliberately NOT broadcast: the store is corpus-sized (one fp
+    # per historical doc) — at scale this is the shuffled anti join a
+    # bucketed-on-fp store would make shuffle-free on the history side
+    kept = firsts.join(store, "fp", "left_anti")
+    n_inc = increment.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_increment")
+    )
+    n_first = firsts.groupBy("lang").agg(F.count(F.lit(1)).alias("_nf"))
+    n_kept = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_inc.join(n_first, "lang")
+        .join(n_kept, "lang")
+        .select(
+            "lang",
+            "n_increment",
+            "n_kept",
+            (F.col("_nf") - F.col("n_kept")).alias("n_dropped_history"),
+            (F.col("n_increment") - F.col("_nf")).alias("n_dropped_within"),
+        )
+    )
+
+
+_DEDUP_INCREMENTAL_ORACLE = r"""
+    WITH fp_norm AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ),
+    store AS (SELECT DISTINCT fp FROM fp_norm WHERE doc_id % 2 = 0),
+    increment AS (
+        SELECT doc_id, lang, fp FROM fp_norm WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT d.doc_id + 1000000, d.lang,
+               md5(lower(trim(regexp_replace(d.text || '  ', '\s+', ' ', 'g'))))
+        FROM documents d WHERE d.doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, lang, fp FROM fp_norm WHERE doc_id % 2 = 1
+    ),
+    firsts AS (
+        SELECT i.* FROM increment i
+        JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM increment GROUP BY fp) m
+          ON i.fp = m.fp AND i.doc_id = m.doc_id
+    ),
+    kept AS (
+        SELECT f.* FROM firsts f
+        WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = f.fp)
+    )
+    SELECT i.lang,
+           COUNT(*) AS n_increment,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = i.lang) AS n_kept,
+           (SELECT COUNT(*) FROM firsts f WHERE f.lang = i.lang)
+             - (SELECT COUNT(*) FROM kept k WHERE k.lang = i.lang)
+             AS n_dropped_history,
+           COUNT(*) - (SELECT COUNT(*) FROM firsts f WHERE f.lang = i.lang)
+             AS n_dropped_within
+    FROM increment i
+    GROUP BY i.lang
+"""
+
+
 # 4 bands × 2 rows = 8 md5s per shingle: at threshold 0.5 a twin pair
 # (s ≈ 0.95) is caught with p ≈ 1-(1-s²)⁴ > 0.9999; halving the band
 # count halves the dominant md5 cost. Recall misses are identical on
@@ -6472,6 +6577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         # (c) implementation changed this round (real xlsx sink)
         "k2_excel_sheets": _q_k2_excel_sheets,
+        # (c') new this round — debuts in the window: incremental
+        # dedup against the historical fingerprint store (displaces
+        # text_repetition to slot 51; r4-green, within hygiene, due r7)
+        "dedup_incremental": _q_dedup_incremental,
         # (d) oldest r4-green refresh (jaccard stays ahead of clusters
         # so the memoized pair-derivation cost keeps its attribution)
         "stream_session_windows": _q_stream_session_windows,
@@ -6605,6 +6714,7 @@ def oracle_sql() -> dict[str, str]:
         "f4_unmatched_uids": _F4_ORACLE,
         "u1_union_dedup": _U1_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
+        "dedup_incremental": _DEDUP_INCREMENTAL_ORACLE,
         "dedup_jaccard_pairs": _DEDUP_JACCARD_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "text_token_stats": _TEXT_TOKEN_ORACLE,

@@ -213,3 +213,53 @@ def test_md5_band_buckets_match_hof_form(spark):
     got = {tuple(r) for r in agg.collect()}
     want = {tuple(r) for r in hof.collect()}
     assert got == want and len(got) == 30 * 4
+
+
+def test_incremental_dedup_ledger_semantics(spark):
+    """The dedup_incremental registry query on a hand-built corpus:
+    evens = history, odds = increment (plus the query's synthesized
+    copies); whitespace-only variants must hash equal (normalization
+    before fingerprinting) and the ledger identities must hold."""
+    import __spark_entry__ as e
+    import os
+    import tempfile
+
+    rows = [
+        (0, "en", "alpha beta"),      # history
+        (2, "en", "gamma  delta"),    # history (internal dbl space)
+        (1, "en", "unique one"),      # increment: kept
+        (3, "en", "alpha   beta"),    # increment: dup of history 0
+        (5, "fr", "seul"),            # increment: kept
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r["lang"]: r.asDict()
+            for r in e._q_dedup_incremental(spark, d).collect()
+        }
+    # en increment = odds {1,3} + even-copies {0+1M,2+1M} + odd-copies
+    # {1+2M,3+2M} = 6 rows. firsts: 1, 3, (0+1M and 2+1M are new fps?
+    # no — 3 shares 0's fp, so 0+1M dups 3's fp group → first is 3;
+    # 2+1M first of its fp; 1 first; dup copies 1+2M/3+2M dropped
+    # within. kept: fp(unique one)=1 only — 3 and 2+1M hit the store.
+    en = got["en"]
+    assert en["n_increment"] == 6
+    assert en["n_kept"] == 1
+    assert en["n_dropped_history"] == 2
+    assert en["n_dropped_within"] == 3
+    # fr: increment = {5, 5+2M}; store empty for fr's fp → kept 5
+    fr = got["fr"]
+    assert fr["n_increment"] == 2
+    assert fr["n_kept"] == 1
+    assert fr["n_dropped_history"] == 0
+    assert fr["n_dropped_within"] == 1
+    # ledger identity: every increment row has exactly one fate
+    for row in got.values():
+        assert (
+            row["n_kept"] + row["n_dropped_history"] + row["n_dropped_within"]
+            == row["n_increment"]
+        )
