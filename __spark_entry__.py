@@ -1755,6 +1755,48 @@ _K2_ORACLE = f"""
 """
 
 
+def _q_k7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — ORC sink/scan roundtrip (sources/sinks.py:write_orc_zstd,
+    sources/readers.py:read_orc): orders priced slice written once
+    through the engine's zstd ORC sink, read back through the
+    vectorized ORC scan, aggregated per priority. The oracle
+    re-derives from the SOURCE table, so a green row proves the ORC
+    write→read path preserves content exactly (DuckDB never reads the
+    ORC file — same source-side oracle pattern as K1). ORC is the
+    second mainstream columnar lake format (Hive/Trino); same
+    pruning/pushdown story as parquet. Crash-idempotent fixture."""
+    from mape_calculation_and_anonymization_spark.sources.readers import read_orc
+    from mape_calculation_and_anonymization_spark.sources.sinks import (
+        write_orc_zstd,
+    )
+
+    path = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"orc_{_source_token(sf_dir, 'orders')}"
+    )
+    if not _fixture_ready(path):
+        write_orc_zstd(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            path,
+        )
+        _mark_fixture_ready(path)
+    df = read_orc(spark, path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_K7_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
 def _q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient salted join, driver-verified row-identical to the
     plain join: lineitem (probe, keys splintered across 8 salts) ⋈
@@ -6577,10 +6619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         # (c) implementation changed this round (real xlsx sink)
         "k2_excel_sheets": _q_k2_excel_sheets,
-        # (c') new this round — debuts in the window: incremental
-        # dedup against the historical fingerprint store (displaces
-        # text_repetition to slot 51; r4-green, within hygiene, due r7)
+        # (c') new this round — debut in the window: incremental dedup
+        # against the historical fingerprint store, and the ORC
+        # sink/scan roundtrip (displace text_pii_redaction /
+        # text_repetition to slots 51-52; both r4-green, within
+        # hygiene, due r7)
         "dedup_incremental": _q_dedup_incremental,
+        "k7_orc_roundtrip": _q_k7_orc_roundtrip,
         # (d) oldest r4-green refresh (jaccard stays ahead of clusters
         # so the memoized pair-derivation cost keeps its attribution)
         "stream_session_windows": _q_stream_session_windows,
@@ -6715,6 +6760,7 @@ def oracle_sql() -> dict[str, str]:
         "u1_union_dedup": _U1_ORACLE,
         "dedup_exact_groups": _DEDUP_EXACT_ORACLE,
         "dedup_incremental": _DEDUP_INCREMENTAL_ORACLE,
+        "k7_orc_roundtrip": _K7_ORACLE,
         "dedup_jaccard_pairs": _DEDUP_JACCARD_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "text_token_stats": _TEXT_TOKEN_ORACLE,

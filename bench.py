@@ -104,6 +104,7 @@ def main() -> None:
         "s1_csv_scan", "s3_latest_partition", "s5_jsonl_scan",
         "s6_schema_evolution", "k1_parquet_roundtrip", "k2_excel_sheets",
         "k4_compaction_roundtrip", "k5_time_travel", "k6_zorder_scan",
+        "k7_orc_roundtrip",
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
         "ivf_pq_ann_topk",

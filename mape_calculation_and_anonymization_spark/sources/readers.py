@@ -250,3 +250,9 @@ def read_xlsx_sheet(spark: SparkSession, filepath: str, sheet: str) -> DataFrame
     """K2 read-back surface: one workbook sheet as a Spark DataFrame
     (schema inferred by createDataFrame from the pandas frame)."""
     return spark.createDataFrame(read_xlsx_sheet_pandas(filepath, sheet))
+
+
+def read_orc(spark: SparkSession, path: str, lowercase: bool = False) -> DataFrame:
+    """S7 — ORC scan (vectorized, pruning/pushdown like parquet)."""
+    df = spark.read.orc(path)
+    return lowercase_columns(df) if lowercase else df

@@ -298,3 +298,12 @@ def read_versioned(spark, path: str, version: int | None = None) -> DataFrame:
             f"version {version} not in committed range [0, {current}]"
         )
     return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def write_orc_zstd(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K7 — ORC sink (zstd): the other mainstream columnar lake format
+    (Hive/Trino ecosystems standardize on it), supported natively by
+    Spark's vectorized ORC reader/writer — same pruning + predicate
+    pushdown story as parquet, so a reference user with ORC-consuming
+    downstream tooling can switch sinks with one call."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)

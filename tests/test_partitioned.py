@@ -248,3 +248,23 @@ def test_zorder_write_auto_on_doubles(spark, tmp_path):
     assert back.count() == 10_000
     assert set(back.columns) == {"x", "y", "payload"}  # helper cols dropped
     assert back.agg(F.sum("payload")).first()[0] == sum(range(10_000))
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.plans.audit import physical_plan
+    from mape_calculation_and_anonymization_spark.sources.readers import read_orc
+    from mape_calculation_and_anonymization_spark.sources.sinks import write_orc_zstd
+
+    path = str(tmp_path / "t.orc")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    write_orc_zstd(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # predicate must reach the ORC scan (same pushdown story as parquet)
+    plan = physical_plan(back.filter(F.col("k") == 3).select("id"))
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
