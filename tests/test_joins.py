@@ -197,3 +197,18 @@ def test_auto_salted_join_decision_and_equality(spark):
     empty = spark.createDataFrame([], "k long, v long")
     assert choose_salt(empty, "k") == 1
     assert auto_salted_join(empty, build, "k").count() == 0
+
+
+def test_auto_salted_join_rejects_right_full_eagerly(spark):
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        auto_salted_join,
+    )
+
+    a = spark.createDataFrame([(1, "x")], ["k", "va"])
+    b = spark.createDataFrame([(1, "y")], ["k", "vb"])
+    # must raise BEFORE any skew probe — on uniform data too
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            auto_salted_join(a, b, on="k", how=how)
