@@ -2134,7 +2134,11 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
-    return run_stream_to_memory(joined, shuffle_partitions=8).select(
+    # 4 state partitions: stream-stream joins open TWO state stores
+    # per partition per micro-batch, the dominant fixed cost at local
+    # volume (measured 3.0s @ 8 → 2.1s @ 4, same rows); production
+    # sizes this to cluster parallelism (run_stream_to_memory doc)
+    return run_stream_to_memory(joined, shuffle_partitions=4).select(
         F.col("l_id").alias("purchase_id"),
         "user_id",
         F.col("r_id").alias("click_id"),
@@ -5932,7 +5936,9 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_left_outer_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
-    out = run_stream_to_memory(joined, shuffle_partitions=8)
+    # 4 state partitions — same stream-stream state-store argument as
+    # the inner-join query (measured 3.8s @ 8 → 2.7s @ 4, same rows)
+    out = run_stream_to_memory(joined, shuffle_partitions=4)
     return out.filter(F.col("l_id") >= 0).select(
         F.col("l_id").alias("purchase_id"),
         "user_id",
