@@ -121,3 +121,18 @@ def test_rotation_hygiene():
         "window mis-planned — rotate these into names[:50]:\n  "
         + "\n  ".join(violations)
     )
+
+
+def test_fixture_ready_wipes_incomplete(tmp_path):
+    """Crash-idempotence contract of the fixture guard: a dir without
+    the completion marker is a half-build — wiped and rebuilt; a
+    marked dir is trusted."""
+    d = tmp_path / "fix"
+    d.mkdir()
+    (d / "part-0.parquet").write_text("partial")
+    assert entrymod._fixture_ready(str(d)) is False
+    assert not d.exists()  # half-build wiped
+    d.mkdir()
+    entrymod._mark_fixture_ready(str(d))
+    assert entrymod._fixture_ready(str(d)) is True
+    assert (d / "part-0.parquet").exists() is False  # only the marker
