@@ -268,3 +268,23 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     # predicate must reach the ORC scan (same pushdown story as parquet)
     plan = physical_plan(back.filter(F.col("k") == 3).select("id"))
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1][:80]
+
+
+def test_zvalue_saturates_out_of_range(spark):
+    """Out-of-range inputs clamp to the domain edges (monotone
+    saturation) instead of aliasing mod 2^bits — id 257 must NOT sort
+    next to id 1 under bits=8 (the silent-scatter failure the clamp
+    prevents)."""
+    from mape_calculation_and_anonymization_spark.operators.layout import zvalue
+
+    rows = [(1,), (255,), (257,), (100000,), (-5,)]
+    df = spark.createDataFrame(rows, ["x"])
+    got = {
+        r["x"]: r["z"]
+        for r in df.select("x", zvalue(["x"], bits=8).alias("z")).collect()
+    }
+    assert got[1] == 1
+    assert got[255] == 255
+    assert got[257] == 255       # saturates at the top, not 257 % 256 == 1
+    assert got[100000] == 255    # same top bucket
+    assert got[-5] == 0          # negative clamps to the bottom
