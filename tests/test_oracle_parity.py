@@ -136,3 +136,31 @@ def test_fixture_ready_wipes_incomplete(tmp_path):
     entrymod._mark_fixture_ready(str(d))
     assert entrymod._fixture_ready(str(d)) is True
     assert (d / "part-0.parquet").exists() is False  # only the marker
+
+
+def test_bench_reset_removes_only_the_drained_table():
+    """bench_reset must delete exactly the drained aggregate table and
+    its marker (the query's OUTPUT) while leaving the source files and
+    their marker (input setup) in place — the contract bench.py's
+    timed pass relies on."""
+    import os
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    root = entrymod._inc_agg_fixture_root(sf)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.makedirs(os.path.join(root, "table"))
+        os.makedirs(os.path.join(root, "src"))
+        for m in ("_COMPLETE", "_SRC_COMPLETE"):
+            with open(os.path.join(root, m), "w") as fh:
+                fh.write("ok\n")
+        entrymod.bench_reset(sf)
+        assert not os.path.exists(os.path.join(root, "table"))
+        assert not os.path.exists(os.path.join(root, "_COMPLETE"))
+        assert os.path.isdir(os.path.join(root, "src"))
+        assert os.path.exists(os.path.join(root, "_SRC_COMPLETE"))
+    finally:
+        # the dummy src must never be mistaken for a real fixture —
+        # force a clean rebuild for the next consumer
+        shutil.rmtree(root, ignore_errors=True)
