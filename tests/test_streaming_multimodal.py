@@ -249,3 +249,27 @@ def test_stream_key_upsert_incremental_and_idempotent(spark, tmp_path):
         for r in load_key_table(spark, key_dir, "user_id").collect()
     }
     assert third == second
+
+
+def test_stream_checkpoint_lands_on_tmpfs_and_is_cleaned(spark):
+    """Ephemeral AvailableNow checkpoints go under the tmpfs root and
+    are deleted after the drain — the run must not accumulate
+    checkpoint dirs across queries."""
+    import os
+
+    root = (
+        "/dev/shm/mape_spark_ckpt"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(os.environ.get("TMPDIR", "/tmp"), "mape_spark_ckpt")
+    )
+    before = set(os.listdir(root)) if os.path.isdir(root) else set()
+    out = run_stream_to_memory(
+        read_events_stream(spark, SF)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        output_mode="complete",
+        shuffle_partitions=2,
+    )
+    assert out.count() > 0
+    after = set(os.listdir(root)) if os.path.isdir(root) else set()
+    assert after <= before  # no new leftover checkpoint dirs
