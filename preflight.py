@@ -13,9 +13,12 @@ driver's compare over the first-50 registry window on a vanilla
 session so those surface locally first.
 
 Usage:
-    python preflight.py            # first 50 (the driver window)
-    python preflight.py --all     # every oracle-backed query
-    python preflight.py name ...  # just the named queries
+    python preflight.py                # first 50 (the driver window)
+    python preflight.py --all          # every oracle-backed query
+    python preflight.py name ...       # just the named queries
+    python preflight.py --plan-window  # emit next round's 50-slot
+                                       # rotation from CORRECTNESS
+                                       # history (paste into queries())
 
 Exit code 0 iff every compared query matches. One JSON summary line on
 stdout (tagged PREFLIGHT_JSON) for checking into PROGRESS notes.
@@ -38,6 +41,8 @@ def main(argv: list[str]) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    if argv and argv[0] == "--plan-window":
+        return plan_window()
     if argv and argv[0] == "--all":
         # every registry entry: oracle-backed queries get the full
         # compare, rows-only ones the driver's weaker run-and-count
@@ -82,6 +87,76 @@ def main(argv: list[str]) -> int:
     }
     print("PREFLIGHT_JSON " + json.dumps(summary))
     return 1 if failures else 0
+
+
+def plan_window() -> int:
+    """Derive the NEXT round's 50-slot window mechanically from the
+    CORRECTNESS_r*.json history — the planning step the rotation-
+    hygiene test (tests/test_oracle_parity.py:test_rotation_hygiene)
+    validates. Priority order:
+
+      1. oracle-backed queries with NO green driver row (new
+         additions and regressions — always debut/return first);
+      2. everything at or past the hygiene limit (last green row ≤
+         upcoming−2 — skipping them would fail the test next round);
+      3. the remaining oldest-green queries, oldest first.
+
+    Emits the ordered 50 names as ready-to-paste dict lines plus a
+    category summary. The registry itself stays hand-ordered (the
+    driver reads a static dict), so this is a planning aid, not a
+    runtime mutation — run it at the START of a round, paste, and let
+    test_rotation_hygiene confirm."""
+    import glob
+    import os
+
+    import __spark_entry__ as entrymod
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        for q, res in json.load(open(f)).items():
+            ok = (
+                isinstance(res, dict)
+                and res.get("err") is None
+                and res.get("rows_match", True)
+                and res.get("schema_match", True)
+                and res.get("hash_match", True)
+            )
+            if ok:
+                last_green[q] = rnd
+    upcoming = (max(rounds) + 1) if rounds else 1
+    candidates = [n for n in qs if n in oracles]
+
+    def prio(name: str) -> tuple:
+        lg = last_green.get(name)
+        if lg is None:
+            return (0, 0, name)  # never verified: first
+        return (1, lg, name)  # then oldest green first
+
+    ordered = sorted(candidates, key=prio)
+    window, overflow = ordered[:50], ordered[50:]
+    # exactly the hygiene test's violation predicate: never-verified,
+    # or a window skip would push staleness past two rounds
+    must = [
+        n
+        for n in candidates
+        if n not in last_green or upcoming - last_green[n] > 2
+    ]
+    dropped_must = [n for n in must if n not in window]
+    print(f"# window plan for round {upcoming} "
+          f"({len(candidates)} oracle-backed; {len(must)} must-include "
+          f"this round{'; OVERFLOW — more must-includes than slots: ' + str(dropped_must) if dropped_must else ''})")
+    for n in window:
+        lg = last_green.get(n)
+        tag = "never" if lg is None else f"r{lg}"
+        print(f'        "{n}": _q_{n},  # last green: {tag}')
+    print(f"# below window: {len(overflow)} oracle-backed "
+          f"(newest-green) + rows-only entries")
+    return 1 if dropped_must else 0
 
 
 if __name__ == "__main__":
