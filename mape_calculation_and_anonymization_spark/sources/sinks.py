@@ -118,17 +118,27 @@ def _write_xlsx_stdlib(filepath: str, pdfs: dict) -> None:
     timestamps) as its ``str()`` inline. Valid OOXML — Excel,
     openpyxl, and :func:`..readers.read_xlsx_sheet` all read it."""
     import math
+    import numbers
     import zipfile
 
+    import numpy as np
+
     def cell_xml(ref: str, v) -> str:
+        # numbers.Integral/Real (not bare int/float) so numpy scalars
+        # inside object columns serialize as numbers, not inline
+        # strings; values go through int()/float() because numpy 2's
+        # repr is 'np.float64(1.5)', not a bare literal
         if v is None:
             return ""
-        if isinstance(v, float) and math.isnan(v):
-            return ""
-        if isinstance(v, bool):
+        if isinstance(v, (bool, np.bool_)):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
-        if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        if isinstance(v, numbers.Integral):
+            return f'<c r="{ref}"><v>{int(v)!r}</v></c>'
+        if isinstance(v, numbers.Real):
+            fv = float(v)
+            if math.isnan(fv):
+                return ""
+            return f'<c r="{ref}"><v>{fv!r}</v></c>'
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
             f"{_xml_escape(str(v))}</t></is></c>"

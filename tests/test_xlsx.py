@@ -172,3 +172,25 @@ def test_xlsx_roundtrip_property():
                         assert back == orig
 
     roundtrip()
+
+
+def test_xlsx_numpy_scalars_in_object_columns(tmp_path):
+    """numpy scalars inside object columns (older pandas / mixed
+    frames) must serialize as numbers and booleans, never as inline
+    strings."""
+    import numpy as np
+
+    path = str(tmp_path / "np.xlsx")
+    pdf = pd.DataFrame(
+        {
+            "o": pd.Series([np.int64(7), np.float64(2.5)], dtype=object),
+            "b": pd.Series([np.bool_(True), np.bool_(False)], dtype=object),
+        }
+    )
+    _write_xlsx_stdlib(path, {"s": pdf})
+    got = read_xlsx_sheet_pandas(path, "s")
+    assert got["o"].tolist() == [7, 2.5]
+    assert got["b"].tolist() == [True, False]
+    with zipfile.ZipFile(path) as z:
+        ws = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>7</v>" in ws and "<v>2.5</v>" in ws and 't="b"' in ws
