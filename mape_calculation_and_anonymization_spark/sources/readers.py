@@ -213,9 +213,14 @@ def read_xlsx_sheet_pandas(filepath: str, sheet: str):
                 return bool(int(v.text))
             if t == "str":  # cached formula result
                 return v.text
+            # int FIRST: routing "9007199254740993" through float()
+            # would round it past 2^53 before the is_integer check
             try:
-                f = float(v.text)
-                return int(f) if f.is_integer() and "." not in v.text else f
+                return int(v.text)
+            except ValueError:
+                pass
+            try:
+                return float(v.text)
             except ValueError:
                 return v.text
 

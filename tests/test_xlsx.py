@@ -194,3 +194,12 @@ def test_xlsx_numpy_scalars_in_object_columns(tmp_path):
     with zipfile.ZipFile(path) as z:
         ws = z.read("xl/worksheets/sheet1.xml").decode()
     assert "<v>7</v>" in ws and "<v>2.5</v>" in ws and 't="b"' in ws
+
+
+def test_xlsx_big_integers_exact(tmp_path):
+    path = str(tmp_path / "big.xlsx")
+    big = 2**53 + 1  # not representable as a double
+    pdf = pd.DataFrame({"n": [big, -big]})
+    _write_xlsx_stdlib(path, {"s": pdf})
+    got = read_xlsx_sheet_pandas(path, "s")
+    assert got["n"].tolist() == [big, -big]
