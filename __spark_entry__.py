@@ -6614,7 +6614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     two rounds without a driver row) is now EXECUTABLE:
     #     tests/test_oracle_parity.py:test_rotation_hygiene parses the
     #     CORRECTNESS_r*.json history and fails if this window would
-    #     let any query exceed the limit;
+    #     let any query exceed the limit, and `python preflight.py
+    #     --plan-window` EMITS the next compliant ordering (round 7:
+    #     32 must-includes, 18 free slots — verified feasible against
+    #     a simulated all-green r6);
     # (c) queries whose implementation changed this round
     #     (k2_excel_sheets: real stdlib-zipfile xlsx sink replaces the
     #     CSV fallback; k5/k6/s6/k4/triangle_count/pipeline_funnel_stats
