@@ -191,3 +191,21 @@ def test_ivf_pq_exhaustive_probe_equals_pq_only(spark):
     # partial probe recall against the exhaustive-probe answer
     full_pairs = {(q, n) for q, n, _ in bf}
     assert len(partial & full_pairs) / len(full_pairs) >= 0.5
+
+
+def test_ann_recall_eval_curve(spark):
+    """The IVF recall-curve query: recall must be monotone
+    non-decreasing in nprobe and EXACTLY 1.0 at the exhaustive probe
+    (nprobe == n_clusters ⇒ every cell scored ⇒ identical to brute
+    force)."""
+    import __spark_entry__ as e
+
+    rows = {
+        r["nprobe"]: r["mean_recall_at_10"]
+        for r in e._q_ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    vals = [rows[p] for p in (1, 2, 4, 8)]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals == sorted(vals)  # more probes never hurt recall
+    assert vals[-1] == 1.0  # exhaustive probe == brute force
