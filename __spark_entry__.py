@@ -957,50 +957,22 @@ def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     across a sweep of probe budgets against the exact brute-force
     baseline — the tuning curve an ANN deployment publishes before
     choosing nprobe (the eval-first discipline langid_confusion
-    applies to the language gate, here for the vector index).
-    Rows-only: the cell assignment is KMeans-based (no portable SQL);
-    the exact baseline is itself oracle-verified via ann_cosine_topk,
-    and the exhaustive-probe row pinning recall == 1.0 is asserted in
-    tests/test_similarity.py. Fully declarative — per-budget searches
-    union into ONE semi-join + hash aggregate against the checkpointed
-    exact pairs; the only broadcast is the 1-row total. Output:
-    (nprobe, n_hits, mean_recall_at_10), 4 rows."""
-    from mape_calculation_and_anonymization_spark.operators.ivf import ivf_top_k
+    applies to the language gate, here for the vector index). One
+    corpus-scoring pass for the whole sweep
+    (operators/ivf.py:ivf_recall_curve — per-budget set equality with
+    ivf_top_k is pinned in tests, as are the monotone curve and
+    exhaustive-probe recall == 1.0). Rows-only: the cell assignment is
+    KMeans-based (no portable SQL); the exact baseline is itself
+    oracle-verified via ann_cosine_topk."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        ivf_recall_curve,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     assigned, centroids = _ivf_index_cached(spark, sf_dir, n_clusters=8)
-    exact = (
-        brute_force_top_k(emb, queries, k=10)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # consumed by 4 probe budgets + total
-    )
-    from pyspark.sql import DataFrame as _DF
-
-    approx_all: _DF | None = None
-    for nprobe in (1, 2, 4, 8):
-        tagged = ivf_top_k(
-            assigned, centroids, queries, k=10, nprobe=nprobe
-        ).select(
-            F.lit(nprobe).cast("long").alias("nprobe"),
-            "query_id",
-            "neighbor_id",
-        )
-        approx_all = tagged if approx_all is None else approx_all.unionByName(tagged)
-    hits = approx_all.join(exact, ["query_id", "neighbor_id"], "left_semi")
-    total = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
-    return (
-        hits.groupBy("nprobe")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "nprobe",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("_n_exact"), 6).alias(
-                "mean_recall_at_10"
-            ),
-        )
-        .orderBy("nprobe")
+    return ivf_recall_curve(
+        assigned, centroids, queries, k=10, budgets=(1, 2, 4, 8)
     )
 
 

@@ -108,3 +108,97 @@ def ivf_top_k(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_recall_curve(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    budgets: tuple[int, ...] = (1, 2, 4, 8),
+    round_scale: int | None = 6,
+) -> DataFrame:
+    """Mean recall@k of the IVF index per probe budget, in ONE
+    corpus-scoring pass.
+
+    :func:`ivf_top_k` at ``nprobe=p`` is, by definition, the top-k of
+    the (query, corpus-vector) pairs whose routed-cell rank ≤ p — and
+    at ``nprobe = n_cells`` it IS the exact brute-force result (every
+    cell scored). So scoring every pair ONCE with its cell rank
+    attached lets every budget's result set AND the exact baseline be
+    derived as window ranks over the same checkpointed scored frame,
+    instead of re-touching the corpus per budget (len(budgets)+1
+    passes → 1). Per-budget set equality with ivf_top_k is pinned in
+    tests/test_similarity.py.
+
+    Eval-tool scale contract: the scored frame is |queries| × |corpus|
+    — run it on a SAMPLED query set (an eval publishes a curve, not a
+    per-query report); the corpus side streams once.
+
+    Output: (nprobe, n_hits, mean_recall_at_k), one row per budget.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    routed = (
+        q.join(F.broadcast(centroids))
+        .withColumn("_csim", cosine(F.col("_qv"), F.col("centroid")))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_csim").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .select("query_id", "_qv", "cluster", "_crank")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_scale is not None:
+        sim = F.round(sim, round_scale)
+    scored = (
+        routed.join(c, on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_crank", sim.alias("cosine_sim"))
+        .localCheckpoint(eager=True)  # len(budgets)+1 consumers
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+
+    def top_k(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = top_k(scored)
+    approx_all = None
+    for p in budgets:
+        tagged = top_k(scored.filter(F.col("_crank") <= p)).select(
+            F.lit(p).cast("long").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        approx_all = (
+            tagged if approx_all is None else approx_all.unionByName(tagged)
+        )
+    hits = approx_all.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    total = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    return (
+        hits.groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("_n_exact"), 6).alias(
+                f"mean_recall_at_{k}"
+            ),
+        )
+        .orderBy("nprobe")
+    )
