@@ -107,7 +107,7 @@ def main() -> None:
         "k7_orc_roundtrip",
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
-        "ivf_pq_ann_topk",
+        "ivf_pq_ann_topk", "dedup_minhash_pairs",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:
@@ -119,28 +119,41 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
-    # see the pre-build comment: the drained incremental-agg table is
-    # query OUTPUT, not input — reset it so the timed pass drains
-    if hasattr(entrymod, "bench_reset"):
-        entrymod.bench_reset(SF_DIR)
+    # Median-of-N timed passes: single-run per-query timings at sf0.1
+    # swing ±50% with machine load, so one sample cannot distinguish a
+    # real 20% regression from noise. Only the timed loop repeats —
+    # warmups and fixture pre-builds above run once. bench_reset runs
+    # before EVERY pass so output-side fixtures (the drained
+    # incremental-agg table — query OUTPUT, not input) and in-session
+    # memoized shared frames are rebuilt inside each pass's timed
+    # region, keeping passes comparable.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {}
+    for _ in range(n_runs):
+        if hasattr(entrymod, "bench_reset"):
+            entrymod.bench_reset(SF_DIR)
+        for name, fn in entrymod.queries().items():
+            # fn() is inside the timed region: streaming queries execute
+            # during construction (AvailableNow into a memory sink), and
+            # several operators do dimension-sized metadata jobs there.
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+            # operators that persist intermediates (minhash shingles) must
+            # not pressure later queries' memory
+            spark.catalog.clearCache()
+            # localCheckpoint blocks release only when the driver-side
+            # DataFrame is garbage-collected (ContextCleaner) — collect
+            # promptly so one query's barriers don't pressure the next's
+            gc.collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        # fn() is inside the timed region: streaming queries execute
-        # during construction (AvailableNow into a memory sink), and
-        # several operators do dimension-sized metadata jobs there.
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        # operators that persist intermediates (minhash shingles) must
-        # not pressure later queries' memory
-        spark.catalog.clearCache()
-        # localCheckpoint blocks release only when the driver-side
-        # DataFrame is garbage-collected (ContextCleaner) — collect
-        # promptly so one query's barriers don't pressure the next's
-        gc.collect()
+    import statistics
 
+    timings = {
+        name: round(statistics.median(vals), 2)
+        for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 2)
     sf = _sf_from_dir(SF_DIR)
     print(
@@ -151,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
             }
         )
     )
@@ -162,7 +176,13 @@ def main() -> None:
     # it; BENCH_r{N}.json's 2000-char tail truncates the queries map).
     print(
         json.dumps(
-            {"metric": "total_query_time", "value": total, "unit": "sec", "sf": sf}
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "runs": n_runs,
+            }
         )
     )
     try:
@@ -177,6 +197,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "runs": n_runs,
                 },
                 fh,
             )

@@ -423,9 +423,20 @@ def minhash_near_duplicates(
     threshold: float = 0.6,
     seed: int = 42,
     shingle_mode: str = "char",
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     EXACT Jaccard verification on the candidates only.
+
+    ``precomputed_sigs`` ((_id, sig) — the output of
+    :func:`minhash_signatures` over the SAME corpus/params) switches
+    to the offline-index steady state: signatures are an index
+    artifact that outlives queries (like PQ codebooks), so search
+    skips the full-corpus shingle+signature pass and shingles ONLY
+    the candidate documents for exact verification — at 100 TB that
+    is the difference between re-reading the corpus per run and
+    touching answer-sized data. Results are identical by construction
+    (same signatures → same candidates → same exact verify).
 
     Default signature width is 32 hashes / 8 bands (band width 4):
     the S-curve midpoint sits at (1/b)^(1/4) ≈ 0.59, so pairs near
@@ -444,6 +455,35 @@ def minhash_near_duplicates(
     Output: (id_a, id_b, jaccard_sim) for verified pairs ≥ threshold.
     """
     shingler = char_shingles if shingle_mode == "char" else word_ngrams
+    if precomputed_sigs is not None:
+        cands = lsh_candidate_pairs(
+            precomputed_sigs, "_id", "sig", bands, sig_len=num_hashes
+        ).localCheckpoint(eager=True)  # answer-sized; feeds 2 consumers
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cand_sh = (
+            docs.join(cand_ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("_id"),
+                shingler(text_col, shingle_k).alias("sh"),
+            )
+            .localCheckpoint(eager=True)  # shingled once, joined twice
+        )
+        a = cand_sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = cand_sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
     # Persist the shingle frame: it feeds the signature aggregation AND
     # both sides of the verification join — without it the (interpreted
     # higher-order-function) shingling runs three times. MEMORY_AND_DISK

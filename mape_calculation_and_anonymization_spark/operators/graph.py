@@ -147,7 +147,9 @@ def cooccurrence_edges(
     import logging
 
     keyed = df.select(F.col(id_col).alias("_id"), *bucket_cols)
-    if max_bucket_size:
+    # `is not None`, not truthiness: max_bucket_size=0 is a legitimate
+    # (drop-everything) cap, not "disabled"
+    if max_bucket_size is not None:
         counts = (
             keyed.groupBy(*bucket_cols)
             .agg(F.count(F.lit(1)).alias("_n"))

@@ -33,6 +33,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# The ADC search paths collect the QUERY batch to the driver to build
+# per-query LUTs — correct only while the query side is dimension-sized
+# (query batches ≪ corpus, by contract). This guard makes a
+# corpus-sized query frame fail loudly instead of OOMing the driver —
+# the same discipline as max_bucket_size in the LSH paths.
+_DEFAULT_MAX_QUERIES = 100_000
+
+
+def _collect_query_batch(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int
+) -> list:
+    rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query batch exceeds max_queries={max_queries}: the ADC "
+            "LUT build collects the query side to the driver; pass a "
+            "bounded query batch (or raise max_queries deliberately)"
+        )
+    return rows
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -129,6 +154,7 @@ def pq_top_k(
     id_col: str = "vec_id",
     k: int = 10,
     shortlist_factor: int = 4,
+    max_queries: int = _DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """ADC search + exact cosine re-rank.
 
@@ -145,7 +171,7 @@ def pq_top_k(
     """
     mm, kk, sub = codebooks.shape
     cb = codebooks
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_rows = _collect_query_batch(queries, id_col, vec_col, max_queries)
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.asarray([np.asarray(r[1], np.float64) for r in q_rows])
     # (nq, m, k) LUTs
@@ -243,6 +269,7 @@ def ivf_pq_top_k(
     k: int = 10,
     nprobe: int = 4,
     shortlist_factor: int = 8,
+    max_queries: int = _DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """The full IVF+PQ stack: coarse cell routing (touch ~nprobe/k of
     the corpus) × compressed-code ADC scoring (m bytes per candidate)
@@ -261,7 +288,7 @@ def ivf_pq_top_k(
     )
 
     mm, kk, sub = codebooks.shape
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_rows = _collect_query_batch(queries, id_col, vec_col, max_queries)
     q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.asarray([np.asarray(r[1], np.float64) for r in q_rows])
     luts = np.empty((len(q_ids), mm, kk), dtype=np.float64)

@@ -21,9 +21,14 @@ def audit_query(df) -> dict:
     return {
         # any shuffle Exchange node (hashpartitioning, rangepartitioning,
         # SinglePartition, RoundRobinPartitioning from repartition/
-        # ensure_min_partitions, ...); the lookbehind excludes
-        # BroadcastExchange, counted separately below
-        "exchanges": len(re.findall(r"(?<!Broadcast)Exchange \w+", plan)),
+        # ensure_min_partitions, ...). Line-anchored on the tree-drawing
+        # prefix so BroadcastExchange is excluded AND a ReusedExchange
+        # node's inline reprint of its referenced exchange
+        # ("ReusedExchange [...], Exchange hashpartitioning(...)") is
+        # not double-counted — a reused shuffle is paid once.
+        "exchanges": len(
+            re.findall(r"^[\s+:|-]*Exchange \w+", plan, re.M)
+        ),
         "broadcasts": plan.count("BroadcastExchange"),
         "cartesian": "CartesianProduct" in plan,
         "bnlj": "BroadcastNestedLoopJoin" in plan,

@@ -101,7 +101,10 @@ def _col_ref(i: int) -> str:
 def _xml_escape(s: str) -> str:
     from xml.sax.saxutils import escape
 
-    return escape(s)
+    # quote entities included: this helper is also used in attribute
+    # context (sheet name="..."), where a literal '"' would end the
+    # attribute and corrupt workbook.xml
+    return escape(s, {'"': "&quot;", "'": "&apos;"})
 
 
 _XLSX_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"

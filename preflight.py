@@ -127,7 +127,10 @@ def plan_window() -> int:
                 and res.get("hash_match", True)
             )
             if ok:
-                last_green[q] = rnd
+                # max, not last-assignment: glob order is lexicographic
+                # (r10 sorts before r2), so trust round numbers, not
+                # file-visit order
+                last_green[q] = max(last_green.get(q, 0), rnd)
     upcoming = (max(rounds) + 1) if rounds else 1
     candidates = [n for n in qs if n in oracles]
 

@@ -154,6 +154,34 @@ def test_minhash_near_duplicates_finds_planted(spark):
     assert found == truth
 
 
+def test_minhash_precomputed_sigs_equivalent(spark):
+    """The offline-index path (precomputed_sigs + candidate-only
+    shingling) must return byte-identical pairs to the from-scratch
+    pipeline — same signatures -> same candidates -> same exact
+    verify."""
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sh = df.select(
+        F.col("doc_id").alias("_id"), char_shingles("text", 5).alias("sh")
+    )
+    sigs = minhash_signatures(sh, "_id", F.col("sh"), 32, 42)
+    fresh = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+        for r in minhash_near_duplicates(df, threshold=0.6).collect()
+    }
+    cached = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+        for r in minhash_near_duplicates(
+            df, threshold=0.6, precomputed_sigs=sigs
+        ).collect()
+    }
+    assert cached == fresh
+
+
 def test_simhash_finds_planted(spark):
     docs = _corpus()
     df = spark.createDataFrame(docs, ["doc_id", "text"])

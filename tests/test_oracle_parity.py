@@ -100,7 +100,10 @@ def test_rotation_hygiene():
                 and res.get("hash_match", True)
             )
             if ok:
-                last_green[q] = rnd
+                # max, not last-assignment: glob order is lexicographic,
+                # so from r10 on (r10 sorts before r2) the newest file
+                # is not the last one visited
+                last_green[q] = max(last_green.get(q, 0), rnd)
     if not rounds:
         pytest.skip("no CORRECTNESS history yet (round 1)")
     upcoming = max(rounds) + 1

@@ -139,6 +139,22 @@ def test_pq_recall_against_brute_force(spark):
     assert len(got16 & bf) >= len(got8 & bf)
 
 
+def test_pq_max_queries_guard(spark):
+    """A corpus-sized query frame must fail loudly BEFORE the driver
+    collects it to build ADC LUTs (operators/pq.py:_collect_query_batch
+    — same discipline as max_bucket_size in the LSH paths)."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.pq import (
+        pq_top_k,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = train_pq_codebooks(emb)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_top_k(emb, emb, cb, k=5, max_queries=10)
+
+
 def test_ivf_pq_exhaustive_probe_equals_pq_only(spark):
     """With nprobe = n_clusters the coarse routing excludes nothing, so
     IVF+PQ must return the identical result set as the PQ-only path
