@@ -6699,33 +6699,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 6): the driver's correctness harness checks
-    # the FIRST 50 entries. This round executes the rotation planned in
-    # round 5's registry comment (and endorsed by VERDICT.md item 1):
-    # (a) the 26 oracle-backed round-5 additions that have ONLY
-    #     local/preflight green — they debut in the window;
-    # (b) every query whose last driver row is round 3 — the
-    #     rotation-hygiene rule (no oracle-backed query goes more than
-    #     two rounds without a driver row) is now EXECUTABLE:
-    #     tests/test_oracle_parity.py:test_rotation_hygiene parses the
-    #     CORRECTNESS_r*.json history and fails if this window would
-    #     let any query exceed the limit, and `python preflight.py
-    #     --plan-window` EMITS the next compliant ordering (round 7:
-    #     32 must-includes, 18 free slots — verified feasible against
-    #     a simulated all-green r6);
-    # (c) queries whose implementation changed this round
-    #     (k2_excel_sheets: real stdlib-zipfile xlsx sink replaces the
-    #     CSV fallback; k5/k6/s6/k4/triangle_count/pipeline_funnel_stats
-    #     also changed — fixture markers, quantile z-order, capped edge
-    #     derivation, checkpointed gates — and already sit in (a));
-    # (d) the oldest round-4-green rows (stream_session_windows and
-    #     dedup_clusters ceded their r5 slots; the mape_* reference
-    #     core; the text/packing batch). The ~30 remaining r4-green
-    #     queries stay locally gated and MUST rotate into round 7's
-    #     window — test_rotation_hygiene will enforce exactly that
-    #     next round.
+    # Ordering policy (round 7): the driver's correctness harness checks
+    # the FIRST 50 entries; the rotation-hygiene rule (no oracle-backed
+    # query goes more than two rounds without a driver row —
+    # tests/test_oracle_parity.py:test_rotation_hygiene, executable via
+    # `python preflight.py --plan-window`) dictates this round's window:
+    # (a) ALL 32 queries whose last driver row is round 4 — the hygiene
+    #     cliff VERDICT r6 item 1 flagged (TPC-H batch, 4 stream
+    #     queries, PII/repetition/chunking, keep-best/skew/sampling/
+    #     x6, salted+bucketed joins);
+    # (b) queries whose implementation changed this round and must
+    #     re-verify: dedup_incremental (left-join zero-count langs),
+    #     triangle_count (oracle now mirrors the 256 hot-bucket cap),
+    #     dedup_minhash_pairs (offline signature fixture +
+    #     candidate-only verify shingling);
+    # (c) the 4 rows-only queries that have NEVER had a driver row
+    #     (below the window since they were added): pagerank,
+    #     IVF recall curve, PQ and IVF+PQ ANN — the driver's
+    #     run-and-count check is weaker than the oracle compare but
+    #     still evidence (VERDICT r6 item 2);
+    # (d) free slots: the oldest round-5-green queries, softening
+    #     round 8's hygiene cliff (49-query r5 cohort).
+    # triangle_count leads so the shared co-occurrence edge derivation
+    # (_COOC_SHARED) keeps its bench attribution ahead of
+    # pagerank_influencers; below the window, dedup_jaccard_pairs
+    # stays ahead of dedup_clusters and pipeline_funnel_stats ahead of
+    # training_pipeline for the same memoized-frame attribution.
     return {
-        # (a) round-5 additions: local/preflight green only — debut
+        # (b) changed impls — triangle_count first: owns _COOC_SHARED
+        "triangle_count": _q_triangle_count,
+        # (a) the 32 round-4-green must-includes (hygiene cliff)
+        "approx_stats_events": _q_approx_stats_events,
+        "bucketed_join_orders": _q_bucketed_join_orders,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "doc_chunking": _q_doc_chunking,
+        "key_skew_stats": _q_key_skew_stats,
+        "q10_returned_items": _q_q10_returned_items,
+        "q11_important_parts": _q_q11_important_parts,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q16_supplier_variety": _q_q16_supplier_variety,
+        "q18_large_volume_customers": _q_q18_large_volume_customers,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q20_excess_parts": _q_q20_excess_parts,
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
+        "q22_idle_balances": _q_q22_idle_balances,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "rank_window_top_parts": _q_rank_window_top_parts,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "sample_stratified_docs": _q_sample_stratified_docs,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "stream_hourly_wape": _q_stream_hourly_wape,
+        "stream_stateful_wape": _q_stream_stateful_wape,
+        "stream_static_enrich": _q_stream_static_enrich,
+        "stream_stream_join": _q_stream_stream_join,
+        "text_pii_redaction": _q_text_pii_redaction,
+        "text_repetition": _q_text_repetition,
+        "x6_stamp_metadata": _q_x6_stamp_metadata,
+        # (b) changed implementations this round — re-verify
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        # (c) rows-only, never driver-run — first driver evidence
+        "pagerank_influencers": _q_pagerank_influencers,
+        "ann_recall_eval": _q_ann_recall_eval,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,
+        # (d) free slots: oldest r5-green (softens the r8 cliff)
+        "agg_cube_counts": _q_agg_cube_counts,
+        "agg_rollup_revenue": _q_agg_rollup_revenue,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "anti_join_idle_customers": _q_anti_join_idle_customers,
+        "argmax_user_events": _q_argmax_user_events,
+        "asof_join_rates": _q_asof_join_rates,
+        "bigram_top_terms": _q_bigram_top_terms,
+        "bm25_search": _q_bm25_search,
+        "cdc_latest_events": _q_cdc_latest_events,
+        "decile_revenue_share": _q_decile_revenue_share,
+        "distinct_agg_brand": _q_distinct_agg_brand,
+        # ---- below the driver's 50-row window ----
+        # Everything below is r5/r6-green or rows-only by design
+        # (x5/simhash/embedding/multimodal_features: no portable-SQL
+        # oracle; semantics pinned by unit tests) and stays locally
+        # gated by tests/test_oracle_parity.py each run.
+        # stream_user_activity (transformWithStateInPandas) is NOT
+        # registered: the Spark 4 arbitrary-state API needs the
+        # protobuf wheel, which this container lacks (state-server
+        # handshake imports StateMessage_pb2). The operator ships
+        # import-gated in streaming/stateful.py with a skip-gated
+        # test; applyInPandasWithState (stream_stateful_wape) covers
+        # the custom-stateful slot in this environment.
         "scd2_event_history": _q_scd2_event_history,
         "trend_slope_by_type": _q_trend_slope_by_type,
         "train_val_test_split": _q_train_val_test_split,
@@ -6742,7 +6809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k5_time_travel": _q_k5_time_travel,
         "k6_zorder_scan": _q_k6_zorder_scan,
         "stream_outer_join": _q_stream_outer_join,
-        "triangle_count": _q_triangle_count,
         "time_to_convert": _q_time_to_convert,
         "stream_incremental_agg": _q_stream_incremental_agg,
         "winsorized_stats": _q_winsorized_stats,
@@ -6752,7 +6818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,
         "langid_confusion": _q_langid_confusion,
-        # (b) last driver row = round 3 (hygiene limit)
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "events_json_props": _q_events_json_props,
         "x3_perturb_values": _q_x3_perturb_values,
@@ -6760,17 +6825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_key_join": _q_j1_key_join,
         "u1_union_dedup": _q_u1_union_dedup,
         "dedup_exact_groups": _q_dedup_exact_groups,
-        # (c) implementation changed this round (real xlsx sink)
         "k2_excel_sheets": _q_k2_excel_sheets,
-        # (c') new this round — debut in the window: incremental dedup
-        # against the historical fingerprint store, and the ORC
-        # sink/scan roundtrip (displace text_pii_redaction /
-        # text_repetition to slots 51-52; both r4-green, within
-        # hygiene, due r7)
-        "dedup_incremental": _q_dedup_incremental,
         "k7_orc_roundtrip": _q_k7_orc_roundtrip,
-        # (d) oldest r4-green refresh (jaccard stays ahead of clusters
-        # so the memoized pair-derivation cost keeps its attribution)
         "stream_session_windows": _q_stream_session_windows,
         "dedup_clusters": _q_dedup_clusters,
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,
@@ -6785,26 +6841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_sessionize": _q_batch_sessionize,
         "vocab_top_terms": _q_vocab_top_terms,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "text_pii_redaction": _q_text_pii_redaction,
-        "text_repetition": _q_text_repetition,
-        # ---- below the driver's 50-row window ----
-        # Everything below is r4/r5-green or rows-only by design
-        # (x5/minhash/simhash/embedding/multimodal_features/pagerank:
-        # no portable-SQL oracle; semantics pinned by unit tests) and
-        # stays locally gated by tests/test_oracle_parity.py each run.
-        # stream_user_activity (transformWithStateInPandas) is NOT
-        # registered: the Spark 4 arbitrary-state API needs the
-        # protobuf wheel, which this container lacks (state-server
-        # handshake imports StateMessage_pb2). The operator ships
-        # import-gated in streaming/stateful.py with a skip-gated
-        # test; applyInPandasWithState (stream_stateful_wape) covers
-        # the custom-stateful slot in this environment.
         "q12_priority_returns": _q_q12_priority_returns,
         "training_pipeline": _q_training_pipeline,
         "stream_sliding_counts": _q_stream_sliding_counts,
         "stream_key_upsert": _q_stream_key_upsert,
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,
-        "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "f4_unmatched_uids": _q_f4_unmatched_uids,
         "multimodal_metadata": _q_multimodal_metadata,
@@ -6817,26 +6858,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_latest_partition": _q_s3_latest_partition,
         "o1_top_revenue": _q_o1_top_revenue,
         "w1_rolling_hourly": _q_w1_rolling_hourly,
-        "agg_rollup_revenue": _q_agg_rollup_revenue,
-        "agg_cube_counts": _q_agg_cube_counts,
         "set_intersect_except": _q_set_intersect_except,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q5_nation_volume": _q_q5_nation_volume,
-        "asof_join_rates": _q_asof_join_rates,
         "stream_distinct_users": _q_stream_distinct_users,
         "semi_join_late_orders": _q_semi_join_late_orders,
-        "anti_join_idle_customers": _q_anti_join_idle_customers,
         "outer_join_order_distribution": _q_outer_join_order_distribution,
-        "distinct_agg_brand": _q_distinct_agg_brand,
         "grouping_sets_revenue": _q_grouping_sets_revenue,
         "range_join_price_bands": _q_range_join_price_bands,
         "percentile_order_prices": _q_percentile_order_prices,
-        "argmax_user_events": _q_argmax_user_events,
-        "cdc_latest_events": _q_cdc_latest_events,
-        "decile_revenue_share": _q_decile_revenue_share,
         "user_event_sequences": _q_user_event_sequences,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
-        "bigram_top_terms": _q_bigram_top_terms,
         "doc_length_histogram": _q_doc_length_histogram,
         "median_length_filter": _q_median_length_filter,
         "stream_parquet_sink": _q_stream_parquet_sink,
@@ -6845,47 +6877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "events_variant_props": _q_events_variant_props,
         "s5_jsonl_scan": _q_s5_jsonl_scan,
-        "bm25_search": _q_bm25_search,
         "retention_cohorts": _q_retention_cohorts,
         "dq_expectations": _q_dq_expectations,
-        "pagerank_influencers": _q_pagerank_influencers,
-        # rows-only: IVF recall curve vs the (separately oracle-backed)
-        # exact baseline — KMeans cells have no portable-SQL twin
-        "ann_recall_eval": _q_ann_recall_eval,
-        "doc_chunking": _q_doc_chunking,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "key_skew_stats": _q_key_skew_stats,
-        "x6_stamp_metadata": _q_x6_stamp_metadata,
-        "salted_join_revenue": _q_salted_join_revenue,
-        "bucketed_join_orders": _q_bucketed_join_orders,
-        "sample_stratified_docs": _q_sample_stratified_docs,
-        "stream_hourly_wape": _q_stream_hourly_wape,
-        "stream_static_enrich": _q_stream_static_enrich,
-        "stream_stateful_wape": _q_stream_stateful_wape,
-        "stream_stream_join": _q_stream_stream_join,
-        "approx_stats_events": _q_approx_stats_events,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q14_promo_revenue": _q_q14_promo_revenue,
-        "q16_supplier_variety": _q_q16_supplier_variety,
-        "q18_large_volume_customers": _q_q18_large_volume_customers,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q22_idle_balances": _q_q22_idle_balances,
-        "rank_window_top_parts": _q_rank_window_top_parts,
-        "small_qty_revenue": _q_small_qty_revenue,
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "q10_returned_items": _q_q10_returned_items,
-        "q11_important_parts": _q_q11_important_parts,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q20_excess_parts": _q_q20_excess_parts,
-        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
-        "pq_ann_topk": _q_pq_ann_topk,
-        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
