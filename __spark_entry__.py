@@ -6688,6 +6688,225 @@ def _langid_confusion_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# formal privacy (round 7): k-anonymity / l-diversity / risk / DP
+# ---------------------------------------------------------------------------
+
+
+def _q_kanon_generalize_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release (Sweeney 2002): customer records with the
+    balance generalized to $1000 bands, suppressing every
+    (nation, segment) equivalence class smaller than k=8 — no
+    published record is distinguishable from fewer than 7 others on
+    the quasi-identifiers. Extends the reference's syntactic
+    anonymization (reference/anonymize_datasets.py:86-124) with the
+    formal guarantee. One class-size aggregate + one left-semi join
+    on the quasi key (count side answer-sized → AQE broadcasts)."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        band,
+        k_anonymize,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        band("c_acctbal", 1000).alias("bal_band"),
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+_KANON_ORACLE = """
+    WITH g AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    ok AS (
+        SELECT c_nationkey, c_mktsegment FROM g
+        GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) >= 8
+    )
+    SELECT g.c_custkey, g.c_nationkey, g.c_mktsegment, g.bal_band
+    FROM g JOIN ok USING (c_nationkey, c_mktsegment)
+"""
+
+
+def _q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit (Machanavajjhala 2006): a k-anonymous
+    class whose sensitive attribute is constant still leaks it to
+    anyone who can place a person in the class. Per
+    (nation, $2000-balance-band) class: size, distinct market
+    segments, and the l>=3 verdict. Single hash aggregate."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        band,
+        l_diversity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        band("c_acctbal", 2000).alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )
+
+
+_LDIVERSITY_ORACLE = """
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c_mktsegment) >= 3 AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, FLOOR(c_acctbal / 2000) * 2000
+"""
+
+
+def _q_kanon_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk histogram over the FINE-grained
+    quasi-identifier (nation, segment, $1000 band): for each
+    equivalence-class size, the number of classes and records at that
+    size and the per-record risk 1/size — the class_size=1 row counts
+    the unique, fully-exposed records a k-anonymity release must
+    suppress or generalize away. Two stacked hash aggregates (the
+    second over the answer-sized class frame)."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        band,
+        equivalence_class_histogram,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        band("c_acctbal", 1000).alias("bal_band"),
+    )
+    return equivalence_class_histogram(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"]
+    )
+
+
+_KANON_RISK_ORACLE = """
+    WITH sizes AS (
+        SELECT COUNT(*) AS class_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000) * 1000
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_records,
+           ROUND(1.0 / class_size, 6) AS reident_risk
+    FROM sizes
+    GROUP BY class_size
+"""
+
+
+def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-event-type counts: Laplace(1/ε)
+    mechanism at ε=1 (count sensitivity 1), noise drawn
+    deterministically from md5(seed:key) via the portable inverse-CDF
+    construction in operators/privacy.py:laplace_noise — the oracle
+    re-derives the identical draw, so the compare verifies the whole
+    mechanism, not just the true counts. Single hash aggregate; the
+    noise is a scalar expression on the answer-sized result."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_type")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed=42)
+
+
+def _dp_noisy_counts_oracle() -> str:
+    # mirror operators/privacy.py:laplace_noise digit-by-digit: DuckDB
+    # lacks conv(hex), so the 32-bit integer is rebuilt from ascii()
+    # of the first 8 md5 hex chars ('0'-'9' → 48.., 'a'-'f' → 97..)
+    digits = " + ".join(
+        f"CAST(ascii(substr(_hx, {i}, 1)) - CASE WHEN ascii(substr(_hx, {i}, 1))"
+        f" >= 97 THEN 87 ELSE 48 END AS BIGINT) * CAST({16 ** (8 - i)} AS BIGINT)"
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    h AS (
+        SELECT event_type, n, md5('42:' || event_type) AS _hx FROM g
+    ),
+    d AS (
+        SELECT event_type, n,
+               (({digits}) - 2147483648) * 2 + 1 AS m
+        FROM h
+    )
+    SELECT event_type,
+           CAST(n AS DOUBLE)
+             + (-(CAST(1.0 AS DOUBLE)) * CAST(sign(m) AS DOUBLE)
+                * ln(CAST(1.0 AS DOUBLE)
+                     - CAST(abs(m) AS DOUBLE) / CAST(4294967296 AS DOUBLE)))
+             AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM d
+"""
+
+
+def _q_forecast_metrics_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard per zone over the reference's
+    schema-A series, aggregated to the hourly grain the reference
+    scores at: MAE, RMSE, sMAPE (0/0 := 0, the reference's both-zero
+    convention, reference/main.py F1), WAPE (the reference's headline
+    sum-then-divide ratio), bias, and MASE against the lag-1
+    persistence forecast (Hyndman & Koehler 2006). One hourly
+    pre-aggregate, a per-zone lag window (parallel across zones), one
+    metrics aggregate — all whole-stage codegen."""
+    from mape_calculation_and_anonymization_spark.operators.timeseries import (
+        forecast_accuracy,
+    )
+
+    hourly = (
+        events_to_schema_a(load_events(spark, sf_dir))
+        .groupBy("zone", "proxy_date", "hour")
+        .agg(
+            F.sum("forecast").alias("forecast"),
+            F.sum("settlement").alias("actual"),
+        )
+    )
+    return forecast_accuracy(
+        hourly,
+        ["zone"],
+        forecast_col="forecast",
+        actual_col="actual",
+        order_cols=["proxy_date", "hour"],
+    )
+
+
+_FORECAST_METRICS_ORACLE = f"""
+    WITH a AS ({SCHEMA_A_SQL}),
+    h AS (
+        SELECT zone, proxy_date, hour,
+               SUM(forecast) AS f, SUM(settlement) AS s
+        FROM a GROUP BY zone, proxy_date, hour
+    ),
+    l AS (
+        SELECT zone, f, s,
+               LAG(s) OVER (PARTITION BY zone ORDER BY proxy_date, hour)
+                 AS s_prev
+        FROM h
+    )
+    SELECT zone,
+           AVG(ABS(f - s)) AS mae,
+           SQRT(AVG((f - s) * (f - s))) AS rmse,
+           AVG(CASE WHEN ABS(f) + ABS(s) = 0 THEN 0.0
+                    ELSE 2.0 * ABS(f - s) / (ABS(f) + ABS(s)) END) AS smape,
+           SUM(ABS(f - s)) / NULLIF(SUM(ABS(s)), 0) AS wape,
+           AVG(f - s) AS bias,
+           AVG(ABS(f - s))
+             / NULLIF(AVG(CASE WHEN s_prev IS NOT NULL
+                               THEN ABS(s - s_prev) END), 0) AS mase
+    FROM l
+    GROUP BY zone
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -6776,12 +6995,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_idle_customers": _q_anti_join_idle_customers,
         "argmax_user_events": _q_argmax_user_events,
         "asof_join_rates": _q_asof_join_rates,
+        # (e) round-7 debuts: formal privacy (k-anonymity, l-diversity,
+        # risk histogram, DP Laplace counts) + the forecast-accuracy
+        # scorecard — new queries enter the window on debut
+        "kanon_generalize_suppress": _q_kanon_generalize_suppress,
+        "ldiversity_audit": _q_ldiversity_audit,
+        "kanon_risk_profile": _q_kanon_risk_profile,
+        "dp_noisy_counts": _q_dp_noisy_counts,
+        "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,
+        # ---- below the driver's 50-row window ----
         "bigram_top_terms": _q_bigram_top_terms,
         "bm25_search": _q_bm25_search,
         "cdc_latest_events": _q_cdc_latest_events,
         "decile_revenue_share": _q_decile_revenue_share,
         "distinct_agg_brand": _q_distinct_agg_brand,
-        # ---- below the driver's 50-row window ----
         # Everything below is r5/r6-green or rows-only by design
         # (x5/simhash/embedding/multimodal_features: no portable-SQL
         # oracle; semantics pinned by unit tests) and stays locally
@@ -7019,6 +7246,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_chunks": _AUDIO_CHUNK_ORACLE,
         "pipeline_funnel_stats": _pipeline_funnel_oracle(),
         "langid_confusion": _langid_confusion_oracle(),
+        "kanon_generalize_suppress": _KANON_ORACLE,
+        "ldiversity_audit": _LDIVERSITY_ORACLE,
+        "kanon_risk_profile": _KANON_RISK_ORACLE,
+        "dp_noisy_counts": _dp_noisy_counts_oracle(),
+        "forecast_metrics_by_zone": _FORECAST_METRICS_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # embedding_near_dup

@@ -1,0 +1,154 @@
+"""Formal-privacy operators: k-anonymity, l-diversity, DP aggregates.
+
+The reference's anonymization surface (reference/anonymize_datasets.py
+— label replacement :86-110, uid pseudonymization :27-84, value
+perturbation :118-124) is syntactic: it hides WHO a row is about but
+publishes exact group structure. This module adds the formal-privacy
+layer a 100-TB training-data pipeline publishes data under:
+
+  * **k-anonymity** (Sweeney, "k-anonymity: a model for protecting
+    privacy", IJUFKS 2002): generalize quasi-identifiers (banding,
+    truncation), then suppress every equivalence class smaller than
+    ``k`` so no record is distinguishable from fewer than k-1 others.
+  * **l-diversity audit** (Machanavajjhala et al., "l-diversity:
+    privacy beyond k-anonymity", ICDE 2006): a k-anonymous class whose
+    sensitive attribute is constant still leaks it; report per-class
+    sensitive-value diversity.
+  * **re-identification risk profile**: the equivalence-class size
+    histogram (share of records at risk 1/size) — the journalist/
+    prosecutor risk summary privacy reviews ask for.
+  * **differential privacy** (Dwork et al., "Calibrating noise to
+    sensitivity", TCC 2006): Laplace-mechanism noisy aggregates. The
+    noise here is a DETERMINISTIC function of (seed, group key) via a
+    portable md5 → uniform → inverse-CDF construction, so results are
+    reproducible across engines and test runs — swap the seed per
+    release in production (a fixed seed across releases would let an
+    observer difference the noise away; determinism is a test/oracle
+    property, not a privacy recommendation).
+
+Scale shape: every operator is one hash aggregate plus (for
+suppression) one shuffled equi join on the quasi-identifier key —
+map-side combinable, no windows over global orderings, no driver
+collects. The class-count frame is answer-sized (bounded by the
+generalized quasi-identifier domain), so AQE typically broadcasts the
+suppression join's count side at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band(col: str | Column, width: float) -> Column:
+    """Generalize a numeric column to the lower edge of its
+    ``width``-sized band (floor semantics, so negatives band down).
+    Returns bigint — banding is generalization, and publishing exact
+    band arithmetic in doubles would just re-leak the value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / F.lit(width)) * F.lit(int(width))).cast("long")
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Suppress every row whose quasi-identifier equivalence class has
+    fewer than ``k`` members. Input must already carry GENERALIZED
+    quasi columns (see :func:`band`); generalize-then-suppress is the
+    standard k-anonymity recipe.
+
+    One aggregate derives class sizes; a left-semi join on the quasi
+    key keeps qualifying rows — no row data moves through the
+    aggregate, and the semi join's right side is class-count-sized.
+    """
+    ok = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return df.join(ok, quasi_cols, "left_semi")
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Per equivalence class: size, distinct sensitive values, and
+    whether the class meets distinct-l-diversity. Single hash
+    aggregate (count + count distinct over the same grouping)."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) >= F.lit(l)).alias("l_diverse"),
+    )
+
+
+def equivalence_class_histogram(
+    df: DataFrame, quasi_cols: list[str]
+) -> DataFrame:
+    """Re-identification risk profile: for each equivalence-class size,
+    how many classes and records sit at that size. A record in a class
+    of size s is re-identified with probability 1/s by an adversary who
+    knows the quasi-identifiers — the ``class_size = 1`` row is the
+    population of unique, fully-exposed records. Two stacked hash
+    aggregates; the second runs over the answer-sized class frame."""
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        sizes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_records"),
+            F.round(1.0 / F.col("class_size"), 6).alias("reident_risk"),
+        )
+    )
+
+
+def laplace_noise(key: Column, epsilon: float, seed: int, sensitivity: float = 1.0) -> Column:
+    """Deterministic Laplace(sensitivity/epsilon) draw keyed on
+    ``(seed, key)`` — the noise column of a reproducible Laplace
+    mechanism.
+
+    Construction (portable across engines, used by the DuckDB oracles
+    too): md5 of the seeded key → first 8 hex digits → 32-bit integer
+    ``x`` → centered odd integer ``m = 2·(x − 2³¹) + 1`` (never zero,
+    so the log argument below never hits 0 or 1 exactly) → uniform
+    ``|m|/2³² ∈ (0, 1)`` → inverse CDF ``−b·sign(m)·ln(1 − |m|/2³²)``.
+    All arithmetic is exact integer until the final log/multiply, so
+    Spark and any SQL engine that agrees on md5 and IEEE doubles draw
+    the SAME noise. Runs entirely inside whole-stage codegen."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    x = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    m = (x - F.lit(2**31)) * F.lit(2) + F.lit(1)
+    t = F.abs(m).cast("double") / F.lit(float(2**32))
+    b = sensitivity / epsilon
+    return -F.lit(b) * F.signum(m.cast("double")) * F.log(F.lit(1.0) - t)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Differentially-private group counts: COUNT(*) per group plus
+    Laplace(1/epsilon) noise (count queries have sensitivity 1 under
+    add/remove-one-record adjacency). Noise is keyed on the
+    '|'-joined group values — one draw per published cell. Output:
+    group cols + ``noisy_count`` (double; negative values are NOT
+    clamped — post-processing is the consumer's choice and clamping
+    asymmetrically would bias sums) + ``epsilon``."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            (
+                F.col("_n").cast("double")
+                + laplace_noise(key, epsilon, seed)
+            ).alias("noisy_count"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )

@@ -59,3 +59,58 @@ def fill_hourly_gaps(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("was_gap"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    key_cols: list[str],
+    forecast_col: str = "forecast",
+    actual_col: str = "actual",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forecast-accuracy suite per key: the metrics a forecasting team
+    publishes NEXT TO the reference's WAPE (operators/mape.py keeps the
+    reference's sum-then-divide WAPE; this extends the scorecard):
+
+      * mae     — mean absolute error
+      * rmse    — root mean squared error (penalizes large misses)
+      * smape   — symmetric MAPE, ``mean(2|f−a| / (|f|+|a|))`` with the
+                  0/0 slot defined as 0 (both-zero = perfect forecast,
+                  the same convention as the reference's F1 filter)
+      * wape    — ``Σ|f−a| / Σ|a|`` (the reference's headline metric,
+                  here per key for cross-checking)
+      * bias    — mean signed error (systematic over/under-forecast)
+      * mase    — MAE scaled by the naive lag-1 forecast's MAE
+                  (Hyndman & Koehler, "Another look at measures of
+                  forecast accuracy", IJF 2006): < 1 beats persistence.
+                  Requires ``order_cols`` (the series order within each
+                  key); omitted → mase column is omitted.
+
+    One hash aggregate over the series; MASE adds a lag window
+    partitioned by key (parallel across series, no global sort).
+    Every expression stays inside whole-stage codegen.
+    """
+    f, a = F.col(forecast_col), F.col(actual_col)
+    err = f - a
+    ae = F.abs(err)
+    denom = F.abs(f) + F.abs(a)
+    smape_term = F.when(denom == 0, F.lit(0.0)).otherwise(2.0 * ae / denom)
+
+    work = df
+    aggs = [
+        F.avg(ae).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(smape_term).alias("smape"),
+        F.try_divide(F.sum(ae), F.sum(F.abs(a))).alias("wape"),
+        F.avg(err).alias("bias"),
+    ]
+    if order_cols:
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        work = work.withColumn("_naive", F.lag(actual_col).over(w))
+        naive_ae = F.when(
+            F.col("_naive").isNotNull(), F.abs(a - F.col("_naive"))
+        )
+        aggs.append(
+            F.try_divide(F.avg(ae), F.avg(naive_ae)).alias("mase")
+        )
+    return work.groupBy(*key_cols).agg(*aggs)

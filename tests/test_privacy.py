@@ -1,0 +1,145 @@
+"""Unit tests for operators/privacy.py and timeseries.forecast_accuracy."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.privacy import (
+    band,
+    dp_noisy_counts,
+    equivalence_class_histogram,
+    k_anonymize,
+    l_diversity_report,
+    laplace_noise,
+)
+
+
+def _people(spark):
+    # (id, nation, segment): nation 'A' has 5 rows, 'B' has 2, 'C' has 1
+    rows = [
+        (1, "A", "x"), (2, "A", "x"), (3, "A", "y"), (4, "A", "y"),
+        (5, "A", "z"), (6, "B", "x"), (7, "B", "x"), (8, "C", "y"),
+    ]
+    return spark.createDataFrame(rows, ["id", "nation", "segment"])
+
+
+def test_band_floors_negatives(spark):
+    df = spark.createDataFrame(
+        [(1, -0.5), (2, 999.9), (3, 1000.0), (4, -1000.0)], ["id", "v"]
+    )
+    got = {r["id"]: r["b"] for r in df.select("id", band("v", 1000).alias("b")).collect()}
+    assert got == {1: -1000, 2: 0, 3: 1000, 4: -1000}
+
+
+def test_k_anonymize_suppresses_small_classes(spark):
+    out = k_anonymize(_people(spark), ["nation"], k=5)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [1, 2, 3, 4, 5]  # only nation A reaches k=5
+    # k=1 suppresses nothing
+    assert k_anonymize(_people(spark), ["nation"], k=1).count() == 8
+
+
+def test_l_diversity_report(spark):
+    rep = {
+        r["nation"]: (r["class_size"], r["n_sensitive"], r["l_diverse"])
+        for r in l_diversity_report(
+            _people(spark), ["nation"], "segment", l=2
+        ).collect()
+    }
+    assert rep == {"A": (5, 3, True), "B": (2, 1, False), "C": (1, 1, False)}
+
+
+def test_equivalence_class_histogram_conserves_records(spark):
+    hist = equivalence_class_histogram(_people(spark), ["nation"]).collect()
+    by_size = {r["class_size"]: r for r in hist}
+    assert by_size[5]["n_classes"] == 1 and by_size[5]["n_records"] == 5
+    assert by_size[1]["reident_risk"] == 1.0
+    assert sum(r["n_records"] for r in hist) == 8
+
+
+def _py_laplace(key: str, epsilon: float, seed: int) -> float:
+    """Reference implementation of the portable draw (mirrors both the
+    Spark expression and the DuckDB oracle)."""
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+    x = int(h[:8], 16)
+    m = (x - 2**31) * 2 + 1
+    t = abs(m) / 2.0**32
+    return -(1.0 / epsilon) * math.copysign(1.0, m) * math.log(1.0 - t)
+
+
+def test_laplace_noise_matches_reference_draw(spark):
+    df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["k"])
+    got = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", laplace_noise(F.col("k"), epsilon=1.0, seed=42).alias("n")
+        ).collect()
+    }
+    for k, v in got.items():
+        assert v == pytest.approx(_py_laplace(k, 1.0, 42), rel=1e-12)
+
+
+def test_laplace_noise_scales_inverse_epsilon(spark):
+    keys = [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(keys, ["k"])
+    def mean_abs(eps):
+        return (
+            df.select(F.abs(laplace_noise(F.col("k"), eps, 7)).alias("a"))
+            .agg(F.avg("a"))
+            .first()[0]
+        )
+    # E|Laplace(b)| = b = 1/eps; with 200 draws the ratio is ~10 ± noise
+    assert mean_abs(0.1) / mean_abs(1.0) == pytest.approx(10.0, rel=1e-9)
+
+
+def test_dp_noisy_counts_deterministic_and_near_truth(spark):
+    df = _people(spark)
+    a = {r["nation"]: r["noisy_count"] for r in dp_noisy_counts(df, ["nation"], 1.0, 42).collect()}
+    b = {r["nation"]: r["noisy_count"] for r in dp_noisy_counts(df, ["nation"], 1.0, 42).collect()}
+    assert a == b  # deterministic under fixed seed
+    truth = {"A": 5, "B": 2, "C": 1}
+    for k, v in a.items():
+        assert abs(v - truth[k]) < 15  # P(|Laplace(1)| > 15) ≈ 3e-7
+    c = {r["nation"]: r["noisy_count"] for r in dp_noisy_counts(df, ["nation"], 1.0, 43).collect()}
+    assert a != c  # seed actually keys the draw
+
+
+def test_forecast_accuracy_known_values(spark):
+    from mape_calculation_and_anonymization_spark.operators.timeseries import (
+        forecast_accuracy,
+    )
+
+    # one series: actuals 10, 20, 30; forecasts 12, 18, 30
+    rows = [("z", 1, 12.0, 10.0), ("z", 2, 18.0, 20.0), ("z", 3, 30.0, 30.0)]
+    df = spark.createDataFrame(rows, ["zone", "t", "forecast", "actual"])
+    m = forecast_accuracy(
+        df, ["zone"], order_cols=["t"]
+    ).collect()[0]
+    assert m["mae"] == pytest.approx(4.0 / 3)
+    assert m["rmse"] == pytest.approx(math.sqrt(8.0 / 3))
+    assert m["bias"] == pytest.approx(0.0)
+    assert m["wape"] == pytest.approx(4.0 / 60)
+    assert m["smape"] == pytest.approx(
+        (2 * 2 / 22 + 2 * 2 / 38 + 0.0) / 3
+    )
+    # naive MAE = mean(|20-10|, |30-20|) = 10
+    assert m["mase"] == pytest.approx((4.0 / 3) / 10.0)
+
+
+def test_forecast_accuracy_perfect_and_zero(spark):
+    from mape_calculation_and_anonymization_spark.operators.timeseries import (
+        forecast_accuracy,
+    )
+
+    rows = [("z", 1, 0.0, 0.0), ("z", 2, 5.0, 5.0)]
+    df = spark.createDataFrame(rows, ["zone", "t", "forecast", "actual"])
+    m = forecast_accuracy(df, ["zone"], order_cols=["t"]).collect()[0]
+    # both-zero slot contributes 0 to smape (reference convention)
+    assert m["smape"] == 0.0 and m["mae"] == 0.0 and m["rmse"] == 0.0
+    # without order_cols the mase column is absent
+    cols = forecast_accuracy(df, ["zone"]).columns
+    assert "mase" not in cols
