@@ -3604,6 +3604,92 @@ _Q12_ORACLE = """
 """
 
 
+def _q_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — 1996 orders with at
+    least one LATE lineitem (EXISTS → left-semi join carrying a
+    non-equi lateness predicate alongside the key), counted per
+    priority. Adapted to the testdata's columns: the canonical
+    commitdate < receiptdate lateness becomes
+    l_shipdate > o_orderdate + 60 days. The semi join probes only
+    order keys — lineitem rows never duplicate orders, and the date
+    filter prunes the orders scan before the shuffle."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        on=[
+            orders.o_orderkey == li.l_orderkey,
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        ],
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_ORACLE = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+def _q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join so zero-order customers land in the c_count=0 bucket (the
+    row Q13 exists to surface), one count per customer, then the
+    answer-sized histogram aggregate. The priority filter plays the
+    canonical comment-NOT-LIKE exclusion's role. count(o_custkey)
+    (not count(*)) is what makes the outer join's null rows count 0."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_ORACLE = """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+"""
+
+
 def _q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
     triple, EXCLUDING a blacklist derived from a subquery (suppliers
@@ -6993,17 +7079,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_revenue": _q_agg_rollup_revenue,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "anti_join_idle_customers": _q_anti_join_idle_customers,
-        "argmax_user_events": _q_argmax_user_events,
-        "asof_join_rates": _q_asof_join_rates,
         # (e) round-7 debuts: formal privacy (k-anonymity, l-diversity,
-        # risk histogram, DP Laplace counts) + the forecast-accuracy
-        # scorecard — new queries enter the window on debut
+        # risk histogram, DP Laplace counts), the forecast-accuracy
+        # scorecard, and TPC-H Q4/Q13 completing the 22-query suite —
+        # new queries enter the window on debut
         "kanon_generalize_suppress": _q_kanon_generalize_suppress,
         "ldiversity_audit": _q_ldiversity_audit,
         "kanon_risk_profile": _q_kanon_risk_profile,
         "dp_noisy_counts": _q_dp_noisy_counts,
         "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,
+        "q4_priority_check": _q_q4_priority_check,
+        "q13_customer_distribution": _q_q13_customer_distribution,
         # ---- below the driver's 50-row window ----
+        "argmax_user_events": _q_argmax_user_events,
+        "asof_join_rates": _q_asof_join_rates,
         "bigram_top_terms": _q_bigram_top_terms,
         "bm25_search": _q_bm25_search,
         "cdc_latest_events": _q_cdc_latest_events,
@@ -7179,6 +7268,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "q14_promo_revenue": _Q14_ORACLE,
         "q12_priority_returns": _Q12_ORACLE,
+        "q4_priority_check": _Q4_ORACLE,
+        "q13_customer_distribution": _Q13_ORACLE,
         "q16_supplier_variety": _Q16_ORACLE,
         "q19_disjunctive_revenue": _Q19_ORACLE,
         "q22_idle_balances": _Q22_ORACLE,
