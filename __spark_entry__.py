@@ -1897,6 +1897,67 @@ _K7_ORACLE = """
 """
 
 
+def _deleted_fixture_path(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"deleted_{_source_token(sf_dir, 'events')}"
+    )
+
+
+def _q_k8_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family extension — GDPR-style targeted delete
+    (sinks.delete_keys): the events table lands hash-partitioned on
+    user_id into 8 part files, then the erasure request
+    (user_id % 997 == 3) is executed as a copy-on-write delete that
+    rewrites ONLY the files containing matching rows — the probe is a
+    broadcast semi join against the key list and data moved is
+    O(affected files), never O(table). Construction (like k4's
+    compaction) is the fixture; the timed path reads the post-delete
+    table and aggregates. The oracle re-derives from the SOURCE with
+    the erasure predicate inverted, so the row proves the delete
+    removed exactly the requested users and nothing else; the
+    file-pruning behavior itself is pinned by
+    tests/test_bucketed.py::test_delete_keys_rewrites_only_affected."""
+    from mape_calculation_and_anonymization_spark.sources.sinks import (
+        delete_keys,
+    )
+
+    path = _deleted_fixture_path(sf_dir)
+    if not _fixture_ready(path):
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        # hash-partition on the erasure key so one user's rows live in
+        # exactly one file — the layout that makes the delete's file
+        # pruning real (a row-random layout would touch every file)
+        ev.repartition(8, "user_id").write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(path)
+        keys = (
+            spark.read.parquet(path)
+            .filter(F.col("user_id") % 997 == 3)
+            .select("user_id")
+            .distinct()
+        )
+        stats = delete_keys(spark, path, "user_id", keys)
+        assert stats["files_rewritten"] <= stats["files_total"]
+        _mark_fixture_ready(path)
+    df = spark.read.parquet(path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_K8_ORACLE = """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE user_id % 997 <> 3
+    GROUP BY event_type
+"""
+
+
 def _q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient salted join, driver-verified row-identical to the
     plain join: lineitem (probe, keys splintered across 8 salts) ⋈
@@ -7078,7 +7139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube_counts": _q_agg_cube_counts,
         "agg_rollup_revenue": _q_agg_rollup_revenue,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "anti_join_idle_customers": _q_anti_join_idle_customers,
         # (e) round-7 debuts: formal privacy (k-anonymity, l-diversity,
         # risk histogram, DP Laplace counts), the forecast-accuracy
         # scorecard, and TPC-H Q4/Q13 completing the 22-query suite —
@@ -7090,7 +7150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,
         "q4_priority_check": _q_q4_priority_check,
         "q13_customer_distribution": _q_q13_customer_distribution,
+        "k8_targeted_delete": _q_k8_targeted_delete,
         # ---- below the driver's 50-row window ----
+        "anti_join_idle_customers": _q_anti_join_idle_customers,
         "argmax_user_events": _q_argmax_user_events,
         "asof_join_rates": _q_asof_join_rates,
         "bigram_top_terms": _q_bigram_top_terms,
@@ -7270,6 +7332,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_returns": _Q12_ORACLE,
         "q4_priority_check": _Q4_ORACLE,
         "q13_customer_distribution": _Q13_ORACLE,
+        "k8_targeted_delete": _K8_ORACLE,
         "q16_supplier_variety": _Q16_ORACLE,
         "q19_disjunctive_revenue": _Q19_ORACLE,
         "q22_idle_balances": _Q22_ORACLE,

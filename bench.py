@@ -107,7 +107,7 @@ def main() -> None:
         "k7_orc_roundtrip",
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
-        "ivf_pq_ann_topk", "dedup_minhash_pairs",
+        "ivf_pq_ann_topk", "dedup_minhash_pairs", "k8_targeted_delete",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:

@@ -320,3 +320,81 @@ def write_orc_zstd(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     pushdown story as parquet, so a reference user with ORC-consuming
     downstream tooling can switch sinks with one call."""
     df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def delete_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> dict:
+    """Targeted row deletion (GDPR right-to-erasure shape): remove
+    every row whose ``key_col`` appears in ``keys_df``, rewriting ONLY
+    the part files that actually contain a matching row — the
+    copy-on-write DELETE of the lake-table formats (Delta/Iceberg),
+    expressed directly over a parquet directory.
+
+    At 100 TB the whole point is the file pruning: an erasure request
+    names a handful of keys, so (a) the probe that finds affected
+    files is a broadcast semi join against the key list, (b) parquet
+    row-group statistics/bloom filters prune most file reads in the
+    probe itself, and (c) the rewrite touches only the affected files
+    — data moved is O(affected files), never O(table). The deletion
+    key list is dimension-sized by contract (it is collected to list
+    affected files); route bulk deletes through a partition-level
+    overwrite instead.
+
+    Same single-writer atomicity contract as :func:`compact_parquet`:
+    rewritten rows land in a temp dir first, then the affected
+    originals are removed and the new files moved in. Pair with
+    :func:`write_versioned` when readers need snapshot isolation.
+
+    Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    files_total = len(glob.glob(os.path.join(path, "part-*")))
+    tagged = spark.read.parquet(path).withColumn(
+        "_f", F.col("_metadata.file_path")
+    )
+    affected = [
+        r["_f"]
+        for r in tagged.join(F.broadcast(keys_df), key_col, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    before = spark.read.parquet(*affected)
+    kept = before.join(F.broadcast(keys_df), key_col, "left_anti")
+    rows_deleted = before.count() - kept.count()
+    tmp = path.rstrip("/") + ".delete_tmp"
+    kept.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    from urllib.parse import urlparse
+
+    for f in affected:
+        # _metadata.file_path is a URI ('file:/...' or 'file:///...')
+        os.remove(urlparse(f).path)
+    stamp = uuid.uuid4().hex[:8]
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(tmp, "part-*")))
+    ):
+        os.replace(
+            f, os.path.join(path, f"part-delete-{stamp}-{i:05d}.parquet")
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_deleted": rows_deleted,
+    }

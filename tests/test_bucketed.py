@@ -82,3 +82,38 @@ def test_bucketed_agg_no_exchange(spark, bucketed_tables):
     )
     assert exchange_count(agg) == 0
     assert agg.count() == spark.table(left).select("o_custkey").distinct().count()
+
+
+def test_delete_keys_rewrites_only_affected(spark, tmp_path):
+    """Copy-on-write delete: only files containing erasure keys are
+    rewritten, survivors are untouched (same file names), repeated
+    delete is a no-op, and surviving rows are exactly the anti set."""
+    import glob
+    import os
+
+    from mape_calculation_and_anonymization_spark.sources.sinks import delete_keys
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 50).alias("user_id")
+    )
+    # hash-partition on user_id: each user's rows live in one file
+    df.repartition(4, "user_id").write.parquet(path)
+    before = set(glob.glob(os.path.join(path, "part-*")))
+    keys = spark.createDataFrame([(7,), (13,)], ["user_id"])
+
+    stats = delete_keys(spark, path, "user_id", keys)
+    assert stats["files_total"] == 4
+    assert 1 <= stats["files_rewritten"] <= 2  # 2 users -> <=2 hash files
+    assert stats["rows_deleted"] == 40  # 2 users x 20 rows each
+
+    after = set(glob.glob(os.path.join(path, "part-*")))
+    untouched = before & after
+    assert len(untouched) == 4 - stats["files_rewritten"]
+
+    got = spark.read.parquet(path)
+    assert got.count() == 960
+    assert got.filter(F.col("user_id").isin(7, 13)).count() == 0
+
+    again = delete_keys(spark, path, "user_id", keys)
+    assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0
