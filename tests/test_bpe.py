@@ -1,0 +1,104 @@
+"""BPE induction: Spark vs pure-Python reference equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mape_calculation_and_anonymization_spark.operators.bpe import (
+    bpe_merges,
+    word_frequencies,
+)
+
+
+def _py_bpe(word_freqs: dict[str, int], n: int):
+    """Reference implementation (Sennrich 2016 greedy loop, ties
+    broken lexicographically, merges applied left-to-right)."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, c))
+        for w, s in syms.items():
+            new: list[str] = []
+            for x in s:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            syms[w] = new
+    return merges
+
+
+def test_bpe_matches_python_reference(spark):
+    freqs = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "lowest": 4, "new": 7, "wider": 2, "lll": 3,
+    }
+    words = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(words, 10).orderBy("rank").collect()
+    ]
+    assert got == _py_bpe(freqs, 10)
+
+
+def test_bpe_left_to_right_same_symbol_merge(spark):
+    # 'aaa' with merge (a,a): left-to-right gives ['aa','a'], so the
+    # second round's top pair is ('aa','a'), never ('a','aa')
+    words = spark.createDataFrame([("aaa", 10)], ["word", "freq"])
+    got = [
+        (r["left"], r["right"]) for r in bpe_merges(words, 2).collect()
+    ]
+    assert got == [("a", "a"), ("aa", "a")]
+
+
+def test_bpe_early_stop(spark):
+    words = spark.createDataFrame([("a", 3), ("b", 2)], ["word", "freq"])
+    assert bpe_merges(words, 5).count() == 0  # no adjacent pairs at all
+
+
+def test_word_frequencies_cap_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog ran")],
+        ["doc_id", "text"],
+    )
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert wf == {"the": 2, "cat": 2, "sat": 1, "ran": 2, "a": 1, "dog": 1}
+    top = word_frequencies(docs, limit=3).collect()
+    # freq desc then word asc: cat(2), ran(2), the(2)
+    assert sorted(r["word"] for r in top) == ["cat", "ran", "the"]
+
+
+def test_bpe_local_equals_distributed(spark):
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_merges_local,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 7}
+    words = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    dist = [tuple(r) for r in bpe_merges(words, 8).orderBy("rank").collect()]
+    loc = [tuple(r) for r in bpe_merges_local(words, 8).orderBy("rank").collect()]
+    assert dist == loc
+
+
+def test_bpe_local_max_words_guard(spark):
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_merges_local,
+    )
+
+    words = spark.createDataFrame(
+        [(f"w{i}", 1) for i in range(20)], ["word", "freq"]
+    )
+    with pytest.raises(ValueError, match="max_words"):
+        bpe_merges_local(words, 2, max_words=10)

@@ -59,15 +59,22 @@ def test_oracle_sf_contract():
 
 
 def test_driver_window_contract():
-    """The driver checks the FIRST 50 registry entries: every one must
-    be oracle-backed (a rows-only entry inside the window wastes a
-    correctness slot), names must be unique, and every oracle key must
-    resolve to a registered query."""
+    """The driver checks the FIRST 50 registry entries: names must be
+    unique and every oracle key must resolve to a registered query.
+    Rows-only entries ARE allowed in the window — the driver's
+    run-and-count check is weaker than the oracle compare but still
+    evidence, and VERDICT r6 item 2 explicitly asked for the
+    never-driver-run rows-only queries to get window slots — but their
+    count is bounded so oracle-compare slots stay the bulk of the
+    window."""
     names = list(_QUERIES)
     assert len(names) == len(set(names))
     window = names[:50]
-    missing = [n for n in window if n not in _ORACLES]
-    assert not missing, f"window entries without oracle: {missing}"
+    rows_only = [n for n in window if n not in _ORACLES]
+    assert len(rows_only) <= 8, (
+        f"{len(rows_only)} rows-only entries in the 50-slot window "
+        f"({rows_only}) — oracle-compare slots must stay the bulk"
+    )
     dangling = [n for n in _ORACLES if n not in _QUERIES]
     assert not dangling, f"oracles without queries: {dangling}"
 
