@@ -346,3 +346,43 @@ def test_funnel_gates_evaluate_once(spark):
     plan = physical_plan(df)
     assert "ExistingRDD" in plan
     assert "documents" not in plan
+
+
+def test_kanon_suppression_broadcasts_class_counts(spark):
+    """The k-anonymity suppression join's build side is the
+    answer-sized class-count frame — it must broadcast, and the whole
+    query is one shuffle (the class aggregate)."""
+    df = e._q_kanon_generalize_suppress(spark, SF)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) == 1
+    # only the four referenced customer columns survive pruning
+    cols = read_schema_columns(df, "customer.parquet")
+    assert sorted(cols) == [
+        "c_acctbal", "c_custkey", "c_mktsegment", "c_nationkey",
+    ]
+
+
+def test_dp_noisy_counts_single_shuffle_no_udf(spark):
+    """The Laplace mechanism is pure column arithmetic on the
+    answer-sized aggregate — one exchange, no Python eval."""
+    df = e._q_dp_noisy_counts(spark, SF)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_q4_semi_join_broadcasts(spark):
+    """Q4's EXISTS runs as a semi join; at test scale the filtered
+    orders side broadcasts, and lineitem's scan is pruned to the two
+    referenced columns."""
+    df = e._q_q4_priority_check(spark, SF)
+    assert uses_broadcast_join(df)
+    cols = read_schema_columns(df, "lineitem.parquet")
+    assert sorted(cols) == ["l_orderkey", "l_shipdate"]
+
+
+def test_forecast_metrics_two_shuffles(spark):
+    """Hourly pre-aggregate + per-zone window/metrics aggregate — the
+    lag window reuses the zone partitioning, so two exchanges total."""
+    df = e._q_forecast_metrics_by_zone(spark, SF)
+    assert count_exchanges(df) == 2
