@@ -250,3 +250,56 @@ def test_asof_join_matches_pandas_on_random_frames(spark, data, direction, tol_s
             assert g is None, (e["sym"], e["ts"], g)
         else:
             assert g == e["px"], (e["sym"], e["ts"], g, e["px"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),  # quasi A
+            st.integers(0, 2),  # quasi B
+            st.sampled_from(["x", "y", "z"]),  # sensitive
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 5),
+)
+@_SETTINGS
+def test_k_anonymize_never_emits_small_class(spark, rows, k):
+    """Every surviving quasi class has >= k members, and survivors are
+    exactly the input rows of qualifying classes (no mutation)."""
+    from collections import Counter
+
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        k_anonymize,
+    )
+
+    df = spark.createDataFrame(rows, ["qa", "qb", "s"])
+    out = [tuple(r) for r in k_anonymize(df, ["qa", "qb"], k).collect()]
+    sizes = Counter((qa, qb) for qa, qb, _ in out)
+    assert all(n >= k for n in sizes.values())
+    expected_classes = {
+        c for c, n in Counter((qa, qb) for qa, qb, _ in rows).items() if n >= k
+    }
+    assert sorted(out) == sorted(
+        t for t in rows if (t[0], t[1]) in expected_classes
+    )
+
+
+@given(seed=st.integers(0, 2**31 - 1), eps=st.sampled_from([0.5, 1.0, 2.0]))
+@_SETTINGS
+def test_laplace_noise_bounded_and_seeded(spark, seed, eps):
+    """Draws are finite, nonzero (the odd-m construction can't hit the
+    CDF endpoints), and keyed deterministically on (seed, key)."""
+    import math
+
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        laplace_noise,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(16)], ["k"])
+    col = laplace_noise(F.col("k"), eps, seed)
+    a = [r["n"] for r in df.select(col.alias("n")).collect()]
+    b = [r["n"] for r in df.select(col.alias("n")).collect()]
+    assert a == b
+    assert all(math.isfinite(v) and v != 0.0 for v in a)
