@@ -7076,6 +7076,59 @@ _FORECAST_METRICS_ORACLE = f"""
 """
 
 
+def _q_backtest_persistence_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the persistence forecast at horizons
+    1–3 days: predict each (zone, date, hour) slot with the settlement
+    h days earlier, score WAPE per (zone, horizon) — the baseline
+    table every forecast model must beat, and the backtest shape
+    (shift → join on the series key → grouped score) that evaluates
+    ANY model's stored predictions at scale. The horizon explode
+    multiplies the hourly aggregate (dimension-sized), not the raw
+    events; the self-join is equi on (zone, date, hour), co-partitioned
+    with the aggregate that produced it."""
+    hourly = (
+        events_to_schema_a(load_events(spark, sf_dir))
+        .groupBy("zone", "proxy_date", "hour")
+        .agg(F.sum("settlement").alias("s"))
+    )
+    pred = hourly.select(
+        "zone",
+        "hour",
+        F.col("s").alias("pred"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("horizon"),
+        F.col("proxy_date").alias("origin_date"),
+    ).withColumn("proxy_date", F.date_add(F.col("origin_date"), F.col("horizon")))
+    scored = hourly.join(pred, ["zone", "proxy_date", "hour"])
+    return scored.groupBy("zone", "horizon").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.try_divide(
+            F.sum(F.abs(F.col("pred") - F.col("s"))),
+            F.sum(F.abs(F.col("s"))),
+        ).alias("wape"),
+    )
+
+
+_BACKTEST_ORACLE = f"""
+    WITH a AS ({SCHEMA_A_SQL}),
+    h AS (
+        SELECT zone, proxy_date, hour, SUM(settlement) AS s
+        FROM a GROUP BY zone, proxy_date, hour
+    ),
+    pred AS (
+        SELECT h.zone, h.hour, h.s AS pred, t.horizon,
+               h.proxy_date + t.horizon AS proxy_date
+        FROM h CROSS JOIN (VALUES (1), (2), (3)) AS t(horizon)
+    )
+    SELECT cur.zone, pred.horizon,
+           CAST(COUNT(*) AS BIGINT) AS n_slots,
+           SUM(ABS(pred.pred - cur.s)) / NULLIF(SUM(ABS(cur.s)), 0) AS wape
+    FROM h cur
+    JOIN pred ON cur.zone = pred.zone AND cur.proxy_date = pred.proxy_date
+             AND cur.hour = pred.hour
+    GROUP BY cur.zone, pred.horizon
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7160,7 +7213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,
         # (d) free slots: oldest r5-green (softens the r8 cliff)
         "agg_cube_counts": _q_agg_cube_counts,
-        "agg_rollup_revenue": _q_agg_rollup_revenue,
         # (e) round-7 debuts: formal privacy (k-anonymity, l-diversity,
         # risk histogram, DP Laplace counts), the forecast-accuracy
         # scorecard, and TPC-H Q4/Q13 completing the 22-query suite —
@@ -7174,7 +7226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _q_q13_customer_distribution,
         "k8_targeted_delete": _q_k8_targeted_delete,
         "bpe_vocab_merges": _q_bpe_vocab_merges,
+        "backtest_persistence_wape": _q_backtest_persistence_wape,
         # ---- below the driver's 50-row window ----
+        "agg_rollup_revenue": _q_agg_rollup_revenue,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "anti_join_idle_customers": _q_anti_join_idle_customers,
         "argmax_user_events": _q_argmax_user_events,
@@ -7357,6 +7411,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_check": _Q4_ORACLE,
         "q13_customer_distribution": _Q13_ORACLE,
         "k8_targeted_delete": _K8_ORACLE,
+        "backtest_persistence_wape": _BACKTEST_ORACLE,
         "q16_supplier_variety": _Q16_ORACLE,
         "q19_disjunctive_revenue": _Q19_ORACLE,
         "q22_idle_balances": _Q22_ORACLE,
