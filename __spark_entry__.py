@@ -7162,6 +7162,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     still evidence (VERDICT r6 item 2);
     # (d) free slots: the oldest round-5-green queries, softening
     #     round 8's hygiene cliff (49-query r5 cohort).
+    # Round-8 plan: most debuts this round consumed free slots, so ~47
+    # r5-green queries become must-includes in r8 (49 minus the
+    # agg_cube/agg_rollup fills refreshed here) — the r8 window is
+    # nearly fully determined; run `python preflight.py --plan-window`
+    # once CORRECTNESS_r07.json lands and paste the emitted ordering.
+    # Steady state is sustainable: 140 oracle-backed queries cycle
+    # through 50 slots in 3 rounds (capacity 150).
     # triangle_count leads so the shared co-occurrence edge derivation
     # (_COOC_SHARED) keeps its bench attribution ahead of
     # pagerank_influencers; below the window, dedup_jaccard_pairs
