@@ -108,6 +108,7 @@ def main() -> None:
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
         "ivf_pq_ann_topk", "dedup_minhash_pairs", "k8_targeted_delete",
+        "dedup_jaccard_pairs",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:
