@@ -129,6 +129,12 @@ def main() -> None:
     # memoized shared frames are rebuilt inside each pass's timed
     # region, keeping passes comparable.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if n_runs < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_RUNS={n_runs}: at least one timed pass is "
+            "required — a zero-run bench would emit a plausible-looking "
+            "0-second artifact"
+        )
     samples: dict[str, list[float]] = {}
     for _ in range(n_runs):
         if hasattr(entrymod, "bench_reset"):

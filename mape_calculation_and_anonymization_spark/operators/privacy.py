@@ -43,10 +43,14 @@ from pyspark.sql import functions as F
 def band(col: str | Column, width: float) -> Column:
     """Generalize a numeric column to the lower edge of its
     ``width``-sized band (floor semantics, so negatives band down).
-    Returns bigint — banding is generalization, and publishing exact
-    band arithmetic in doubles would just re-leak the value."""
+    Integer widths return bigint edges (publishing exact band
+    arithmetic in doubles would just re-leak the value); fractional
+    widths keep the double edge — truncating the multiplier would
+    produce wrong (width<1: all-zero) bands."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.floor(c / F.lit(width)) * F.lit(int(width))).cast("long")
+    w = float(width)
+    edge = F.floor(c / F.lit(w)) * F.lit(w)
+    return edge.cast("long") if w.is_integer() else edge
 
 
 def k_anonymize(

@@ -339,15 +339,20 @@ def delete_keys(
     files is a broadcast semi join against the key list, (b) parquet
     row-group statistics/bloom filters prune most file reads in the
     probe itself, and (c) the rewrite touches only the affected files
-    — data moved is O(affected files), never O(table). The deletion
-    key list is dimension-sized by contract (it is collected to list
-    affected files); route bulk deletes through a partition-level
-    overwrite instead.
+    — DATA moved is O(affected files), never O(table); untouched
+    files enter the replacement directory as hard links (listing-cost
+    only). The deletion key list is dimension-sized by contract (it is
+    collected to list affected files); route bulk deletes through a
+    partition-level overwrite instead.
 
-    Same single-writer atomicity contract as :func:`compact_parquet`:
-    rewritten rows land in a temp dir first, then the affected
-    originals are removed and the new files moved in. Pair with
-    :func:`write_versioned` when readers need snapshot isolation.
+    Commit is a directory swap (build complete replacement dir → two
+    renames), the same single-writer contract as
+    :func:`compact_parquet`: a reader never sees a half-rewritten MIX
+    of files; a crash before the swap leaves the original table fully
+    intact (the orphaned ``.delete_*`` siblings are garbage, not
+    damage). The brief window between the two renames is the
+    single-writer caveat both functions document; snapshot isolation
+    needs :func:`write_versioned`.
 
     Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
     """
@@ -355,46 +360,61 @@ def delete_keys(
     import os
     import shutil
     import uuid
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
-    files_total = len(glob.glob(os.path.join(path, "part-*")))
-    tagged = spark.read.parquet(path).withColumn(
+    root = os.path.abspath(path)
+    files_total = len(glob.glob(os.path.join(root, "part-*")))
+    tagged = spark.read.parquet(root).withColumn(
         "_f", F.col("_metadata.file_path")
     )
-    affected = [
-        r["_f"]
+    # _metadata.file_path is a percent-encoded URI (file:/...); map to
+    # decoded absolute local paths so set membership below is exact
+    affected = {
+        os.path.abspath(unquote(urlparse(r["_f"]).path))
         for r in tagged.join(F.broadcast(keys_df), key_col, "left_semi")
         .select("_f")
         .distinct()
         .collect()
-    ]
+    }
     if not affected:
         return {
             "files_total": files_total,
             "files_rewritten": 0,
             "rows_deleted": 0,
         }
-    before = spark.read.parquet(*affected)
-    kept = before.join(F.broadcast(keys_df), key_col, "left_anti")
-    rows_deleted = before.count() - kept.count()
-    tmp = path.rstrip("/") + ".delete_tmp"
-    kept.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
-    from urllib.parse import urlparse
+    aff = sorted(affected)
+    before_n = spark.read.parquet(*aff).count()
+    tmp = root + ".delete_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # ONE evaluation of the anti join: the write; rows_deleted comes
+    # from counting the (affected-files-sized) inputs and outputs
+    spark.read.parquet(*aff).join(
+        F.broadcast(keys_df), key_col, "left_anti"
+    ).write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    kept_n = spark.read.parquet(tmp).count()
 
-    for f in affected:
-        # _metadata.file_path is a URI ('file:/...' or 'file:///...')
-        os.remove(urlparse(f).path)
     stamp = uuid.uuid4().hex[:8]
-    for i, f in enumerate(
-        sorted(glob.glob(os.path.join(tmp, "part-*")))
-    ):
+    new_dir = root + f".delete_new_{stamp}"
+    os.makedirs(new_dir)
+    # hard-link every untouched regular file (incl. _SUCCESS-style
+    # markers) — no data copy; move the rewritten parts in; then swap
+    for name in sorted(os.listdir(root)):
+        src_f = os.path.join(root, name)
+        if os.path.isfile(src_f) and os.path.abspath(src_f) not in affected:
+            os.link(src_f, os.path.join(new_dir, name))
+    for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
         os.replace(
-            f, os.path.join(path, f"part-delete-{stamp}-{i:05d}.parquet")
+            f, os.path.join(new_dir, f"part-delete-{stamp}-{i:05d}.parquet")
         )
     shutil.rmtree(tmp, ignore_errors=True)
+    old_dir = root + f".delete_old_{stamp}"
+    os.rename(root, old_dir)
+    os.rename(new_dir, root)  # the commit point
+    shutil.rmtree(old_dir, ignore_errors=True)
     return {
         "files_total": files_total,
         "files_rewritten": len(affected),
-        "rows_deleted": rows_deleted,
+        "rows_deleted": before_n - kept_n,
     }
