@@ -108,7 +108,11 @@ def main() -> None:
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
         "ivf_pq_ann_topk", "dedup_minhash_pairs", "k8_targeted_delete",
-        "dedup_jaccard_pairs",
+        # dedup_jaccard_pairs builds the whole near-dup index fixture
+        # (verified pairs AND the cluster map) on first touch;
+        # pipeline_funnel_stats lands the per-stage pipeline tables —
+        # both are offline artifacts their consumer queries read back
+        "dedup_jaccard_pairs", "pipeline_funnel_stats",
     ):
         fn = entrymod.queries().get(name)
         if fn is None:

@@ -64,6 +64,16 @@ def k_anonymize(
     One aggregate derives class sizes; a left-semi join on the quasi
     key keeps qualifying rows — no row data moves through the
     aggregate, and the semi join's right side is class-count-sized.
+
+    NULL handling (deliberate): rows whose quasi-identifier contains a
+    NULL are ALWAYS suppressed, whatever the size of the all-NULL
+    class — the class-count aggregate groups NULLs together, but the
+    null-unsafe equi semi join never matches them back. This is the
+    privacy-safe default (an unparseable/absent quasi value gives no
+    anonymity-set guarantee, so publishing the row cannot be justified
+    by a class count); callers who want NULL classes to qualify should
+    fill a sentinel generalization bucket BEFORE calling, making the
+    choice explicit rather than a join-semantics accident.
     """
     ok = (
         df.groupBy(*quasi_cols)
@@ -111,8 +121,15 @@ def equivalence_class_histogram(
 
 def laplace_noise(key: Column, epsilon: float, seed: int, sensitivity: float = 1.0) -> Column:
     """Deterministic Laplace(sensitivity/epsilon) draw keyed on
-    ``(seed, key)`` — the noise column of a reproducible Laplace
-    mechanism.
+    ``(seed, key)`` — REPRODUCIBLE TEST-ORACLE NOISE, NOT PRODUCTION
+    DP. Anyone who knows (or guesses) the seed can recompute and
+    subtract the noise exactly, and a float inverse-CDF draw is
+    subject to the Mironov floating-point attack (CCS 2012: the
+    double-precision Laplace CDF's gaps leak low-order bits of the
+    true count). Use this to pin mechanism SHAPE in cross-engine
+    tests; a real release needs a secret per-release seed at minimum
+    and a discrete/secure mechanism (e.g. the discrete Laplace /
+    Canonne-Kamath-Steinke construction) to claim epsilon.
 
     Construction (portable across engines, used by the DuckDB oracles
     too): md5 of the seeded key → first 8 hex digits → 32-bit integer
@@ -130,6 +147,25 @@ def laplace_noise(key: Column, epsilon: float, seed: int, sensitivity: float = 1
     return -F.lit(b) * F.signum(m.cast("double")) * F.log(F.lit(1.0) - t)
 
 
+def noise_key(group_cols: list[str]) -> Column:
+    """Collision-free noise key for a multi-column group: each column
+    is md5-hashed individually (fixed 32-hex width), NULL maps to the
+    sentinel ``'-'`` (one char, so it can never collide with a
+    digest), then the per-column tokens join with ``'|'``. A plain
+    ``concat_ws('|', cols)`` is ambiguous — ('a|b','c') and
+    ('a','b|c') would share one noise draw — and silently skips
+    NULLs; the fixed-width encoding makes every distinct group tuple
+    a distinct key. Mirrored digit-for-digit by the DuckDB oracle
+    (``md5`` and ``COALESCE`` are engine-portable)."""
+    return F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+            for c in group_cols
+        ],
+    )
+
+
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
@@ -139,11 +175,27 @@ def dp_noisy_counts(
     """Differentially-private group counts: COUNT(*) per group plus
     Laplace(1/epsilon) noise (count queries have sensitivity 1 under
     add/remove-one-record adjacency). Noise is keyed on the
-    '|'-joined group values — one draw per published cell. Output:
-    group cols + ``noisy_count`` (double; negative values are NOT
-    clamped — post-processing is the consumer's choice and clamping
-    asymmetrically would bias sums) + ``epsilon``."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    collision-free :func:`noise_key` encoding of the group values —
+    one draw per published cell. Output: group cols +
+    ``noisy_count`` (double; negative values are NOT clamped —
+    post-processing is the consumer's choice and clamping
+    asymmetrically would bias sums) + ``epsilon``.
+
+    See :func:`laplace_noise`: with the default ``seed=42`` this is
+    reproducible test-oracle noise, not a production DP release — a
+    Python warning fires on the default to make accidental misuse
+    loud."""
+    if seed == 42:
+        import warnings
+
+        warnings.warn(
+            "dp_noisy_counts(seed=42) is the reproducible TEST seed — "
+            "the noise is recomputable by anyone; pass a secret "
+            "per-release seed (and see laplace_noise's caveats) for "
+            "any real release",
+            stacklevel=2,
+        )
+    key = noise_key(group_cols)
     return (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("_n"))

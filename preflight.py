@@ -97,8 +97,10 @@ def plan_window() -> int:
 
       1. oracle-backed queries with NO green driver row (new
          additions and regressions — always debut/return first);
-      2. everything at or past the hygiene limit (last green row ≤
-         upcoming−2 — skipping them would fail the test next round);
+      2. everything at or past the hygiene limit (staleness would
+         exceed the 3-round budget — skipping them would fail the
+         test next round; capacity math in test_rotation_hygiene's
+         docstring);
       3. the remaining oldest-green queries, oldest first.
 
     Emits the ordered 50 names as ready-to-paste dict lines plus a
@@ -143,11 +145,11 @@ def plan_window() -> int:
     ordered = sorted(candidates, key=prio)
     window, overflow = ordered[:50], ordered[50:]
     # exactly the hygiene test's violation predicate: never-verified,
-    # or a window skip would push staleness past two rounds
+    # or a window skip would push staleness past the 3-round budget
     must = [
         n
         for n in candidates
-        if n not in last_green or upcoming - last_green[n] > 2
+        if n not in last_green or upcoming - last_green[n] > 3
     ]
     dropped_must = [n for n in must if n not in window]
     print(f"# window plan for round {upcoming} "

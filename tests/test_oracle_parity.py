@@ -81,13 +81,26 @@ def test_driver_window_contract():
 
 def test_rotation_hygiene():
     """The rotation-hygiene rule, executable (VERDICT r5 item 3): no
-    oracle-backed registry entry may go more than two rounds without a
-    green driver row. The upcoming round N = max(CORRECTNESS_r*) + 1
+    oracle-backed registry entry may go more than THREE rounds without
+    a green driver row. The upcoming round N = max(CORRECTNESS_r*) + 1
     verifies exactly names[:50], so under the CURRENT ordering a query
     outside the window keeps its staleness; this test fails the build
-    if that staleness would reach 3 rounds — i.e. the window was
+    if that staleness would exceed the budget — i.e. the window was
     mis-planned by hand — and also forces never-verified oracle-backed
-    queries (new additions) to debut inside the window."""
+    queries (new additions) to debut inside the window.
+
+    Budget/capacity math (VERDICT r7 item 2): a budget of b rounds
+    means every oracle-backed query needs a green row at least once
+    per (b+1)-round cycle, so a 50-slot window sustains at most
+    50·(b+1) oracle-backed queries — minus whatever window space
+    debuts, changed-impl re-verifies, and rows-only evidence rows
+    consume (≈5-10/round in practice). The original b=2 capped
+    capacity at ~150 with the registry already at 140 and 48 of round
+    8's slots forced (the r7 ceiling finding); b=3 lifts the ceiling
+    to 200, leaving ~50 slots of genuine growth headroom while still
+    guaranteeing every oracle-backed query fresh driver evidence at
+    most 4 rounds old. Relaxing further would let evidence go stale
+    for most of the build's remaining rounds — don't."""
     import glob
     import json
     import os
@@ -122,7 +135,7 @@ def test_rotation_hygiene():
             continue
         if q not in last_green:
             violations.append(f"{q}: oracle-backed but never driver-verified")
-        elif upcoming - last_green[q] > 2:
+        elif upcoming - last_green[q] > 3:
             violations.append(
                 f"{q}: last green r{last_green[q]}, would be "
                 f"{upcoming - last_green[q]} rounds stale after r{upcoming}"

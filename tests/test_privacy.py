@@ -143,3 +143,33 @@ def test_forecast_accuracy_perfect_and_zero(spark):
     # without order_cols the mase column is absent
     cols = forecast_accuracy(df, ["zone"]).columns
     assert "mase" not in cols
+
+
+def test_noise_key_collision_free_and_null_safe(spark):
+    """ADVICE r7: the raw concat_ws('|') key let ('a|b','c') and
+    ('a','b|c') share one noise draw and skipped NULLs. The md5-per-
+    column encoding must give every distinct group tuple a distinct
+    key, and NULL must differ from every real value (including '')."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import noise_key
+
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), (None, "c"), ("", "c"), ("-", "c")],
+        ["x", "y"],
+    )
+    keys = [r["k"] for r in df.select(noise_key(["x", "y"]).alias("k")).collect()]
+    assert len(set(keys)) == len(keys)
+
+
+def test_dp_noisy_counts_warns_on_test_seed(spark):
+    """The default seed=42 is reproducible test noise, not DP — the
+    operator must say so loudly (ADVICE r7)."""
+    import warnings
+
+    df = _people(spark)
+    with pytest.warns(UserWarning, match="TEST seed"):
+        dp_noisy_counts(df, ["nation"]).collect()
+    with warnings.catch_warnings():
+        # a non-default seed must be silent (UserWarning only — py4j's
+        # socket ResourceWarnings are not under test)
+        warnings.simplefilter("error", UserWarning)
+        dp_noisy_counts(df, ["nation"], 1.0, 7).collect()

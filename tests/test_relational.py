@@ -147,3 +147,30 @@ def test_sql_surface_matches_dataframe_formulation(spark):
         )
     )
     assert sql_rows == df_rows
+
+
+def test_profile_orders_approx_bounds_and_booleans(spark):
+    """The sketch profile's semantic pin: every HLL++ estimate lands
+    within the published 3·rsd envelope of the EXACT distinct count
+    (rsd=0.02 → ±6%), and the registered query's published booleans
+    are all TRUE with the exact null/min/max agreeing with the exact
+    profile — the guarantee the oracle's TRUE prediction rests on."""
+    sketch = entrymod._profile_orders_sketch(spark, SF_DIR).collect()[0]
+    orders = load_table(spark, SF_DIR, "orders")
+    for c in entrymod._PROFILE_COLS:
+        exact = orders.select(F.countDistinct(c)).collect()[0][0]
+        approx = sketch[f"{c}__approx"]
+        assert abs(approx - exact) <= max(1, 0.06 * exact), (c, approx, exact)
+    rows = {
+        r["column"]: r
+        for r in entrymod._q_profile_orders_approx(spark, SF_DIR).collect()
+    }
+    exact_rows = {
+        r["column"]: r for r in entrymod._q_profile_orders(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(entrymod._PROFILE_COLS)
+    for c, r in rows.items():
+        assert r["hll_within_bound"] is True
+        assert r["n_nulls"] == exact_rows[c]["n_nulls"]
+        assert r["min_str"] == exact_rows[c]["min_str"]
+        assert r["max_str"] == exact_rows[c]["max_str"]
