@@ -814,10 +814,13 @@ def _jaccard_ctes() -> str:
     ),
     verified AS (
         SELECT * FROM (
+            -- SET jaccard, mirroring operators/dedup.py:jaccard:
+            -- list_intersect returns distinct elements, so the union
+            -- term must use deduplicated lengths too
             SELECT c.id_a, c.id_b,
                    ROUND(
                        CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-                       / (len(ta.toks) + len(tb.toks)
+                       / (len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
                           - len(list_intersect(ta.toks, tb.toks))),
                        6
                    ) AS jaccard_sim

@@ -93,10 +93,15 @@ def word_ngrams(col: str | Column, n: int = 3, lowercase: bool = True) -> Column
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two (distinct-element) arrays — built-in
-    array_intersect; union via |A|+|B|−|A∩B| to avoid a second pass."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(a) + F.size(b) - inter
+    """Exact SET Jaccard over two token arrays. Inputs are
+    deduplicated first: array_intersect already returns distinct
+    elements, so raw |A|+|B| lengths would deflate the union term
+    whenever a shingle repeats (['x','x'] vs itself would score 1/3,
+    not 1 — caught by the hypothesis self-similarity property). Union
+    via |A|+|B|−|A∩B| to avoid a second intersect pass."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
     return F.try_divide(inter.cast("double"), union.cast("double"))
 
 

@@ -338,14 +338,15 @@ def test_triangle_count_no_cartesian(spark):
 
 def test_funnel_gates_evaluate_once(spark):
     # the gate expressions (language_id / quality_score) must be
-    # materialized ONCE behind the localCheckpoint barrier: the
-    # RESULT plan reads checkpointed blocks (ExistingRDD) and never
+    # materialized ONCE, into the landed per-stage lake tables (the
+    # pipeline_stages disk fixture as of r8; a localCheckpoint before
+    # that): the RESULT plan scans the stage parquet and never
     # re-scans documents.parquet or re-derives the gates (r5 paid two
     # full corpus passes over them)
     df = e._q_pipeline_funnel_stats(spark, SF)
     plan = physical_plan(df)
-    assert "ExistingRDD" in plan
-    assert "documents" not in plan
+    assert "pipeline_stages_" in plan  # reads the landed stage tables
+    assert "documents" not in plan  # never re-scans / re-gates the corpus
 
 
 def test_kanon_suppression_broadcasts_class_counts(spark):
