@@ -22,6 +22,13 @@ _TEXTS = st.lists(_TEXT, min_size=1, max_size=12)
 _SETTINGS = settings(
     max_examples=10,
     deadline=None,
+    # Deterministic examples: a randomized run discovering a NEW latent
+    # counterexample mid-CI reads as a broken build (it is how the r8
+    # jaccard set-semantics bug surfaced — fixed, then the suite was
+    # fuzzed green across 5 seeds). Discovery stays available via
+    # explicit randomized runs: pytest --hypothesis-seed=random
+    # (derandomize is ignored when a seed is forced).
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 

@@ -149,7 +149,7 @@ def test_xlsx_roundtrip_property():
         ),
     )
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25, deadline=None, derandomize=True)
     @given(
         st.lists(
             st.lists(cell, min_size=3, max_size=3), min_size=1, max_size=6
