@@ -689,12 +689,21 @@ def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compare still checks the pipeline end to end, not the fixture.
 
 
+# Derivation-logic version, baked into the fixture path: source-token
+# keying alone cannot see a SEMANTICS change in the deriving code (the
+# r8 set-jaccard fix left value-stale v1 fixtures on disk that only a
+# manual wipe caught). Bump on any change to the pair/cluster values.
+# v2 = set-jaccard (array_distinct union terms).
+_JACCARD_INDEX_VERSION = 2
+
+
 def _jaccard_index(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     root = (
         f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
-        f"jaccard_index_{_source_token(sf_dir, 'documents')}"
+        f"jaccard_index_v{_JACCARD_INDEX_VERSION}_"
+        f"{_source_token(sf_dir, 'documents')}"
     )
     if not _fixture_ready(root):
         corpus = _jaccard_corpus(spark, sf_dir)
@@ -6888,7 +6897,10 @@ def _pipeline_stages_shared(spark: SparkSession, sf_dir: str) -> dict:
 
     root = (
         f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
-        f"pipeline_stages_{_source_token(sf_dir, 'documents')}"
+        # v1 suffix = derivation-logic version (same rationale as
+        # _JACCARD_INDEX_VERSION: a semantics change must miss the
+        # cache, not silently serve value-stale stage tables)
+        f"pipeline_stages_v1_{_source_token(sf_dir, 'documents')}"
     )
     if not _fixture_ready(root):
         docs = ensure_min_partitions(

@@ -291,3 +291,25 @@ def test_incremental_dedup_ledger_semantics(spark):
             row["n_kept"] + row["n_dropped_history"] + row["n_dropped_within"]
             == row["n_increment"]
         )
+
+
+def test_jaccard_index_fixture_matches_live_derivation(spark):
+    """The near-dup index fixture must be value-equal to a fresh
+    derivation from the (tokenized) corpus — the stale-fixture failure
+    mode that version-keyed paths guard against (a semantics change in
+    the pair derivation with an unbumped _JACCARD_INDEX_VERSION
+    surfaces here before it can silently serve stale values; the
+    sf0.01 DuckDB oracle, which re-derives from raw text, is the
+    second line of defense)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    fixture = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in e._q_dedup_jaccard_pairs(spark, sf).collect()
+    }
+    live = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in e._jaccard_verified_pairs(e._jaccard_corpus(spark, sf)).collect()
+    }
+    assert fixture == live and fixture
