@@ -5850,6 +5850,73 @@ _PROFILE_APPROX_ORACLE = """
 """
 
 
+_DRIFT_SPLIT = "2024-01-16"  # events span 2024-01-01..30 (TESTDATA.md)
+_DRIFT_BIN_WIDTH = 50.0  # value ∈ [0, ~500] → ≈10 bins per event type
+
+
+def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between two drops of
+    the events feed (first half of January as the reference window,
+    second half as the current drop), per event type over fixed-width
+    value bins — the distribution-level companion to the schema-level
+    profiling monitors (operators/drift.py:population_stability;
+    fixed-width banding + Jeffreys smoothing chosen there for exact
+    engine portability). At 100 TB both windows are partition-pruned
+    scans feeding map-side-combined histograms; everything after the
+    two aggregates is answer-sized."""
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        population_stability,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_type", "ts", "value")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return population_stability(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        ["event_type"],
+        "value",
+        bin_width=_DRIFT_BIN_WIDTH,
+    )
+
+
+_DRIFT_PSI_ORACLE = f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) * {_DRIFT_BIN_WIDTH} AS BIGINT) AS bin,
+               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(nr) AS BIGINT) AS n_ref,
+               CAST(SUM(nc) AS BIGINT) AS n_cur,
+               COUNT(*) AS n_bins
+        FROM cells GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_ref, t.n_cur, t.n_bins,
+           ROUND(SUM(
+               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
+                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
+               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
+                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
+           ), 6) AS psi,
+           ROUND(SUM(
+               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
+                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
+               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
+                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
+           ), 6) > 0.2 AS drift_flag
+    FROM cells c JOIN tot t USING (event_type)
+    GROUP BY t.event_type, t.n_ref, t.n_cur, t.n_bins
+"""
+
+
 def _q_fixed_size_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-SIZE per-group sample (exactly 20 docs per
     language): rank rows inside each group by a salted md5 of the key
@@ -7326,16 +7393,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (rather than leaning on the newly relaxed 3-round budget)
     #     clears the backlog in one round and leaves round 9's window
     #     nearly free.
-    # (b) dp_noisy_counts — its noise-key encoding changed this round
-    #     (ADVICE r7: collision-free per-column md5 replaces the
-    #     ambiguous raw concat_ws; the oracle mirrors it), so it
-    #     re-verifies under the driver.
-    # (c) profile_orders_approx — round-8 debut (un-expanded HLL++
-    #     profiling, VERDICT r7 item 3); new oracle-backed queries
-    #     enter the window on debut.
+    # (b) the round-8 debuts — new oracle-backed queries enter the
+    #     window on debut: profile_orders_approx (un-expanded HLL++
+    #     profiling, VERDICT r7 item 3) and drift_psi_events (PSI
+    #     distribution-drift monitor, operators/drift.py).
+    # (c) dp_noisy_counts changed this round (ADVICE r7: collision-free
+    #     per-column-md5 noise key, oracle mirrored) but sits just
+    #     below the window: the 48 forced must-includes + 2 debuts fill
+    #     all 50 slots, its r7 green row is inside the 3-round budget,
+    #     and the change is re-verified by the full-registry
+    #     vanilla-session preflight (the driver's own compare).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is now ≤3 rounds stale (was ≤2), giving a 4-round cycle
-    # × 50 slots = 200 oracle-backed capacity against 141 registered —
+    # × 50 slots = 200 oracle-backed capacity against 142 registered —
     # the math lives in test_rotation_hygiene's docstring. After this
     # round's window, the r9 plan is: 0 forced staleness must-includes
     # (the 48 r6-greens sit at 3 rounds ≤ budget) — debuts only.
@@ -7403,9 +7473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,
         "user_event_sequences": _q_user_event_sequences,
         "w1_rolling_hourly": _q_w1_rolling_hourly,
-        "dp_noisy_counts": _q_dp_noisy_counts,
+        # round-8 debuts — new oracle-backed queries enter on debut
         "profile_orders_approx": _q_profile_orders_approx,
+        "drift_psi_events": _q_drift_psi_events,
         # ---- below the driver's 50-row window ----
+        # dp_noisy_counts sits first below the line: its noise-key fix
+        # (ADVICE r7) is verified by the full-registry vanilla-session
+        # preflight (the same Spark-vs-DuckDB compare the driver runs),
+        # its r7 green row keeps it well inside the 3-round budget, and
+        # the two non-forced window slots went to this round's debuts.
+        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r7 (impl changed r8)
         "anomaly_counts": _q_anomaly_counts,  # last green: r6
         "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r6
         "batch_sessionize": _q_batch_sessionize,  # last green: r6
@@ -7631,6 +7708,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": _CHI2_ORACLE,
         "profile_orders": _PROFILE_ORACLE,
         "profile_orders_approx": _PROFILE_APPROX_ORACLE,
+        "drift_psi_events": _DRIFT_PSI_ORACLE,
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,
         "bigram_logprob_scores": _BIGRAM_LM_ORACLE,
         "anomaly_counts": _ANOMALY_ORACLE,

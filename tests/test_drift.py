@@ -1,0 +1,82 @@
+"""PSI distribution-drift monitor semantics
+(operators/drift.py:population_stability)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from mape_calculation_and_anonymization_spark.operators.drift import (
+    population_stability,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+def test_identical_windows_score_near_zero(spark):
+    rows = [("a", float(v % 100)) for v in range(400)]
+    df = _frame(spark, rows)
+    out = population_stability(df, df, ["grp"], "value", 25.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == r["n_cur"] == 400
+    assert r["psi"] == 0.0  # identical histograms: every term is exactly 0
+    assert r["drift_flag"] is False
+
+
+def test_planted_shift_flags_drift(spark):
+    ref = _frame(spark, [("a", float(v % 100)) for v in range(400)])
+    cur = _frame(spark, [("a", float(v % 100) + 200.0) for v in range(400)])
+    r = population_stability(ref, cur, ["grp"], "value", 25.0).collect()[0]
+    # disjoint bin ranges: PSI must be large, finite, and flagged
+    assert math.isfinite(r["psi"]) and r["psi"] > 0.2
+    assert r["drift_flag"] is True
+    assert r["n_bins"] == 8  # 4 ref-only + 4 cur-only bins, unioned
+
+
+def test_one_sided_group_and_nulls_are_finite(spark):
+    ref = _frame(spark, [("a", 1.0), ("a", 2.0), ("b", 5.0), ("a", None)])
+    cur = _frame(spark, [("a", 1.5), ("a", 60.0)])
+    got = {
+        r["grp"]: r
+        for r in population_stability(ref, cur, ["grp"], "value", 50.0).collect()
+    }
+    # group b has no current rows at all — smoothing keeps PSI finite
+    assert got["b"]["n_cur"] == 0 and math.isfinite(got["b"]["psi"])
+    # NULL values are excluded from the windows, not binned
+    assert got["a"]["n_ref"] == 2
+
+
+def test_psi_matches_hand_computation(spark):
+    # ref: 3 rows in bin0, 1 in bin1; cur: 1 in bin0, 3 in bin1 (w=10)
+    ref = _frame(spark, [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 11.0)])
+    cur = _frame(spark, [("a", 4.0), ("a", 12.0), ("a", 13.0), ("a", 14.0)])
+    r = population_stability(ref, cur, ["grp"], "value", 10.0).collect()[0]
+    s, b, n = 0.5, 2, 4
+    expected = 0.0
+    for nr, nc in ((3, 1), (1, 3)):
+        p = (nr + s) / (n + s * b)
+        q = (nc + s) / (n + s * b)
+        expected += (p - q) * math.log(p / q)
+    assert r["psi"] == round(expected, 6)
+    assert r["n_bins"] == 2
+
+
+def test_registry_query_shape(spark):
+    out = entrymod._q_drift_psi_events(spark, SF_DIR)
+    rows = out.collect()
+    assert {r["event_type"] for r in rows} >= {"click", "view", "purchase"}
+    for r in rows:
+        assert r["n_ref"] > 0 and r["n_cur"] > 0
+        # every PSI term (p−q)·ln(p/q) is non-negative: p−q and
+        # ln(p/q) always share a sign
+        assert math.isfinite(r["psi"]) and r["psi"] >= 0.0
+        # synthetic events are stationary across the month: the monitor
+        # must NOT cry wolf on an undrifted feed
+        assert r["drift_flag"] is False, (r["event_type"], r["psi"])
