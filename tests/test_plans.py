@@ -387,3 +387,31 @@ def test_forecast_metrics_two_shuffles(spark):
     lag window reuses the zone partitioning, so two exchanges total."""
     df = e._q_forecast_metrics_by_zone(spark, SF)
     assert count_exchanges(df) == 2
+
+
+def test_profile_approx_scan_is_not_expanded(spark):
+    """The entire point of profile_orders_approx: HLL++ sketches keep
+    the profiling scan un-expanded (one partial-aggregate pass, one
+    exchange), where the exact variant's multi-column countDistinct
+    forces Catalyst's Expand (one row re-emitted per distinct
+    aggregate before the shuffle). Pin BOTH sides of the contrast so a
+    regression — someone swapping the sketch back to countDistinct —
+    is loud."""
+    approx = physical_plan(e._q_profile_orders_approx(spark, SF))
+    assert "Expand" not in approx
+    assert count_exchanges(e._q_profile_orders_approx(spark, SF)) == 1
+    exact = physical_plan(e._q_profile_orders(spark, SF))
+    assert "Expand" in exact  # the documented cost the sketch removes
+
+
+def test_drift_psi_answer_sized_tail(spark):
+    """PSI: two histogram aggregates over the windows, then everything
+    answer-sized — no cartesian/nested-loop join, no Python eval, and
+    at most 3 exchanges (two histograms + the bin-frame join+agg
+    partitioning)."""
+    df = e._q_drift_psi_events(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert count_exchanges(df) <= 3
