@@ -5700,6 +5700,12 @@ _CHI2_ORACLE = """
 """
 
 
+# single source of truth for the profiled-column list: the exact and
+# sketch monitors MUST profile the same columns (the approx test
+# cross-checks them row-by-row keyed on this list)
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling in ONE scan: null count, distinct count, and
     string-cast min/max for each profiled column as conditional
@@ -5714,7 +5720,7 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan's dominant cost, and per-drop monitoring should use the
     sketch variant (profile_orders_approx below: HLL++ keeps the scan
     un-expanded and every sketch map-side mergeable)."""
-    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    cols = _PROFILE_COLS
     aggs = []
     for c in cols:
         aggs += [
@@ -5764,9 +5770,6 @@ _PROFILE_ORACLE = """
            MAX(CAST(o_totalprice AS VARCHAR))
     FROM orders
 """
-
-
-_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
 
 
 def _profile_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5884,7 +5887,7 @@ _DRIFT_PSI_ORACLE = f"""
         SELECT event_type,
                CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) * {_DRIFT_BIN_WIDTH} AS BIGINT) AS bin,
                (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     cells AS (
         SELECT event_type, bin,
@@ -7219,7 +7222,11 @@ def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).select("event_type")
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # the test-seed warning is expected here
+        # suppress ONLY the expected test-seed warning — anything else
+        # raised inside the call (deprecations etc.) must stay visible
+        warnings.filterwarnings(
+            "ignore", message=r".*reproducible TEST seed.*"
+        )
         return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, seed=42)
 
 

@@ -32,14 +32,24 @@ re-derives the exact numbers) and scale:
 Scale shape: one map-side-combinable hash aggregate per window (the
 two windows are usually different partition ranges of the same table,
 so both are partition-pruned scans), a full-outer join on the
-ANSWER-SIZED (group, bin) frame, and a second answer-sized aggregate
-back to one row per group. No row-level joins, no windows over global
-orderings, no driver collects.
+ANSWER-SIZED (group, bin) frame, group totals via a partition-local
+window (no ordering — a spill-aware running sum, never an in-memory
+per-group array), and a final aggregate back to one row per group
+that REUSES the window's hash partitioning (group ⊆ grouping keys, so
+Catalyst plans no extra exchange). No row-level joins, no windows
+over global orderings, no driver collects, and per-group state is
+O(1) regardless of how many bins a heavy-tailed value column spans.
+
+Group keys are compared NULL-safely throughout: the histograms join
+on a ``struct(*group_cols)`` key (struct equality matches NULL fields,
+unlike column-wise equi-joins), so a NULL group forms ONE merged
+(ref, cur) histogram — the same semantics GROUP BY gives NULLs in
+both Spark and the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mape_calculation_and_anonymization_spark.operators.privacy import band
@@ -59,52 +69,62 @@ def population_stability(
     counts), ``n_bins`` (union-of-windows bin count), ``psi`` (rounded
     to 6), and ``drift_flag`` (``psi > threshold``). Rows with a NULL
     value are excluded from both windows (they are the profiler's
-    ``n_nulls`` concern, not a distribution bin)."""
+    ``n_nulls`` concern, not a distribution bin). NULL group keys are
+    a single group (GROUP BY semantics), matched NULL-safely across
+    the two windows via the struct join key.
+
+    The double sum of per-bin terms is accumulated in Spark's partial-
+    aggregation order; 6-decimal rounding absorbs the ulp-level
+    order sensitivity (the repo-wide float-compare convention)."""
 
     def hist(df: DataFrame, n_name: str) -> DataFrame:
         return (
             df.filter(F.col(value_col).isNotNull())
-            .groupBy(*group_cols, band(value_col, bin_width).alias("_bin"))
+            .groupBy(
+                F.struct(*group_cols).alias("_g"),
+                band(value_col, bin_width).alias("_bin"),
+            )
             .agg(F.count(F.lit(1)).alias(n_name))
         )
 
-    joined = hist(ref, "_n_ref").join(
-        hist(cur, "_n_cur"), [*group_cols, "_bin"], "full_outer"
+    cells = hist(ref, "_n_ref").join(
+        hist(cur, "_n_cur"), ["_g", "_bin"], "full_outer"
     ).select(
-        *group_cols,
-        "_bin",
+        "_g",
         F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
         F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
     )
+    # group totals as partition-local window aggregates (no ordering,
+    # no frame → one shuffle on _g, spill-aware buffering): every bin
+    # cell learns its group's n_ref/n_cur/n_bins without materializing
+    # a per-group array, so a heavy-tailed value column spanning
+    # millions of bins streams instead of OOMing an executor
+    w = Window.partitionBy("_g")
     s = float(smoothing)
-    grp = joined.groupBy(*group_cols).agg(
-        F.sum("_n_ref").alias("n_ref"),
-        F.sum("_n_cur").alias("n_cur"),
-        F.count(F.lit(1)).alias("n_bins"),
-        F.collect_list(F.struct("_n_ref", "_n_cur")).alias("_cells"),
+    tot = cells.select(
+        "_g",
+        "_n_ref",
+        "_n_cur",
+        F.sum("_n_ref").over(w).alias("n_ref"),
+        F.sum("_n_cur").over(w).alias("n_cur"),
+        F.count(F.lit(1)).over(w).alias("n_bins"),
     )
-    # the per-bin term needs the group totals, so it is evaluated as a
-    # higher-order AGGREGATE over the answer-sized bin cells (a group
-    # has at most range/width bins — this is a fold over a tiny array,
-    # not a second shuffle)
-    p = (
-        "(CAST(c._n_ref AS DOUBLE) + {s}) / (CAST(n_ref AS DOUBLE) + {s} * n_bins)"
-    ).format(s=s)
-    q = (
-        "(CAST(c._n_cur AS DOUBLE) + {s}) / (CAST(n_cur AS DOUBLE) + {s} * n_bins)"
-    ).format(s=s)
-    # array_sort gives the fold a deterministic order run-to-run (the
-    # sum is mathematically order-free; floats aren't, and 6-decimal
-    # rounding should not depend on collect_list's arrival order)
-    psi = F.expr(
-        f"aggregate(array_sort(_cells), CAST(0.0 AS DOUBLE),"
-        f" (acc, c) -> acc + (({p}) - ({q})) * ln(({p}) / ({q})))"
+    p = (F.col("_n_ref").cast("double") + F.lit(s)) / (
+        F.col("n_ref").cast("double") + F.lit(s) * F.col("n_bins")
+    )
+    q = (F.col("_n_cur").cast("double") + F.lit(s)) / (
+        F.col("n_cur").cast("double") + F.lit(s) * F.col("n_bins")
+    )
+    # the final groupBy keys start with _g, so the window's hash
+    # partitioning already satisfies its distribution — no 2nd exchange
+    grp = tot.groupBy("_g", "n_ref", "n_cur", "n_bins").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
     )
     return grp.select(
-        *group_cols,
+        *[F.col("_g")[c].alias(c) for c in group_cols],
         "n_ref",
         "n_cur",
         "n_bins",
-        F.round(psi, 6).alias("psi"),
-        (F.round(psi, 6) > F.lit(float(threshold))).alias("drift_flag"),
+        "psi",
+        (F.col("psi") > F.lit(float(threshold))).alias("drift_flag"),
     )

@@ -313,3 +313,35 @@ def test_jaccard_index_fixture_matches_live_derivation(spark):
         for r in e._jaccard_verified_pairs(e._jaccard_corpus(spark, sf)).collect()
     }
     assert fixture == live and fixture
+
+
+def test_jaccard_index_cluster_fixture_matches_live_derivation(spark):
+    """Same stale-fixture guard for the OTHER half of the index: the
+    clusters parquet must be value-equal to a fresh
+    duplicate_clusters() run over the same corpus+pairs. A semantics
+    change in the component labeling with an unbumped
+    _JACCARD_INDEX_VERSION would otherwise serve a stale cluster map
+    to dedup_keep_best/dedup_clusters at every sf the oracle doesn't
+    cover (the pairs-half test above cannot see it)."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.graph import (
+        duplicate_clusters,
+    )
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    root = e._jaccard_index(spark, sf)
+    fixture_df = spark.read.parquet(os.path.join(root, "clusters"))
+    cols = sorted(fixture_df.columns)
+    fixture = {
+        tuple(r[c] for c in cols) for r in fixture_df.collect()
+    }
+    corpus = e._jaccard_corpus(spark, sf)
+    pairs = spark.read.parquet(os.path.join(root, "pairs"))
+    live = {
+        tuple(r[c] for c in cols)
+        for r in duplicate_clusters(corpus, pairs).collect()
+    }
+    assert fixture == live and fixture

@@ -53,6 +53,27 @@ def test_one_sided_group_and_nulls_are_finite(spark):
     assert got["a"]["n_ref"] == 2
 
 
+def test_null_group_key_merges_across_windows(spark):
+    """A NULL group key is ONE group (GROUP BY semantics): its ref and
+    cur histograms must merge cell-by-cell through the struct join key,
+    not survive as disjoint one-sided cells. Regression for the
+    null-unsafe column-list full_outer join, which left a NULL group's
+    identical windows with n_bins=2 and psi>0."""
+    ref = _frame(spark, [(None, 1.0), ("a", 1.0)])
+    cur = _frame(spark, [(None, 1.5), ("a", 1.5)])
+    got = {
+        r["grp"]: r
+        for r in population_stability(ref, cur, ["grp"], "value", 50.0).collect()
+    }
+    assert set(got) == {None, "a"}
+    # both values land in bin 0 on both sides: one merged cell, zero drift
+    for key in (None, "a"):
+        r = got[key]
+        assert r["n_bins"] == 1, (key, r)
+        assert r["n_ref"] == r["n_cur"] == 1
+        assert r["psi"] == 0.0 and r["drift_flag"] is False
+
+
 def test_psi_matches_hand_computation(spark):
     # ref: 3 rows in bin0, 1 in bin1; cur: 1 in bin0, 3 in bin1 (w=10)
     ref = _frame(spark, [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 11.0)])

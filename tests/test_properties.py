@@ -6,6 +6,8 @@ DataFrame so the per-example Spark overhead stays bounded."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -26,9 +28,12 @@ _SETTINGS = settings(
     # counterexample mid-CI reads as a broken build (it is how the r8
     # jaccard set-semantics bug surfaced — fixed, then the suite was
     # fuzzed green across 5 seeds). Discovery stays available via
-    # explicit randomized runs: pytest --hypothesis-seed=random
-    # (derandomize is ignored when a seed is forced).
-    derandomize=True,
+    # explicit randomized runs: HYPOTHESIS_RANDOMIZE=1 pytest ...
+    # (NOT --hypothesis-seed=random: settings.derandomize takes
+    # precedence over pytest's forced seed in hypothesis.core.
+    # get_random_for_wrapped_test, so the env toggle must clear
+    # derandomize itself).
+    derandomize=not os.environ.get("HYPOTHESIS_RANDOMIZE"),
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 

@@ -4,6 +4,7 @@ read_xlsx_sheet). No openpyxl in this container, so the roundtrip
 through our own reader plus a raw-XML structure check is the gate."""
 
 import math
+import os
 import zipfile
 import xml.etree.ElementTree as ET
 
@@ -149,7 +150,14 @@ def test_xlsx_roundtrip_property():
         ),
     )
 
-    @settings(max_examples=25, deadline=None, derandomize=True)
+    # HYPOTHESIS_RANDOMIZE=1 re-enables randomized discovery (the
+    # derandomize setting shadows pytest's --hypothesis-seed, see
+    # tests/test_properties.py)
+    @settings(
+        max_examples=25,
+        deadline=None,
+        derandomize=not os.environ.get("HYPOTHESIS_RANDOMIZE"),
+    )
     @given(
         st.lists(
             st.lists(cell, min_size=3, max_size=3), min_size=1, max_size=6
