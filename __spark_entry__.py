@@ -1138,10 +1138,13 @@ def _q_stream_stateful_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_zone_wape,
     )
 
+    # final_flush=False: NoTimeout stateful transform — the trailing
+    # no-data batch invokes no user code (run_stream_to_memory doc)
     out = run_stream_to_memory(
         running_zone_wape(read_events_stream(spark, sf_dir)),
         output_mode="update",
         shuffle_partitions=8,
+        final_flush=False,
     )
     w = W.partitionBy("zone").orderBy(F.col("n_events").desc())
     final = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -2157,10 +2160,13 @@ _W1_ORACLE = f"""
 
 
 def _q_stream_hourly_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # final_flush=False: complete mode — the last data batch already
+    # rewrote the full result; the flush batch duplicates it
     out = run_stream_to_memory(
         streaming_hourly_wape(read_events_stream(spark, sf_dir)),
         output_mode="complete",
         shuffle_partitions=8,
+        final_flush=False,
     )
     return _round_doubles(out)
 
@@ -2185,6 +2191,7 @@ def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_session_windows(read_events_stream(spark, sf_dir)),
         output_mode="complete",
         shuffle_partitions=8,
+        final_flush=False,  # complete mode: flush batch duplicates output
     )
     return _round_doubles(out)
 
@@ -2221,9 +2228,12 @@ _STREAM_SESSION_ORACLE = """
 
 
 def _q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # final_flush=False: streaming dedup emits each first-seen row in
+    # its data batch; the flush batch only evicts expired state
     return run_stream_to_memory(
         stateful_distinct_users(read_events_stream(spark, sf_dir)),
         shuffle_partitions=8,
+        final_flush=False,
     )
 
 
@@ -2251,6 +2261,7 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="complete",
         shuffle_partitions=8,
+        final_flush=False,  # complete mode: flush batch duplicates output
     )
     return out.select(
         "window_start",
@@ -2287,6 +2298,7 @@ def _q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_event_counts(read_events_stream(spark, sf_dir)),
         output_mode="complete",
         shuffle_partitions=8,
+        final_flush=False,  # complete mode: flush batch duplicates output
     )
     return out.select(
         "window_start",
@@ -2331,11 +2343,18 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
-    # 4 state partitions: stream-stream joins open TWO state stores
+    # 2 state partitions: stream-stream joins open TWO state stores
     # per partition per micro-batch, the dominant fixed cost at local
-    # volume (measured 3.0s @ 8 → 2.1s @ 4, same rows); production
-    # sizes this to cluster parallelism (run_stream_to_memory doc)
-    return run_stream_to_memory(joined, shuffle_partitions=4).select(
+    # volume (measured 3.0s @ 8 → 2.1s @ 4 → 1.7s @ 2, same rows);
+    # production sizes this to cluster parallelism
+    # (run_stream_to_memory doc).
+    # final_flush=False: INNER join rows emit in the batch that
+    # matches them; the flush batch only evicts state (contrast
+    # stream_outer_join, whose NULL-click rows exist only after the
+    # final watermark advance — it keeps the flush batch)
+    return run_stream_to_memory(
+        joined, shuffle_partitions=2, final_flush=False
+    ).select(
         F.col("l_id").alias("purchase_id"),
         "user_id",
         F.col("r_id").alias("click_id"),
@@ -6410,9 +6429,11 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_left_outer_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
-    # 4 state partitions — same stream-stream state-store argument as
-    # the inner-join query (measured 3.8s @ 8 → 2.7s @ 4, same rows)
-    out = run_stream_to_memory(joined, shuffle_partitions=4)
+    # 2 state partitions — same stream-stream state-store argument as
+    # the inner-join query (measured 3.8s @ 8 → 2.7s @ 4 → 2.6s @ 2,
+    # same rows; ×3 micro-batches here, so the per-batch store cost
+    # weighs triple)
+    out = run_stream_to_memory(joined, shuffle_partitions=2)
     return out.filter(F.col("l_id") >= 0).select(
         F.col("l_id").alias("purchase_id"),
         "user_id",

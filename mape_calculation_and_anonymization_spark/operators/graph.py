@@ -189,6 +189,7 @@ def pagerank(
     dst: str = "id_b",
     damping: float = 0.85,
     iterations: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED edge list (each edge contributes
     both directions), fixed iteration count. Returns (id, rank);
@@ -206,12 +207,25 @@ def pagerank(
     residual-checked: a residual test would add a per-round scalar
     aggregate for little benefit at the typical 10-20 rounds.
 
+    ``checkpoint_every`` trades lineage depth against materialization
+    jobs: an EAGER localCheckpoint every round costs one extra Spark
+    job per round, and between checkpoints the plan is only
+    ``checkpoint_every`` join+agg layers deep — trivially analyzable,
+    while checkpointing 3× less often. 1 restores the
+    checkpoint-per-round shape; raising it much further makes Catalyst
+    re-analyze a deep recursive plan every round (the exact pathology
+    checkpointing exists to prevent).
+
     Not SQL-oracle-able (grouped aggregation inside recursion is
     outside portable recursive CTEs); semantics pinned against a
     numpy power-iteration in tests/test_graph_sampling.py.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -236,13 +250,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = sym_w.join(ranks, "u").select(
             F.col("v").alias("u"), (F.col("rank") * F.col("w")).alias("c")
         )
-        ranks = (
-            contrib.groupBy("u")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
-            .localCheckpoint(eager=True)
+        ranks = contrib.groupBy("u").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
         )
+        if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("id"), "rank")

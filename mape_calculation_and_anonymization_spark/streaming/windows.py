@@ -176,6 +176,7 @@ def run_stream_to_memory(
     output_mode: str = "append",
     timeout_s: int = 300,
     shuffle_partitions: int | None = None,
+    final_flush: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
     memory sink, block until done, return the materialized batch
@@ -199,7 +200,32 @@ def run_stream_to_memory(
     right price for them. (A production writeStream with a durable
     sink must keep its checkpoint on durable storage — exactly what
     the restartable sinks in upsert.py do.) The per-query checkpoint
-    dir is deleted after the run either way."""
+    dir is deleted after the run either way.
+
+    ``final_flush=False`` skips the trailing NO-DATA micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``) that Spark
+    otherwise runs after the last data batch to let event-time state
+    react to the final watermark advance. Whether a query's OUTPUT
+    depends on that batch is decidable from its shape, and the caller
+    asserts it by passing False:
+
+      * complete-mode aggregations — every data batch already rewrote
+        the FULL result table; the flush batch recomputes and rewrites
+        the identical rows (pure duplicated work at local volume);
+      * append-mode inner stream-stream joins and streaming dedup
+        (``dropDuplicates[WithinWatermark]``) — rows emit in the data
+        batch that matches/first-sees them; the flush batch only
+        EVICTS expired state, it never emits;
+      * ``applyInPandasWithState`` with ``GroupStateTimeout.NoTimeout``
+        — without timeouts the flush batch invokes no user code.
+
+    It must stay True (the Spark default) for any shape whose FINAL
+    rows emit only once the watermark proves completeness: outer/semi
+    stream-stream joins, append-mode windowed aggregation, and any
+    stateful transform with event-time timeouts. (Long-lived
+    production streams never face this choice — new data keeps
+    arriving and closes windows; the flush batch matters only for
+    drain-and-stop runs like AvailableNow.)"""
     import os
     import shutil
     import tempfile
@@ -209,8 +235,12 @@ def run_stream_to_memory(
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     ckpt = os.path.join(ckpt_root, "mape_spark_ckpt", name)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _FLUSH_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_flush = spark.conf.get(_FLUSH_CONF)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if not final_flush:
+        spark.conf.set(_FLUSH_CONF, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -227,6 +257,7 @@ def run_stream_to_memory(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(_FLUSH_CONF, prev_flush)
         shutil.rmtree(ckpt, ignore_errors=True)
     if not finished:
         # A timed-out AvailableNow run has only partially drained the

@@ -21,6 +21,32 @@ from mape_calculation_and_anonymization_spark.streaming.windows import (
 SF = "/root/testdata/sf0.001"
 
 
+def test_final_flush_skip_is_output_equal_and_restores_conf(spark):
+    """final_flush=False (skip the trailing no-data micro-batch) must
+    (a) leave the session's noDataMicroBatches conf exactly as it was
+    and (b) produce the identical result for an eligible shape — a
+    complete-mode aggregation, whose last data batch already rewrote
+    the full table (run_stream_to_memory doc)."""
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(conf_key)
+
+    def rows(**kw):
+        out = run_stream_to_memory(
+            streaming_hourly_wape(read_events_stream(spark, SF)),
+            output_mode="complete",
+            **kw,
+        )
+        return sorted(
+            (str(r["proxy_date"]), r["hour"], r["zone"], round(r["settlement"], 9))
+            for r in out.collect()
+        )
+
+    flushed = rows()
+    skipped = rows(final_flush=False)
+    assert spark.conf.get(conf_key) == before
+    assert flushed == skipped and len(flushed) > 0
+
+
 def test_streaming_hourly_wape_equals_batch(spark):
     # append mode would hold back the final (still-open) windows at
     # end-of-stream; complete mode emits every window for the
