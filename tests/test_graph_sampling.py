@@ -245,6 +245,29 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, checkpoint_every=0)
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    """checkpoint_every only trades lineage depth for materialization
+    jobs — it must never change a rank, including when the iteration
+    count is not a multiple of the cadence."""
+    from mape_calculation_and_anonymization_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (4, 0), (4, 1), (4, 2), (4, 3)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    per_round = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=7, checkpoint_every=1).collect()
+    }
+    batched = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, iterations=7, checkpoint_every=3).collect()
+    }
+    assert per_round.keys() == batched.keys()
+    for i in per_round:
+        assert abs(per_round[i] - batched[i]) < 1e-12
 
 
 def test_pagerank_empty_graph(spark):
