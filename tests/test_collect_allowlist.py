@@ -142,6 +142,31 @@ def test_every_driver_collect_site_is_audited():
     )
 
 
+def test_no_row_at_a_time_python_udfs():
+    """The hot-path posture claim "no row-at-a-time Python UDF exists
+    in the repo" (every Python escape hatch is Arrow-batched:
+    pandas_udf / applyInPandas / mapInPandas), frozen as a source
+    audit. ``udf(`` outside a ``pandas_udf`` spelling is the
+    per-row-pickle path that is ~10-100x slower than Arrow batches —
+    new code wanting Python must take the vectorized route."""
+    rx = re.compile(r"(?<!pandas_)\budf\s*\(")
+    offenders = []
+    targets = [os.path.join(REPO, "__spark_entry__.py")]
+    for root, _dirs, files in os.walk(PKG):
+        if "__pycache__" in root:
+            continue
+        targets += [os.path.join(root, f) for f in files if f.endswith(".py")]
+    for path in targets:
+        body = _strip_comments(open(path).read())
+        for i, line in enumerate(body.splitlines(), 1):
+            if rx.search(line):
+                offenders.append(f"{os.path.relpath(path, REPO)}:{i}")
+    assert not offenders, (
+        f"row-at-a-time Python UDF call sites: {offenders} — use a "
+        "pandas_udf / applyInPandas / mapInPandas Arrow batch instead"
+    )
+
+
 def test_allowlist_carries_no_dead_entries():
     """Shrinking is progress — but the allowlist must shrink with it,
     or the stale entry would mask a future re-introduction."""
