@@ -1143,7 +1143,7 @@ def _q_stream_stateful_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         running_zone_wape(read_events_stream(spark, sf_dir)),
         output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         final_flush=False,
     )
     w = W.partitionBy("zone").orderBy(F.col("n_events").desc())
@@ -2165,7 +2165,7 @@ def _q_stream_hourly_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         streaming_hourly_wape(read_events_stream(spark, sf_dir)),
         output_mode="complete",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         final_flush=False,
     )
     return _round_doubles(out)
@@ -2187,6 +2187,11 @@ _STREAM_HOURLY_ORACLE = """
 
 
 def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 partitions (the other stream aggs run 4): session_window emits
+    # ~1 row/user-session — ~100k rows at sf0.1 — so output
+    # parallelism still pays here (measured 1.29s @ 8 vs 1.36s @ 4),
+    # unlike the dimension-sized aggs where state-store-per-partition
+    # fixed cost dominates (those measured ~12% faster at 4)
     out = run_stream_to_memory(
         user_session_windows(read_events_stream(spark, sf_dir)),
         output_mode="complete",
@@ -2232,7 +2237,7 @@ def _q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its data batch; the flush batch only evicts expired state
     return run_stream_to_memory(
         stateful_distinct_users(read_events_stream(spark, sf_dir)),
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         final_flush=False,
     )
 
@@ -2260,7 +2265,7 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_events_stream(spark, sf_dir), dim, on="event_type"
         ),
         output_mode="complete",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         final_flush=False,  # complete mode: flush batch duplicates output
     )
     return out.select(
@@ -2297,7 +2302,7 @@ def _q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         sliding_event_counts(read_events_stream(spark, sf_dir)),
         output_mode="complete",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
         final_flush=False,  # complete mode: flush batch duplicates output
     )
     return out.select(
