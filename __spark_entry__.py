@@ -6621,11 +6621,15 @@ _TIME_TO_CONVERT_ORACLE = """
 def _q_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the minute-grain co-occurrence graph (the same
     edge derivation as triangle_count): top-20 users by influence.
-    Rows-only by design — grouped aggregation inside recursion is
-    outside portable SQL; the power-iteration semantics are pinned
-    against numpy in tests/test_graph_sampling.py. Edge derivation is
-    the shared, memoized hot-bucket-guarded helper (see
-    _cooc_edges_shared / triangle_count)."""
+    Oracle-backed since round 8: grouped aggregation inside RECURSIVE
+    SQL is non-portable, but the iteration count is FIXED (10), so the
+    power method unrolls into 10 chained non-recursive CTEs — each one
+    join + one GROUP BY, exactly the per-round Spark plan
+    (_pagerank_oracle below generates them from the same damping/
+    iteration constants this query passes). Power-iteration semantics
+    additionally pinned against numpy in tests/test_graph_sampling.py.
+    Edge derivation is the shared, memoized hot-bucket-guarded helper
+    (see _cooc_edges_shared / triangle_count)."""
     from mape_calculation_and_anonymization_spark.operators.graph import pagerank
 
     edges = _cooc_edges_shared(spark, sf_dir).select(
@@ -6637,6 +6641,69 @@ def _q_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of _q_pagerank_influencers: the fixed-iteration
+    power method unrolled into ``iterations`` chained CTEs. Mirrors
+    operators/graph.py:pagerank exactly — undirected symmetrization
+    (both directions, distinct), 1/deg folded into the edge list once,
+    uniform 1/n start, r_k(v) = (1-d)/n + d * Σ_{(u,v)} w(u)·r_{k-1}(u)
+    — over the SAME hot-bucket-capped co-occurrence edges as
+    _TRIANGLE_ORACLE. An undirected graph has no dangling nodes (every
+    node has degree ≥ 1 and a positive-rank neighbor), so the inner
+    join per round reaches every node, matching Spark's groupBy over
+    contributions. Both engines round to 6 decimals before the
+    (rank desc, id) top-20 — double accumulation-order noise is
+    ~1e-14, far inside the rounding margin."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""    r{k} AS (
+        SELECT s.v AS u,
+               (1.0 - {damping}) / (SELECT n FROM n)
+                   + {damping} * SUM(s.w * {prev}.rank) AS rank
+        FROM symw s JOIN {prev} ON s.u = {prev}.u
+        GROUP BY s.v
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               date_trunc('minute', make_timestamp(epoch_ns(ts) // 1000)) AS m
+        FROM events
+    ),
+    -- mirror cooccurrence_edges' max_bucket_size=256 hot-bucket guard
+    -- (same probe as _TRIANGLE_ORACLE)
+    bucket_ok AS (
+        SELECT event_type, m FROM e
+        GROUP BY event_type, m HAVING COUNT(*) <= 256
+    ),
+    pairs AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM e a
+        JOIN bucket_ok k ON a.event_type = k.event_type AND a.m = k.m
+        JOIN e b ON a.event_type = b.event_type AND a.m = b.m
+                AND a.user_id < b.user_id
+    ),
+    sym AS (
+        SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    symw AS (
+        SELECT s.u, s.v, 1.0 / d.deg AS w FROM sym s JOIN deg d USING (u)
+    ),
+    r0 AS (SELECT u, 1.0 / (SELECT n FROM n) AS rank FROM deg),
+{chain}
+    SELECT u AS id, ROUND(rank, 6) AS rank
+    FROM {prev}
+    ORDER BY ROUND(rank, 6) DESC, u
+    LIMIT 20
+"""
 
 
 def _q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7421,29 +7488,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
     # plan emitted by `python preflight.py --plan-window`) — dictates
     # this round's window:
-    # (a) ALL 48 queries whose last driver row is round 5 — the
+    # (a) 46 of the 48 queries whose last driver row is round 5 — the
     #     hygiene cliff VERDICT r7 item 1 flagged. Running them now
     #     (rather than leaning on the newly relaxed 3-round budget)
     #     clears the backlog in one round and leaves round 9's window
-    #     nearly free.
+    #     nearly free. The two displaced for (c) sit first below the
+    #     line at exactly 3 rounds stale (≤ budget) and are round 9's
+    #     only forced must-includes.
     # (b) the round-8 debuts — new oracle-backed queries enter the
     #     window on debut: profile_orders_approx (un-expanded HLL++
     #     profiling, VERDICT r7 item 3) and drift_psi_events (PSI
     #     distribution-drift monitor, operators/drift.py).
-    # (c) dp_noisy_counts changed this round (ADVICE r7: collision-free
+    # (c) pagerank_influencers, upgraded rows-only → oracle-backed
+    #     this round (_pagerank_oracle: the fixed-iteration power
+    #     method unrolled into 10 chained CTEs), debuts its ORACLE
+    #     compare in-window, with triangle_count directly ahead of it
+    #     (the _COOC_SHARED derivation attributes to its first
+    #     consumer in registry order).
+    # (d) dp_noisy_counts changed this round (ADVICE r7: collision-free
     #     per-column-md5 noise key, oracle mirrored) but sits just
-    #     below the window: the 48 forced must-includes + 2 debuts fill
-    #     all 50 slots, its r7 green row is inside the 3-round budget,
-    #     and the change is re-verified by the full-registry
+    #     below the window: its r7 green row is inside the 3-round
+    #     budget, and the change is re-verified by the full-registry
     #     vanilla-session preflight (the driver's own compare).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is now ≤3 rounds stale (was ≤2), giving a 4-round cycle
-    # × 50 slots = 200 oracle-backed capacity against 142 registered —
+    # × 50 slots = 200 oracle-backed capacity against 143 registered —
     # the math lives in test_rotation_hygiene's docstring. After this
-    # round's window, the r9 plan is: 0 forced staleness must-includes
-    # (the 48 r6-greens sit at 3 rounds ≤ budget) — debuts only.
+    # round's window, the r9 plan is: 2 forced must-includes (the two
+    # displaced r5-greens) + 48 free slots.
     # Below the window: oracle-backed entries ordered oldest-green
-    # first (they rotate in next), then the 10 rows-only entries.
+    # first (they rotate in next), then the 9 rows-only entries.
     # triangle_count stays ahead of pagerank_influencers — the
     # memoized co-occurrence edge derivation (_COOC_SHARED) attributes
     # to its first consumer in bench registry order. The jaccard
@@ -7488,7 +7562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": _q_q5_nation_volume,
         "range_join_price_bands": _q_range_join_price_bands,
         "retention_cohorts": _q_retention_cohorts,
-        "rolling_hour_user_avg": _q_rolling_hour_user_avg,
         "s1_csv_scan": _q_s1_csv_scan,
         "s3_latest_partition": _q_s3_latest_partition,
         "s5_jsonl_scan": _q_s5_jsonl_scan,
@@ -7505,10 +7578,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "training_pipeline": _q_training_pipeline,
         "user_event_sequences": _q_user_event_sequences,
-        "w1_rolling_hourly": _q_w1_rolling_hourly,
         # round-8 debuts — new oracle-backed queries enter on debut
         "profile_orders_approx": _q_profile_orders_approx,
         "drift_psi_events": _q_drift_psi_events,
+        # pagerank_influencers upgraded rows-only → oracle-backed this
+        # round (fixed-iteration power method unrolled into 10 chained
+        # CTEs, _pagerank_oracle): its first ORACLE-compared driver row
+        # must happen in-window. triangle_count rides along directly
+        # ahead of it so the memoized co-occurrence derivation
+        # (_COOC_SHARED) keeps attributing to its first consumer.
+        "triangle_count": _q_triangle_count,
+        "pagerank_influencers": _q_pagerank_influencers,
         # ---- below the driver's 50-row window ----
         # dp_noisy_counts sits first below the line: its noise-key fix
         # (ADVICE r7) is verified by the full-registry vanilla-session
@@ -7516,6 +7596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its r7 green row keeps it well inside the 3-round budget, and
         # the two non-forced window slots went to this round's debuts.
         "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r7 (impl changed r8)
+        # displaced from the window for the pagerank oracle debut +
+        # triangle_count order pin; at exactly 3 rounds stale they are
+        # round 9's (only) forced must-includes — r9 has the slots
+        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r5
+        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r5
         "anomaly_counts": _q_anomaly_counts,  # last green: r6
         "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r6
         "batch_sessionize": _q_batch_sessionize,  # last green: r6
@@ -7605,11 +7690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": _q_stream_stream_join,  # last green: r7
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
         "text_repetition": _q_text_repetition,  # last green: r7
-        "triangle_count": _q_triangle_count,  # last green: r7
         "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r7
         # rows-only by design (no portable-SQL oracle)
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "pagerank_influencers": _q_pagerank_influencers,
         "ann_recall_eval": _q_ann_recall_eval,
         "pq_ann_topk": _q_pq_ann_topk,
         "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,
@@ -7751,6 +7834,7 @@ def oracle_sql() -> dict[str, str]:
         "k6_zorder_scan": _K6_ORACLE,
         "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
         "triangle_count": _TRIANGLE_ORACLE,
+        "pagerank_influencers": _pagerank_oracle(),
         "time_to_convert": _TIME_TO_CONVERT_ORACLE,
         "stream_incremental_agg": _STREAM_INC_AGG_ORACLE,
         "winsorized_stats": _WINSORIZED_ORACLE,
