@@ -225,7 +225,15 @@ def run_stream_to_memory(
     stateful transform with event-time timeouts. (Long-lived
     production streams never face this choice — new data keeps
     arriving and closes windows; the flush batch matters only for
-    drain-and-stop runs like AvailableNow.)"""
+    drain-and-stop runs like AvailableNow.)
+
+    Both knobs work by setting a SESSION conf for the duration of the
+    run and restoring it after (shuffle-partition count and the
+    no-data-batch toggle have no per-query writeStream option). That
+    makes this helper single-runner-per-session by contract — don't
+    start concurrent streaming queries on the same SparkSession from
+    other threads while one is draining, or they may capture each
+    other's settings."""
     import os
     import shutil
     import tempfile

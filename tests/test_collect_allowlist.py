@@ -101,9 +101,24 @@ ALLOWLIST = {
 
 
 def _strip_comments(text: str) -> str:
-    # good enough for an audit: drop full-line and trailing comments
-    # (no string in these files contains the audited patterns)
-    return "\n".join(line.split("#")[0] for line in text.splitlines())
+    """Drop comments without being fooled by '#' inside string
+    literals (a line like ``x = "#"; df.collect()`` must still
+    surface its collect site). A minimal quote-state scan beats
+    line.split('#') for an audit whose job is to be hard to evade."""
+    out_lines = []
+    for line in text.splitlines():
+        quote = None
+        for i, ch in enumerate(line):
+            if quote:
+                if ch == quote and line[i - 1] != "\\":
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "#":
+                line = line[:i]
+                break
+        out_lines.append(line)
+    return "\n".join(out_lines)
 
 
 def _scan():
