@@ -47,6 +47,45 @@ def test_final_flush_skip_is_output_equal_and_restores_conf(spark):
     assert flushed == skipped and len(flushed) > 0
 
 
+def test_final_flush_skip_is_output_equal_for_join_and_dedup(spark):
+    """Same equality pin for the OTHER two eligible shape classes
+    (run_stream_to_memory doc): an append-mode INNER stream-stream
+    interval join (rows emit in the batch that matches them) and
+    streaming dedup (rows emit when first seen) — the flush batch
+    only evicts state in both."""
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    def join_rows(**kw):
+        p = read_events_stream(spark, SF).filter(
+            F.col("event_type") == "purchase"
+        )
+        c = read_events_stream(spark, SF).filter(F.col("event_type") == "click")
+        out = run_stream_to_memory(
+            stream_stream_interval_join(
+                p, c, on="user_id", interval="INTERVAL 1 HOUR"
+            ),
+            shuffle_partitions=2,
+            **kw,
+        )
+        return sorted((r["l_id"], r["user_id"], r["r_id"]) for r in out.collect())
+
+    def dedup_rows(**kw):
+        out = run_stream_to_memory(
+            stateful_distinct_users(read_events_stream(spark, SF)),
+            shuffle_partitions=2,
+            **kw,
+        )
+        return sorted(r["user_id"] for r in out.collect())
+
+    assert join_rows() == join_rows(final_flush=False)
+    d = dedup_rows()
+    assert d == dedup_rows(final_flush=False) and len(d) > 0
+
+
 def test_streaming_hourly_wape_equals_batch(spark):
     # append mode would hold back the final (still-open) windows at
     # end-of-stream; complete mode emits every window for the
