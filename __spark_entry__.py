@@ -673,20 +673,28 @@ def _jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "toks"))
 
 
-# The jaccard derivation (tokenize → md5 bands → bucket join → exact
+# The jaccard pipeline (tokenize → md5 bands → bucket join → exact
 # verification → connected components) feeds THREE registry queries
-# (pairs, clusters, keep-best). It is materialized ONCE per
-# documents-source fingerprint as a DISK fixture — the offline
-# near-dup INDEX a production dedup pipeline lands per corpus
-# snapshot; queries consume the index, they don't rebuild it (same
-# argument as the MinHash signature and PQ codebook fixtures; r7's
-# session-memo version attributed the whole derivation to whichever
-# family member the registry ordered first, which made bench numbers
-# order-dependent — VERDICT r7 perf item). The derivation is fully
-# deterministic (md5 banding, exact jaccard, min-label components),
-# so the fixture is value-equal to a fresh derivation, and the DuckDB
-# oracles re-derive the ENTIRE chain from raw text — the driver
-# compare still checks the pipeline end to end, not the fixture.
+# that model three pipeline STAGES (pairs, clusters, keep-best).
+# Stage posture (ADVICE r8): no query may return a bare read of its
+# OWN precomputed output — that makes the bench time a tiny parquet
+# read. Instead each query consumes the PREVIOUS stage's landed
+# artifact and runs its own stage live:
+#   dedup_jaccard_pairs — input: shingle table (_jaccard_corpus
+#     fixture); times band derivation + bucket self-join + verify.
+#   dedup_clusters — input: verified pairs (_jaccard_index "pairs");
+#     times connected components + corpus join-back.
+#   dedup_keep_best — input: cluster map (_jaccard_index "clusters");
+#     times quality join + keep-pick window.
+# _jaccard_index materializes the two landed stage artifacts ONCE per
+# documents-source fingerprint (the offline near-dup INDEX a
+# production dedup pipeline lands per corpus snapshot — same argument
+# as the MinHash signature and PQ codebook fixtures). The derivation
+# is fully deterministic (md5 banding, exact jaccard, min-label
+# components), so each fixture part is value-equal to a fresh run of
+# its deriving stage, and the DuckDB oracles re-derive the ENTIRE
+# chain from raw text — the driver compare checks the pipeline end to
+# end, not the fixtures.
 
 
 # Derivation-logic version, baked into the fixture path: source-token
@@ -748,19 +756,20 @@ def _jaccard_verified_pairs(corpus: DataFrame) -> DataFrame:
 
 def _q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram-set Jaccard near-dup over LSH candidate pairs,
-    served from the offline near-dup index (_jaccard_index).
+    derived LIVE from the shingle-table fixture: the timed region is
+    the md5 band derivation + bucket self-join + exact-jaccard verify
+    — the actual search (ADVICE r8: the r8 version returned a bare
+    parquet read of its own precomputed output, so the bench timed a
+    fixture read; only the INPUT shingle table stays offline, the
+    same posture as dedup_minhash_pairs' signature fixture).
 
     The md5 banding uses only engine-portable primitives (md5 hex,
     string min, concat), so the DuckDB oracle re-derives the EXACT
     candidate set and the exact verified pairs from raw text — recall
     misses are identical on both sides and the compare checks the
-    whole derivation, not the fixture read. The twin corpus keeps the
-    answer set non-empty on a corpus of distinct texts."""
-    import os
-
-    return spark.read.parquet(
-        os.path.join(_jaccard_index(spark, sf_dir), "pairs")
-    )
+    whole derivation. The twin corpus keeps the answer set non-empty
+    on a corpus of distinct texts."""
+    return _jaccard_verified_pairs(_jaccard_corpus(spark, sf_dir))
 
 
 def _jaccard_ctes() -> str:
@@ -850,17 +859,22 @@ _DEDUP_JACCARD_ORACLE = (
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components (iterative
-    min-label propagation, ``operators/graph.py``) over the verified
-    jaccard pair graph, joined back so every corpus doc gets a cluster
-    id (its own id when unmatched) — served from the offline near-dup
-    index (_jaccard_index, which runs that derivation on build). The
-    oracle recomputes the same transitive closure with a recursive CTE
-    over the identically re-derived pair set, from raw text."""
+    min-label propagation, ``operators/graph.py``) run LIVE over the
+    PREVIOUS stage's landed pair set (the ``pairs`` part of
+    _jaccard_index — a stage INPUT here, not this query's output),
+    joined back so every corpus doc gets a cluster id (its own id
+    when unmatched). The timed region is the CC iteration + the
+    corpus join-back — this query's own stage work (ADVICE r8: the
+    r8 version returned a bare read of the precomputed ``clusters``
+    part). The oracle recomputes the same transitive closure with a
+    recursive CTE over the identically re-derived pair set, from raw
+    text."""
     import os
 
-    return spark.read.parquet(
-        os.path.join(_jaccard_index(spark, sf_dir), "clusters")
+    pairs = spark.read.parquet(
+        os.path.join(_jaccard_index(spark, sf_dir), "pairs")
     )
+    return duplicate_clusters(_jaccard_corpus(spark, sf_dir), pairs)
 
 
 _DEDUP_CLUSTERS_ORACLE = (
@@ -1784,7 +1798,11 @@ def bench_reset(sf_dir: str) -> None:
     registry order (triangle_count) — otherwise passes 2..N would
     time a dict lookup. Input-side DISK fixtures (jaccard near-dup
     index, pipeline stage tables, ANN indexes, source files) stay —
-    they are offline artifacts, like the testdata itself."""
+    they are offline artifacts, like the testdata itself. Since the
+    ADVICE-r8 fix, NO query returns a bare read of its own fixture
+    part (the jaccard family consumes each part strictly as the NEXT
+    stage's input), so the incremental-agg table is the only
+    output-identical state to wipe."""
     import os
     import shutil
 
