@@ -1815,28 +1815,106 @@ def bench_reset(sf_dir: str) -> None:
     _COOC_SHARED.clear()
 
 
+# path -> held lock fd: _fixture_ready(p) == False acquires p's build
+# lock; the matching _mark_fixture_ready(p) releases it
+_FIXTURE_BUILD_LOCKS: dict[str, int] = {}
+
+# A build lock older than this is presumed abandoned (holder crashed
+# mid-build) and is broken. Generous: the largest fixture build (the
+# jaccard index at sf0.1) completes in well under a minute.
+_FIXTURE_LOCK_STALE_S = 600.0
+
+
 def _fixture_ready(path: str) -> bool:
-    """Crash-idempotent fixture guard: True iff the fixture at
-    ``path`` was built to COMPLETION (marker written last). A dir
-    without the marker is a crashed half-build — e.g. k5's v0 written
-    but not v1 — which a bare ``isdir`` check would treat as done and
-    then fail on every later run; wipe it so the caller rebuilds from
-    scratch. The ``_``-prefixed marker is invisible to Spark's parquet
-    reader (metadata-file convention, like ``_SUCCESS``)."""
+    """Crash-idempotent, CONCURRENCY-SAFE fixture guard: True iff the
+    fixture at ``path`` was built to COMPLETION (marker written last).
+    A dir without the marker is a crashed half-build — e.g. k5's v0
+    written but not v1 — which a bare ``isdir`` check would treat as
+    done and then fail on every later run; wipe it so the caller
+    rebuilds from scratch.
+
+    ADVICE r8: the r8 version rmtree'd an incomplete dir with no
+    cross-process coordination, so two sessions sharing
+    /tmp/mape_spark_fixtures (bench + pytest) could wipe each other's
+    in-progress builds and race overwrite writes. Now returning False
+    first acquires an O_EXCL ``<path>.lock`` build lock (released by
+    the caller's matching ``_mark_fixture_ready``); a second session
+    arriving mid-build blocks on the lock, then sees ``_COMPLETE``
+    and reads the finished fixture instead of wiping it. A lock whose
+    holder crashed is broken after _FIXTURE_LOCK_STALE_S. The
+    ``_``-prefixed marker is invisible to Spark's parquet reader
+    (metadata-file convention, like ``_SUCCESS``)."""
     import os
     import shutil
+    import time
 
     if os.path.exists(os.path.join(path, "_COMPLETE")):
+        return True
+    if path in _FIXTURE_BUILD_LOCKS:
+        # this session already holds the build lock (a prior build
+        # attempt raised and the query was retried): keep it and let
+        # the caller rebuild rather than deadlocking on our own lock
+        shutil.rmtree(path, ignore_errors=True)
+        return False
+    lock = path.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    deadline = time.monotonic() + _FIXTURE_LOCK_STALE_S + 60.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            _FIXTURE_BUILD_LOCKS[path] = fd
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            if age > _FIXTURE_LOCK_STALE_S:
+                # abandoned lock (holder crashed mid-build): break it;
+                # the racing removal is idempotent
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"fixture build lock {lock} held past the stale "
+                    f"threshold without completing — investigate the "
+                    f"holder (pid in the lock file) or remove the lock"
+                )
+            time.sleep(0.2)
+    # lock held: another session may have completed the build while we
+    # waited — re-check before declaring a rebuild necessary
+    if os.path.exists(os.path.join(path, "_COMPLETE")):
+        _release_fixture_lock(path)
         return True
     shutil.rmtree(path, ignore_errors=True)
     return False
 
 
+def _release_fixture_lock(path: str) -> None:
+    import os
+
+    fd = _FIXTURE_BUILD_LOCKS.pop(path, None)
+    if fd is not None:
+        os.close(fd)
+        try:
+            os.remove(path.rstrip("/") + ".lock")
+        except FileNotFoundError:
+            pass
+
+
 def _mark_fixture_ready(path: str) -> None:
+    """Write the completion marker LAST, then release the build lock
+    acquired by the ``_fixture_ready(path) == False`` that gated this
+    build (see its docstring for the cross-process protocol)."""
     import os
 
     with open(os.path.join(path, "_COMPLETE"), "w") as fh:
         fh.write("ok\n")
+    _release_fixture_lock(path)
 
 
 def _k1_fixture_path(sf_dir: str) -> str:
@@ -3156,10 +3234,11 @@ def _q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "event_type",
         "n_events",
-        # distinct users can't exceed total events; HLL overshoot is
-        # bounded by 3·rsd — a sanity pin on the sketch value that the
-        # oracle can predict without running HLL itself
-        (F.col("_hll") <= 1.06 * F.col("n_events")).alias("hll_within_total"),
+        # distinct users can't exceed total events; the HLL overshoot
+        # envelope is PROBABILISTIC (ADVICE r8), so allow 10% ≈ 5σ at
+        # rsd=0.02 — a sanity pin the oracle predicts without running
+        # HLL; tightness is pinned empirically in test_relational.py
+        (F.col("_hll") <= 1.10 * F.col("n_events")).alias("hll_within_total"),
         (
             (F.col("_rank_frac") >= 0.48) & (F.col("_rank_frac") <= 0.52)
         ).alias("p50_within_rank_tol"),
@@ -5847,15 +5926,19 @@ def _q_profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle pattern follows approx_stats_events: the published
     per-column row carries the exact null count and min/max (DuckDB
     recomputes those) plus ``hll_within_bound`` — the sketch estimate
-    must land at or under 1.06 × the non-null count (distinct ≤
-    non-null always, and HLL++ overshoot at rsd=0.02 is ≤ 3·rsd) — a
-    boolean that is deterministically TRUE, so the oracle predicts it
-    without running HLL. The estimate's tightness against the exact
-    distinct (±3·rsd) is pinned in tests/test_relational.py."""
+    must land at or under 1.10 × the non-null count. The margin is
+    NOT a deterministic guarantee (ADVICE r8): the HLL++ error
+    envelope at rsd=0.02 is probabilistic, so the invariant is
+    "distinct ≤ non-null, plus a 10% overshoot allowance ≈ 5σ of the
+    sketch's relative error" — wide enough that a testdata
+    regeneration is overwhelmingly unlikely to break it, and pinned
+    EMPIRICALLY per dataset (estimate within ±3·rsd of the exact
+    distinct) by tests/test_relational.py. The oracle predicts TRUE
+    without running HLL."""
     one = _profile_orders_sketch(spark, sf_dir)
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__min, {c}__max, "
-        f"{c}__approx <= 1.06 * {c}__nonnull"
+        f"{c}__approx <= 1.10 * {c}__nonnull"
         for c in _PROFILE_COLS
     )
     return one.selectExpr(

@@ -216,9 +216,15 @@ def pagerank(
     re-analyze a deep recursive plan every round (the exact pathology
     checkpointing exists to prevent).
 
-    Not SQL-oracle-able (grouped aggregation inside recursion is
-    outside portable recursive CTEs); semantics pinned against a
-    numpy power-iteration in tests/test_graph_sampling.py.
+    Oracle posture (ADVICE r8): the GENERIC operator is not
+    recursive-CTE-portable (grouped aggregation inside recursion is
+    outside portable recursive CTEs), but a FIXED-iteration
+    instantiation is oracle-backed by unrolling — the registry's
+    ``pagerank_influencers`` compares against ``_pagerank_oracle``
+    (``__spark_entry__.py``), which chains one DuckDB CTE per power
+    iteration over the same symmetrized, degree-folded edges.
+    Semantics are additionally pinned against a numpy power-iteration
+    in tests/test_graph_sampling.py.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
