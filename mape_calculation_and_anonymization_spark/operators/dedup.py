@@ -110,6 +110,18 @@ def jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def normalized_fingerprint(col: str | Column) -> Column:
+    """Content fingerprint for exact dedup: md5 over the
+    whitespace-normalized, lowercased text (collapse runs of
+    whitespace to one space, trim, lower). 16 bytes per document —
+    the unit of both the batch fingerprint store (dedup_incremental)
+    and the streaming first-seen filter
+    (streaming/windows.py:streaming_fingerprint_dedup); sharing ONE
+    definition here is what makes their outputs comparable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct key with the
     kept (minimum) id and the duplicate count. Partial aggregation

@@ -19,7 +19,7 @@ conventional reading ``<0.1`` stable, ``0.1–0.2`` moderate shift,
 Design choices, all made for engine portability (the DuckDB oracle
 re-derives the exact numbers) and scale:
 
-* **Fixed-width binning** (:func:`privacy.band` floor semantics), not
+* **Fixed-width binning** (floor-index semantics, cf. :func:`privacy.band`), not
   reference quantiles: quantile edges would need a per-release sort or
   sketch and make the oracle depend on percentile tie-breaking;
   fixed-width edges are a pure per-row expression, identical in every
@@ -52,8 +52,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mape_calculation_and_anonymization_spark.operators.privacy import band
-
 
 def population_stability(
     ref: DataFrame,
@@ -78,11 +76,21 @@ def population_stability(
     order sensitivity (the repo-wide float-compare convention)."""
 
     def hist(df: DataFrame, n_name: str) -> DataFrame:
+        # group on the INTEGRAL bin index floor(v/width), not the
+        # double edge floor(v/width)*width (:func:`privacy.band`):
+        # the two are bijective, the bin never reaches the output, and
+        # a LONG key avoids the knownfloatingpointnormalized wrapper a
+        # DOUBLE grouping key gets — which breaks hash-partitioning
+        # reuse between the histogram aggregate and the full-outer
+        # join and costs one extra exchange PER WINDOW (observed on
+        # the fractional-width embedding monitor: 5 exchanges vs 3)
         return (
             df.filter(F.col(value_col).isNotNull())
             .groupBy(
                 F.struct(*group_cols).alias("_g"),
-                band(value_col, bin_width).alias("_bin"),
+                F.floor(F.col(value_col) / F.lit(float(bin_width)))
+                .cast("long")
+                .alias("_bin"),
             )
             .agg(F.count(F.lit(1)).alias(n_name))
         )

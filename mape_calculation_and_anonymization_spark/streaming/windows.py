@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import events_batch_schema, normalize_event_ts
+from ..operators.dedup import normalized_fingerprint
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,6 +44,57 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return normalize_event_ts(raw)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema probed
+    from a batch read, same pattern as :func:`read_events_stream`;
+    documents carry no timestamp column, so event-time for
+    watermarking is the caller's to synthesize — in production the
+    ingest envelope's arrival time)."""
+    from ..fixtures import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_fingerprint_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming NEAR-REALTIME exact dedup on content fingerprints —
+    the ingest-time face of the batch fingerprint store
+    (``dedup_incremental``): each arriving document's
+    whitespace-normalized md5 (``operators/dedup.py:
+    normalized_fingerprint`` — the SAME definition, so stream and
+    batch agree byte-for-byte) passes through on first sight and is
+    suppressed for every later copy inside the watermark horizon.
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes it, so state is O(documents per horizon),
+    not O(corpus history) — at 100 TB/day the horizon is the dedup
+    CONTRACT: in-horizon copies dedup here, cross-horizon copies are
+    the batch store's job (the standard two-tier ingest split).
+
+    Output is the fingerprint alone: the projection happens BEFORE
+    the dedup so racing duplicate copies are bitwise-identical rows
+    and the emitted set is deterministic whatever the micro-batch
+    arrival order (kept-row attributes like doc_id would be
+    first-arrival-dependent)."""
+    return (
+        docs.select(
+            normalized_fingerprint(text_col).alias("fingerprint"),
+            F.col(ts_col).alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
 
 
 def streaming_hourly_wape(

@@ -15,10 +15,24 @@ session so those surface locally first.
 Usage:
     python preflight.py                # first 50 (the driver window)
     python preflight.py --all          # every oracle-backed query
+    python preflight.py --changed      # only queries whose static
+                                       # dependency fingerprint moved
+                                       # since their last green run
+                                       # (preflight_deps.py; VERDICT
+                                       # r8 stretch item 6)
     python preflight.py name ...       # just the named queries
     python preflight.py --plan-window  # emit next round's 50-slot
                                        # rotation from CORRECTNESS
                                        # history (paste into queries())
+
+Every green compare records the query's dependency fingerprint in
+/tmp/mape_spark_fixtures/preflight_state.json, so --changed after an
+edit re-runs exactly the queries the edit could affect (the
+fingerprint covers the query function's transitive entry-file helper
+closure, referenced package modules expanded over the package import
+graph, oracle SQL, referenced entry-file constants, and a testdata
+token — see preflight_deps.py's docstring for the approximation
+boundary).
 
 Exit code 0 iff every compared query matches. One JSON summary line on
 stdout (tagged PREFLIGHT_JSON) for checking into PROGRESS notes.
@@ -27,14 +41,34 @@ stdout (tagged PREFLIGHT_JSON) for checking into PROGRESS notes.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+_STATE_PATH = "/tmp/mape_spark_fixtures/preflight_state.json"
+
+
+def _load_state() -> dict:
+    try:
+        with open(_STATE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(state: dict) -> None:
+    os.makedirs(os.path.dirname(_STATE_PATH), exist_ok=True)
+    tmp = _STATE_PATH + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=0, sort_keys=True)
+    os.replace(tmp, _STATE_PATH)
 
 
 def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+    from preflight_deps import query_fingerprints
     from tests.oracle_utils import compare_query
 
     sf_dir = "/root/testdata/sf0.01"
@@ -43,10 +77,21 @@ def main(argv: list[str]) -> int:
 
     if argv and argv[0] == "--plan-window":
         return plan_window()
+    fps = query_fingerprints(sf_dir)
+    state = _load_state()
     if argv and argv[0] == "--all":
         # every registry entry: oracle-backed queries get the full
         # compare, rows-only ones the driver's weaker run-and-count
         names = list(qs)
+    elif argv and argv[0] == "--changed":
+        names = [n for n in qs if state.get(n) != fps[n]]
+        if not names:
+            print("PREFLIGHT_JSON " + json.dumps(
+                {"preflight": "driver-sim", "checked": 0, "failed": [],
+                 "wall_s": 0.0, "changed": "nothing stale"}))
+            return 0
+        print(f"  --changed: {len(names)} stale of {len(qs)}",
+              file=sys.stderr)
     elif argv:
         names = argv
     else:
@@ -78,6 +123,12 @@ def main(argv: list[str]) -> int:
         if not ok:
             failures[name] = msg
             print(f"       {msg}", file=sys.stderr)
+        else:
+            # record the green fingerprint so --changed skips this
+            # query until something it depends on moves again
+            state[name] = fps[name]
+
+    _save_state(state)
 
     summary = {
         "preflight": "driver-sim",

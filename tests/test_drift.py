@@ -101,3 +101,20 @@ def test_registry_query_shape(spark):
         # synthetic events are stationary across the month: the monitor
         # must NOT cry wolf on an undrifted feed
         assert r["drift_flag"] is False, (r["event_type"], r["psi"])
+
+
+def test_embedding_psi_registry_query(spark):
+    """drift_embedding_psi: one row per embedding dimension; the
+    parity split of the dense vec_id range gives exact half/half
+    windows, PSI is non-negative and finite, and two halves of the
+    same encoder's output must not trip the drift flag."""
+    out = entrymod._q_drift_embedding_psi(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 64  # one row per embedding dimension
+    for r in rows:
+        # vec_ids are dense 0..N-1, so the parity split is exact halves
+        assert r["n_ref"] == r["n_cur"]
+        assert r["n_bins"] >= 2
+        assert math.isfinite(r["psi"]) and r["psi"] >= 0.0
+        # the two halves draw from the same encoder: no false alarms
+        assert r["drift_flag"] is False, (r["dim"], r["psi"])

@@ -415,3 +415,19 @@ def test_drift_psi_answer_sized_tail(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_drift_embedding_psi_answer_sized_tail(spark):
+    """Embedding PSI: posexplode is a stateless flat map; the LONG bin
+    index keeps partitioning reusable between the histogram aggregates
+    and the bin-frame join (a DOUBLE bin key gets the float-normalize
+    wrapper and costs one extra exchange per window), so the whole
+    monitor holds at 3 exchanges like drift_psi_events — and nothing
+    expands, nested-loops, or drops into Python."""
+    df = e._q_drift_embedding_psi(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Expand" not in plan
+    assert count_exchanges(df) <= 3

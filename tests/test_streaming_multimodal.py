@@ -145,6 +145,50 @@ def test_streaming_distinct_users(spark):
     assert users == expect
 
 
+def test_streaming_fingerprint_dedup_equals_batch_store(spark):
+    """The streaming near-dup ingest filter and the batch fingerprint
+    store must agree byte-for-byte: the fp set
+    streaming_fingerprint_dedup emits over documents ∪ noisy copies
+    equals the batch DISTINCT normalized_fingerprint of the originals
+    (the copies add leading whitespace, so agreement also proves
+    normalize-before-hash holds in the streaming path)."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+    from mape_calculation_and_anonymization_spark.streaming.windows import (
+        read_documents_stream,
+        streaming_fingerprint_dedup,
+    )
+
+    docs = read_documents_stream(spark, SF).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text")).alias("text"),
+    )
+    stream = docs.unionByName(copies).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + F.pmod(F.col("doc_id"), F.lit(86_400))
+        ),
+    )
+    got = run_stream_to_memory(
+        streaming_fingerprint_dedup(stream),
+        shuffle_partitions=4,
+        final_flush=False,
+    )
+    streamed = sorted(r["fingerprint"] for r in got.collect())
+    batch = sorted(
+        r["fp"]
+        for r in load_table(spark, SF, "documents")
+        .select(normalized_fingerprint("text").alias("fp"))
+        .distinct()
+        .collect()
+    )
+    assert len(streamed) == len(set(streamed))  # each fp exactly once
+    assert streamed == batch
+
+
 def test_multimodal_payload_and_features(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     with_bin = attach_binary_payload(docs)
