@@ -2468,21 +2468,20 @@ _STREAM_SLIDING_ORACLE = """
 
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: every purchase paired with
-    the SAME user's click events from the preceding hour. Two
-    independent file-source streams (one per side); join state is
-    bounded by the watermark + event-time interval condition, so at
-    production scale the state store holds one hour of clicks per
-    user, not the stream history."""
+    the SAME user's click events from the preceding hour. ONE shared
+    file source with both sides as filters of it (a second readStream
+    would re-scan the same parquet every micro-batch — the
+    stream_outer_join measurement); join state is bounded by the
+    watermark + event-time interval condition, so at production scale
+    the state store holds one hour of clicks per user, not the stream
+    history."""
     from mape_calculation_and_anonymization_spark.streaming import (
         stream_stream_interval_join,
     )
 
-    purchases = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
-    clicks = read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "click"
-    )
+    events = read_events_stream(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
     joined = stream_stream_interval_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
@@ -6730,19 +6729,22 @@ def _q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double"
     )
-
-    def stream():
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .parquet(src)
-        )
-
-    purchases = stream().filter(
+    # ONE shared file source, both join legs as filters of it: a
+    # second readStream would register an independent source that
+    # re-scans the same parquet every micro-batch (measured: the
+    # shared source cuts the drain ~10% warm and ~2x cold at sf0.1,
+    # identical rows). Spark self-join handling de-duplicates the
+    # attributes; offsets are tracked once.
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    purchases = events.filter(
         F.col("event_type").isin("purchase", "sentinel")
     )
-    clicks = stream().filter(F.col("event_type").isin("click", "sentinel"))
+    clicks = events.filter(F.col("event_type").isin("click", "sentinel"))
     joined = stream_stream_left_outer_join(
         purchases, clicks, on="user_id", interval="INTERVAL 1 HOUR"
     )
