@@ -6173,6 +6173,70 @@ _DRIFT_PSI_ORACLE = f"""
 """
 
 
+def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event type
+    between the same two drops as drift_psi_events — the PSI monitor's
+    dashboard companion (PSI weighs the whole shift, KS the worst
+    single quantile gap; operators/drift.py:ks_statistic). On the
+    published fixed-width binning the sup is attained at a bin edge,
+    so the statistic is EXACT and the DuckDB oracle a term-identical
+    twin. Same scale shape as PSI up to the cell frame; the cumulative
+    sums run per-group over the answer-sized bins, never over raw
+    rows."""
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_type", "ts", "value")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return ks_statistic(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        ["event_type"],
+        "value",
+        bin_width=_DRIFT_BIN_WIDTH,
+    )
+
+
+_DRIFT_KS_ORACLE = f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
+               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+        FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type,
+               SUM(nr) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cr,
+               SUM(nc) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(nr) OVER (PARTITION BY event_type) AS n_ref,
+               SUM(nc) OVER (PARTITION BY event_type) AS n_cur,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_bins
+        FROM cells
+    )
+    SELECT event_type,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                         - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+               AS ks,
+           ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                         - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+               > 0.1 AS drift_flag
+    FROM cum
+    GROUP BY event_type, n_ref, n_cur, n_bins
+"""
+
+
 # embedding components span ≈[-0.5, 0.5]; width 0.1 → ~10 bins/dim
 _EMB_DRIFT_BIN_WIDTH = 0.1
 
@@ -7876,7 +7940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_text_language_id,
         "text_quality": _q_text_quality,
         "text_token_stats": _q_text_token_stats,
-        "training_pipeline": _q_training_pipeline,
         "user_event_sequences": _q_user_event_sequences,
         # round-9 forced must-includes: the two r5-greens displaced in
         # round 8 for the pagerank-oracle debut, now at exactly the
@@ -7894,7 +7957,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   x5_idempotent_rerun — the anonymization pipeline's
         #     cross-run key-table idempotence, driver-verified
         #     (VERDICT r8 item 3).
+        #   drift_ks_events — the KS companion statistic over the
+        #     same binned-histogram machinery (worst single quantile
+        #     gap vs PSI's whole-distribution weight).
         "drift_embedding_psi": _q_drift_embedding_psi,
+        "drift_ks_events": _q_drift_ks_events,
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,
         "x5_idempotent_rerun": _q_x5_idempotent_rerun,
         # ---- below the driver's 50-row window ----
@@ -8000,6 +8067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derivation (_COOC_SHARED) attributes to its first consumer
         # in registry order.
         "s5_jsonl_scan": _q_s5_jsonl_scan,  # last green: r8
+        "training_pipeline": _q_training_pipeline,  # last green: r8
         "triangle_count": _q_triangle_count,  # last green: r8
         "pagerank_influencers": _q_pagerank_influencers,  # last green: r8
         "profile_orders_approx": _q_profile_orders_approx,  # last green: r8
@@ -8139,6 +8207,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders_approx": _PROFILE_APPROX_ORACLE,
         "drift_psi_events": _DRIFT_PSI_ORACLE,
         "drift_embedding_psi": _EMB_DRIFT_ORACLE,
+        "drift_ks_events": _DRIFT_KS_ORACLE,
         "stream_dedup_fingerprints": _STREAM_DEDUP_FP_ORACLE,
         "x5_idempotent_rerun": _X5_IDEMPOTENT_ORACLE,
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,

@@ -53,6 +53,105 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _binned_cells(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Shared first half of both monitors: one map-side-combinable
+    histogram aggregate per window over (group-struct, integral bin
+    index), full-outer joined into the answer-sized (group, bin) cell
+    frame with zero-filled counts. The INTEGRAL bin key (floor(v/w),
+    LONG) is bijective with the band edge, never reaches the output,
+    and avoids the knownfloatingpointnormalized wrapper a DOUBLE
+    grouping key gets — which breaks hash-partitioning reuse between
+    the aggregates and the join and costs one extra exchange PER
+    WINDOW (observed on the fractional-width embedding monitor:
+    5 exchanges vs 3)."""
+
+    def hist(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(
+                F.struct(*group_cols).alias("_g"),
+                F.floor(F.col(value_col) / F.lit(float(bin_width)))
+                .cast("long")
+                .alias("_bin"),
+            )
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    return (
+        hist(ref, "_n_ref")
+        .join(hist(cur, "_n_cur"), ["_g", "_bin"], "full_outer")
+        .select(
+            "_g",
+            "_bin",
+            F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
+            F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
+        )
+    )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per group over
+    the same fixed-width binning as :func:`population_stability`:
+    ``ks = max_bins |ECDF_ref(bin) − ECDF_cur(bin)|``. On binned data
+    this is EXACT for the published binning contract (the sup over a
+    step function is attained at a step), which is what makes the
+    DuckDB oracle a term-identical twin rather than an approximation.
+    The PSI/KS pair is the standard drift dashboard: PSI weighs the
+    whole distribution shift, KS the worst single quantile gap — a
+    localized mode shift can trip one long before the other.
+
+    Scale shape: identical to PSI up to the cell frame; the
+    cumulative sums need an ORDERED window, but it is partitioned by
+    group and ordered by bin over the ANSWER-SIZED cell frame (bins
+    per group), never over raw rows — a running sum per group, no
+    global sort. Returns one row per group: n_ref / n_cur / n_bins /
+    ks (rounded to 6) / drift_flag. Groups empty on either side yield
+    a NULL ks (no distribution to compare) and a NULL drift_flag."""
+    cells = _binned_cells(ref, cur, group_cols, value_col, bin_width)
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = cells.select(
+        "_g",
+        F.sum("_n_ref").over(w_cum).alias("_cum_ref"),
+        F.sum("_n_cur").over(w_cum).alias("_cum_cur"),
+        F.sum("_n_ref").over(w_all).alias("n_ref"),
+        F.sum("_n_cur").over(w_all).alias("n_cur"),
+        F.count(F.lit(1)).over(w_all).alias("n_bins"),
+    )
+    gap = F.abs(
+        F.try_divide(F.col("_cum_ref").cast("double"), F.col("n_ref"))
+        - F.try_divide(F.col("_cum_cur").cast("double"), F.col("n_cur"))
+    )
+    grp = cum.groupBy("_g", "n_ref", "n_cur", "n_bins").agg(
+        F.round(F.max(gap), 6).alias("ks")
+    )
+    return grp.select(
+        *[F.col("_g")[c].alias(c) for c in group_cols],
+        "n_ref",
+        "n_cur",
+        "n_bins",
+        "ks",
+        (F.col("ks") > F.lit(float(threshold))).alias("drift_flag"),
+    )
+
+
 def population_stability(
     ref: DataFrame,
     cur: DataFrame,
@@ -75,32 +174,8 @@ def population_stability(
     aggregation order; 6-decimal rounding absorbs the ulp-level
     order sensitivity (the repo-wide float-compare convention)."""
 
-    def hist(df: DataFrame, n_name: str) -> DataFrame:
-        # group on the INTEGRAL bin index floor(v/width), not the
-        # double edge floor(v/width)*width (:func:`privacy.band`):
-        # the two are bijective, the bin never reaches the output, and
-        # a LONG key avoids the knownfloatingpointnormalized wrapper a
-        # DOUBLE grouping key gets — which breaks hash-partitioning
-        # reuse between the histogram aggregate and the full-outer
-        # join and costs one extra exchange PER WINDOW (observed on
-        # the fractional-width embedding monitor: 5 exchanges vs 3)
-        return (
-            df.filter(F.col(value_col).isNotNull())
-            .groupBy(
-                F.struct(*group_cols).alias("_g"),
-                F.floor(F.col(value_col) / F.lit(float(bin_width)))
-                .cast("long")
-                .alias("_bin"),
-            )
-            .agg(F.count(F.lit(1)).alias(n_name))
-        )
-
-    cells = hist(ref, "_n_ref").join(
-        hist(cur, "_n_cur"), ["_g", "_bin"], "full_outer"
-    ).select(
-        "_g",
-        F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
-        F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
+    cells = _binned_cells(ref, cur, group_cols, value_col, bin_width).drop(
+        "_bin"
     )
     # group totals as partition-local window aggregates (no ordering,
     # no frame → one shuffle on _g, spill-aware buffering): every bin

@@ -118,3 +118,40 @@ def test_embedding_psi_registry_query(spark):
         assert math.isfinite(r["psi"]) and r["psi"] >= 0.0
         # the two halves draw from the same encoder: no false alarms
         assert r["drift_flag"] is False, (r["dim"], r["psi"])
+
+
+def test_ks_identical_windows_is_zero(spark):
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    rows = [("a", float(v % 100)) for v in range(400)]
+    df = _frame(spark, rows)
+    r = ks_statistic(df, df, ["grp"], "value", 25.0).collect()[0]
+    assert r["ks"] == 0.0 and r["drift_flag"] is False
+
+
+def test_ks_matches_hand_computation(spark):
+    # ref: 3 rows bin0, 1 bin1; cur: 1 bin0, 3 bin1 (w=10)
+    # ECDFs at bin edges: ref (0.75, 1.0), cur (0.25, 1.0) → ks = 0.5
+    ref = _frame(spark, [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 11.0)])
+    cur = _frame(spark, [("a", 4.0), ("a", 12.0), ("a", 13.0), ("a", 14.0)])
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    r = ks_statistic(ref, cur, ["grp"], "value", 10.0).collect()[0]
+    assert r["ks"] == 0.5
+    assert r["n_bins"] == 2
+    assert r["drift_flag"] is True  # 0.5 > 0.1
+
+
+def test_ks_registry_query_shape(spark):
+    out = entrymod._q_drift_ks_events(spark, SF_DIR)
+    rows = out.collect()
+    assert {r["event_type"] for r in rows} >= {"click", "view", "purchase"}
+    for r in rows:
+        assert r["n_ref"] > 0 and r["n_cur"] > 0
+        assert 0.0 <= r["ks"] <= 1.0  # a sup of |ECDF diff| by construction
+        # stationary synthetic feed: no false alarms
+        assert r["drift_flag"] is False, (r["event_type"], r["ks"])

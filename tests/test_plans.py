@@ -431,3 +431,15 @@ def test_drift_embedding_psi_answer_sized_tail(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "Expand" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_drift_ks_answer_sized_tail(spark):
+    """KS shares PSI's shape: two histogram aggregates, then
+    answer-sized cumulative windows — the ordered window partitions by
+    group over bins, never a global sort. Same exchange budget."""
+    df = e._q_drift_ks_events(spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert count_exchanges(df) <= 3
