@@ -21,6 +21,13 @@ Usage:
                                        # (preflight_deps.py; VERDICT
                                        # r8 stretch item 6)
     python preflight.py name ...       # just the named queries
+    python preflight.py --sf DIR ...   # compare against another scale
+                                       # factor (e.g. the sf0.001
+                                       # robustness sweep: --sf
+                                       # /root/testdata/sf0.001 --all);
+                                       # composes with every mode. The
+                                       # --changed state records only
+                                       # default-sf greens.
     python preflight.py --plan-window  # emit next round's 50-slot
                                        # rotation from CORRECTNESS
                                        # history (paste into queries())
@@ -72,6 +79,10 @@ def main(argv: list[str]) -> int:
     from tests.oracle_utils import compare_query
 
     sf_dir = "/root/testdata/sf0.01"
+    default_sf = True
+    if len(argv) >= 2 and argv[0] == "--sf":
+        sf_dir, argv = argv[1], argv[2:]
+        default_sf = False
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -123,12 +134,16 @@ def main(argv: list[str]) -> int:
         if not ok:
             failures[name] = msg
             print(f"       {msg}", file=sys.stderr)
-        else:
+        elif default_sf:
             # record the green fingerprint so --changed skips this
-            # query until something it depends on moves again
+            # query until something it depends on moves again (only
+            # default-sf runs count — the fingerprint embeds the
+            # default sf's testdata token, and a green at another
+            # scale factor is not the driver's compare)
             state[name] = fps[name]
 
-    _save_state(state)
+    if default_sf:
+        _save_state(state)
 
     summary = {
         "preflight": "driver-sim",
