@@ -6173,6 +6173,147 @@ _DRIFT_PSI_ORACLE = f"""
 """
 
 
+def _q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — the live-ingest face of
+    drift_psi_events: the event stream's second half lands as an
+    HOURLY windowed histogram (one streaming stateful aggregate over
+    (hour-window, event_type, bin)), and each landed hour is scored
+    against the BATCH reference histogram (first half, broadcast —
+    it is answer-sized: types × bins) with the exact same
+    Jeffreys-smoothed PSI fold (operators/drift.py:smoothed_psi) the
+    batch monitors use. One row per (hour, event_type) with its psi
+    and drift flag — the per-hour alert feed a lake ingest pipeline
+    tails.
+
+    Streaming legality: Spark allows ONE stateful aggregation per
+    stream, so the PSI fold (a second aggregation) runs in BATCH over
+    the drained monitor table — the lambda-free split used across the
+    stream family (land the pre-aggregate, analyze in batch). Complete
+    mode + final_flush=False (every data batch rewrites the full
+    histogram; the flush batch recomputes identical rows); a
+    production deployment would use watermark+append into a sink and
+    the same batch fold downstream. Bin-union semantics per (hour,
+    type) = cur bins ∪ the type's reference bins — mirrored exactly
+    in the oracle."""
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    bin_col = (
+        F.floor(F.col("value") / F.lit(_DRIFT_BIN_WIDTH))
+        .cast("long")
+        .alias("_bin")
+    )
+    cur_agg = (
+        read_events_stream(spark, sf_dir)
+        .filter((F.col("ts") >= split) & F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", bin_col)
+        .agg(F.count(F.lit(1)).alias("_n_cur"))
+    )
+    cur = run_stream_to_memory(
+        cur_agg,
+        output_mode="complete",
+        shuffle_partitions=4,
+        final_flush=False,
+    ).select(
+        F.col("w.start").alias("hour_start"), "event_type", "_bin", "_n_cur"
+    )
+    ref = (
+        load_events(spark, sf_dir)
+        .filter((F.col("ts") < split) & F.col("value").isNotNull())
+        .groupBy("event_type", bin_col)
+        .agg(F.count(F.lit(1)).alias("_n_ref"))
+    )
+    # the reference side derives its (hour, type) keys from cur, so
+    # rename its columns before the full-outer back-join with cur —
+    # shared attribute ids would otherwise be a conflicting-reference
+    # self-join
+    ref_exp = (
+        cur.select("hour_start", "event_type")
+        .distinct()
+        .join(F.broadcast(ref), "event_type")
+        .select(
+            F.col("hour_start").alias("_r_hour"),
+            F.col("event_type").alias("_r_type"),
+            F.col("_bin").alias("_r_bin"),
+            "_n_ref",
+        )
+    )
+    cells = (
+        ref_exp.join(
+            cur,
+            (F.col("_r_hour") == F.col("hour_start"))
+            & (F.col("_r_type") == F.col("event_type"))
+            & (F.col("_r_bin") == F.col("_bin")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("hour_start", "_r_hour").alias("hour_start"),
+            F.coalesce("event_type", "_r_type").alias("event_type"),
+            F.coalesce("_n_ref", F.lit(0)).alias("_n_ref"),
+            F.coalesce("_n_cur", F.lit(0)).alias("_n_cur"),
+        )
+    )
+    from mape_calculation_and_anonymization_spark.operators.drift import smoothed_psi
+
+    return smoothed_psi(cells, ["hour_start", "event_type"])
+
+
+_STREAM_DRIFT_ORACLE = f"""
+    WITH cur AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS nc
+        FROM events
+        WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS nr
+        FROM events
+        WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT hour_start, event_type FROM cur),
+    bins AS (
+        SELECT k.hour_start, k.event_type, r.bin
+        FROM keys k JOIN ref r USING (event_type)
+        UNION
+        SELECT hour_start, event_type, bin FROM cur
+    ),
+    cells AS (
+        SELECT b.hour_start, b.event_type,
+               COALESCE(r.nr, 0) AS nr, COALESCE(c.nc, 0) AS nc
+        FROM bins b
+        LEFT JOIN ref r ON r.event_type = b.event_type AND r.bin = b.bin
+        LEFT JOIN cur c ON c.hour_start = b.hour_start
+                       AND c.event_type = b.event_type AND c.bin = b.bin
+    ),
+    tot AS (
+        SELECT hour_start, event_type,
+               CAST(SUM(nr) AS BIGINT) AS n_ref,
+               CAST(SUM(nc) AS BIGINT) AS n_cur,
+               COUNT(*) AS n_bins
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT t.hour_start, t.event_type, t.n_ref, t.n_cur, t.n_bins,
+           ROUND(SUM(
+               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
+                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
+               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
+                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
+           ), 6) AS psi,
+           ROUND(SUM(
+               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
+                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
+               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
+                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
+           ), 6) > 0.2 AS drift_flag
+    FROM cells c
+    JOIN tot t ON t.hour_start = c.hour_start AND t.event_type = c.event_type
+    GROUP BY t.hour_start, t.event_type, t.n_ref, t.n_cur, t.n_bins
+"""
+
+
 def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift statistic per event type
     between the same two drops as drift_psi_events — the PSI monitor's
@@ -7917,6 +8058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_events": _q_drift_ks_events,  # last green: debut r9
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: debut r9
         "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: debut r9
+        #   stream_drift_psi — the live-ingest drift monitor: hourly
+        #     streaming histogram scored per hour against the batch
+        #     reference with the shared smoothed-PSI fold.
+        "stream_drift_psi": _q_stream_drift_psi,  # last green: debut r9
         # the r6-green cohort, oldest-first (44 of 48): refreshing
         # them NOW spreads the staleness load — skipping them would
         # force all 48 into round 10's window at once (the r7
@@ -7965,9 +8110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r6
         "u1_union_dedup": _q_u1_union_dedup,  # last green: r6
         "vocab_top_terms": _q_vocab_top_terms,  # last green: r6
-        "weekday_seasonality": _q_weekday_seasonality,  # last green: r6
         # ---- below the driver's 50-row window ----
-        # the four deferred r6-greens: round 10's forced must-includes
+        # the five deferred r6-greens: round 10's forced must-includes
+        "weekday_seasonality": _q_weekday_seasonality,  # last green: r6
         "winsorized_stats": _q_winsorized_stats,  # last green: r6
         "x3_perturb_values": _q_x3_perturb_values,  # last green: r6
         "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r6
@@ -8206,6 +8351,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_events": _DRIFT_PSI_ORACLE,
         "drift_embedding_psi": _EMB_DRIFT_ORACLE,
         "drift_ks_events": _DRIFT_KS_ORACLE,
+        "stream_drift_psi": _STREAM_DRIFT_ORACLE,
         "stream_dedup_fingerprints": _STREAM_DEDUP_FP_ORACLE,
         "x5_idempotent_rerun": _X5_IDEMPOTENT_ORACLE,
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,

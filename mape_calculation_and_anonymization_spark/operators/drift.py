@@ -177,15 +177,45 @@ def population_stability(
     cells = _binned_cells(ref, cur, group_cols, value_col, bin_width).drop(
         "_bin"
     )
-    # group totals as partition-local window aggregates (no ordering,
-    # no frame → one shuffle on _g, spill-aware buffering): every bin
-    # cell learns its group's n_ref/n_cur/n_bins without materializing
-    # a per-group array, so a heavy-tailed value column spanning
-    # millions of bins streams instead of OOMing an executor
-    w = Window.partitionBy("_g")
+    folded = smoothed_psi(cells, ["_g"], smoothing, threshold)
+    return folded.select(
+        *[F.col("_g")[c].alias(c) for c in group_cols],
+        "n_ref",
+        "n_cur",
+        "n_bins",
+        "psi",
+        "drift_flag",
+    )
+
+
+def smoothed_psi(
+    cells: DataFrame,
+    group_cols: list[str],
+    smoothing: float = 0.5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Jeffreys-smoothed PSI fold over a pre-binned cell frame: one
+    input row per (group, bin) carrying ``_n_ref``/``_n_cur`` counts
+    (zero-filled where a bin is one-sided), one output row per group
+    with ``n_ref``/``n_cur``/``n_bins``/``psi``/``drift_flag``.
+    Factored out of :func:`population_stability` so monitors that
+    build their cells differently — e.g. the streaming monitor, whose
+    current histogram lands from a windowed streaming aggregate and
+    whose reference is a broadcast batch histogram — share the exact
+    same smoothing and fold semantics (and therefore the same oracle
+    algebra).
+
+    Group totals are partition-local window aggregates (no ordering,
+    no frame → one shuffle on the group key, spill-aware buffering):
+    every bin cell learns its group's totals without materializing a
+    per-group array, so a heavy-tailed value column spanning millions
+    of bins streams instead of OOMing an executor. The final groupBy
+    keys start with the group key, so the window's hash partitioning
+    already satisfies its distribution — no second exchange."""
+    w = Window.partitionBy(*group_cols)
     s = float(smoothing)
     tot = cells.select(
-        "_g",
+        *group_cols,
         "_n_ref",
         "_n_cur",
         F.sum("_n_ref").over(w).alias("n_ref"),
@@ -198,13 +228,11 @@ def population_stability(
     q = (F.col("_n_cur").cast("double") + F.lit(s)) / (
         F.col("n_cur").cast("double") + F.lit(s) * F.col("n_bins")
     )
-    # the final groupBy keys start with _g, so the window's hash
-    # partitioning already satisfies its distribution — no 2nd exchange
-    grp = tot.groupBy("_g", "n_ref", "n_cur", "n_bins").agg(
+    grp = tot.groupBy(*group_cols, "n_ref", "n_cur", "n_bins").agg(
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
     )
     return grp.select(
-        *[F.col("_g")[c].alias(c) for c in group_cols],
+        *group_cols,
         "n_ref",
         "n_cur",
         "n_bins",

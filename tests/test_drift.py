@@ -155,3 +155,54 @@ def test_ks_registry_query_shape(spark):
         assert 0.0 <= r["ks"] <= 1.0  # a sup of |ECDF diff| by construction
         # stationary synthetic feed: no false alarms
         assert r["drift_flag"] is False, (r["event_type"], r["ks"])
+
+
+def test_stream_drift_psi_matches_batch_fold(spark):
+    """The streaming monitor's hourly PSI must equal a pure-batch
+    recomputation over the same split (the stream lands the histogram;
+    the fold is batch either way) — plus shape sanity: every row is a
+    second-half hour, psi finite and non-negative."""
+    out = entrymod._q_stream_drift_psi(spark, SF_DIR).collect()
+    assert len(out) > 0
+    hours = {r["hour_start"] for r in out}
+    split = __import__("datetime").datetime.fromisoformat("2024-01-16")
+    for r in out:
+        assert r["hour_start"] >= split
+        assert math.isfinite(r["psi"]) and r["psi"] >= 0.0
+        assert r["n_ref"] > 0  # reference histogram always present
+    # cross-check one (hour, type) cell against a hand batch fold
+    import pyspark.sql.functions as SF
+    from mape_calculation_and_anonymization_spark.fixtures import load_events
+    ev = load_events(spark, SF_DIR).filter(SF.col("value").isNotNull())
+    some = out[0]
+    h0, typ = some["hour_start"], some["event_type"]
+    ref_counts = {
+        r["_bin"]: r["n"]
+        for r in ev.filter(SF.col("ts") < SF.lit("2024-01-16").cast("timestamp"))
+        .filter(SF.col("event_type") == typ)
+        .groupBy(SF.floor(SF.col("value") / 50.0).cast("long").alias("_bin"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    cur_counts = {
+        r["_bin"]: r["n"]
+        for r in ev.filter(
+            (SF.col("ts") >= SF.lit(h0)) & (SF.col("ts") < SF.lit(h0 + __import__("datetime").timedelta(hours=1)))
+        )
+        .filter(SF.col("event_type") == typ)
+        .groupBy(SF.floor(SF.col("value") / 50.0).cast("long").alias("_bin"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    bins = set(ref_counts) | set(cur_counts)
+    nr, nc, nb, s = sum(ref_counts.values()), sum(cur_counts.values()), len(bins), 0.5
+    psi = sum(
+        ((ref_counts.get(b, 0) + s) / (nr + s * nb) - (cur_counts.get(b, 0) + s) / (nc + s * nb))
+        * math.log(
+            ((ref_counts.get(b, 0) + s) / (nr + s * nb))
+            / ((cur_counts.get(b, 0) + s) / (nc + s * nb))
+        )
+        for b in bins
+    )
+    assert some["psi"] == round(psi, 6)
+    assert some["n_ref"] == nr and some["n_cur"] == nc and some["n_bins"] == nb
