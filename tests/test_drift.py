@@ -206,3 +206,20 @@ def test_stream_drift_psi_matches_batch_fold(spark):
     )
     assert some["psi"] == round(psi, 6)
     assert some["n_ref"] == nr and some["n_cur"] == nc and some["n_bins"] == nb
+
+
+def test_ks_is_symmetric_and_bounded(spark):
+    """|ECDF diff| is symmetric in its arguments and bounded by [0,1]
+    — the two properties a dashboard depends on (swapping ref/cur
+    must not change the alert)."""
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    a = _frame(spark, [("g", float(v % 37)) for v in range(150)])
+    b = _frame(spark, [("g", float((v * 7) % 61)) for v in range(90)])
+    r_ab = ks_statistic(a, b, ["grp"], "value", 10.0).collect()[0]
+    r_ba = ks_statistic(b, a, ["grp"], "value", 10.0).collect()[0]
+    assert r_ab["ks"] == r_ba["ks"]
+    assert 0.0 <= r_ab["ks"] <= 1.0
+    assert (r_ab["n_ref"], r_ab["n_cur"]) == (r_ba["n_cur"], r_ba["n_ref"])
