@@ -7675,16 +7675,25 @@ def _pipeline_funnel_oracle() -> str:
 
 def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-quality confusion matrix: the corpus's labeled lang
-    against the n-gram language_id prediction, one count per
+    against the stopword language-ID prediction, one count per
     (actual, predicted) cell — the evaluation every heuristic gate
-    needs before it's trusted to drop data. One pass, one hash
-    aggregate over a |langs|² key space."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    needs before it's trusted to drop data. Uses the CORPUS-SCALE
+    predictor (operators/text.py:language_id_bulk — explode +
+    broadcast stopword join + argmax aggregates, value-identical to
+    the per-row expression and pinned so in test_text.py): this is
+    the whole-corpus eval pass, exactly the path the repo's
+    explode-over-HOF rule exists for (measured 1.55s → 0.4s at
+    sf0.1)."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        language_id_bulk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    predicted = language_id_bulk(docs, "text", ["doc_id"])
     return (
-        docs.select(
-            F.col("lang").alias("actual"),
-            language_id("text").alias("predicted"),
-        )
+        predicted.select(F.col("lang").alias("actual"), "predicted")
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

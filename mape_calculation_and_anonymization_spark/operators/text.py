@@ -116,6 +116,70 @@ def language_id(col: str | Column, langs: list[str] | None = None) -> Column:
     return F.when(best <= 0, F.lit("und")).otherwise(F.element_at(lang_arr, idx.cast("int")))
 
 
+def language_id_bulk(
+    df,
+    text_col: str,
+    id_cols: list[str],
+    langs: list[str] | None = None,
+    out_col: str = "predicted",
+):
+    """Corpus-scale :func:`language_id`: identical VALUES, explode +
+    broadcast-join + argmax shape instead of per-row higher-order
+    functions.
+
+    The per-row expression recomputes the token array once per
+    language and runs interpreted HOF lambdas (the repo-wide caveat:
+    transform/filter are not codegen'd) — fine for a projection over
+    a sample, ~0.3ms/doc over a corpus. Here the tokens explode ONCE,
+    join a broadcast (word, lang_idx, lang) stopword dim (hits keep
+    multiplicity — explode, never array_intersect), one hash
+    aggregate counts per (doc, lang), and the per-doc argmax is a
+    second map-side-combinable aggregate over
+    ``max(struct(hits, -lang_idx, lang))`` — maximize hits, break
+    ties on the SMALLEST language index, exactly
+    ``array_position(scores, array_max(scores))``'s first-max-wins.
+    Docs with zero stopword hits never reach the join output and come
+    back 'und' through the left join — the ``best <= 0`` branch.
+    Equality with the per-row expression is pinned in
+    tests/test_text.py.
+
+    Scale: one stateless explode, one broadcast (the dim is
+    |langs|×|stopwords| ≈ 50 rows), two hash aggregates keyed by doc
+    id — no corpus-wide shuffle beyond the doc-keyed counts."""
+    from pyspark.sql import DataFrame as _DF  # local, avoids cycle at import
+
+    langs = langs or list(STOPWORDS)
+    spark = df.sparkSession
+    dim_rows = [
+        (i, lang, w)
+        for i, lang in enumerate(langs)
+        for w in STOPWORDS[lang]
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "lang_idx int, lang string, word string"
+    )
+    toks = df.select(
+        *id_cols, F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    per_lang = (
+        toks.join(F.broadcast(dim), "word")
+        .groupBy(*id_cols, "lang_idx", "lang")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    best = per_lang.groupBy(*id_cols).agg(
+        F.max(
+            F.struct(
+                F.col("_hits"),
+                (-F.col("lang_idx")).alias("_neg_idx"),
+                F.col("lang"),
+            )
+        )["lang"].alias(out_col)
+    )
+    return df.join(best, on=id_cols, how="left").withColumn(
+        out_col, F.coalesce(out_col, F.lit("und"))
+    )
+
+
 def fingerprint(col: str | Column, base: int = 31, mod: int = _FP_PRIME) -> Column:
     """Polynomial rolling hash over the character stream:
     ``acc = (acc*base + ascii(ch)) % mod`` — a stable document

@@ -166,3 +166,59 @@ def test_word_bigrams_edges(spark):
     assert b("") == []
     assert b("   ") == []
     assert b("A B") == ["a b"]
+
+
+def test_language_id_bulk_equals_per_row_expression(spark):
+    """language_id_bulk (explode + broadcast join + argmax) must
+    return the EXACT predictions of the per-row language_id
+    expression on every document — including ties (first-max-wins by
+    language order) and zero-hit docs ('und')."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        language_id,
+        language_id_bulk,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    per_row = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", language_id("text").alias("p")
+        ).collect()
+    }
+    bulk = {
+        r["doc_id"]: r["predicted"]
+        for r in language_id_bulk(docs, "text", ["doc_id"]).collect()
+    }
+    assert per_row == bulk
+    # synthetic corpus exercises both branches
+    assert set(per_row.values()) & {"en", "de", "es", "fr"}
+
+
+def test_language_id_bulk_tie_and_und_cases(spark):
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        STOPWORDS,
+        language_id,
+        language_id_bulk,
+    )
+
+    rows = [
+        (1, "the und la"),        # en 1 hit, de 1 ('und'), es 1, fr 1 → tie → en (first)
+        (2, "zzz qqq"),           # zero hits → 'und'
+        (3, "der der die the"),   # de 3, en 1 → de
+        (4, ""),                  # empty → 'und'
+        (5, "de de de"),          # 'de' word is es+fr stopword (not German!) → tie es/fr → es
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    per_row = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", language_id("text").alias("p")).collect()
+    }
+    bulk = {
+        r["doc_id"]: r["predicted"]
+        for r in language_id_bulk(df, "text", ["doc_id"]).collect()
+    }
+    assert bulk == per_row
+    assert bulk[2] == "und" and bulk[4] == "und"
