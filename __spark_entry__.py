@@ -1267,8 +1267,20 @@ _TEXT_QUALITY_ORACLE = rf"""
 
 
 def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", language_id("text").alias("lang_pred"))
+    """Per-document language prediction over the WHOLE corpus — the
+    corpus-scale bulk path (explode + broadcast stopword join +
+    argmax; value-identical to the per-row `language_id` expression,
+    equality pinned in test_text.py)."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        language_id_bulk,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return language_id_bulk(docs, "text", ["doc_id"], out_col="lang_pred").select(
+        "doc_id", "lang_pred"
+    )
 
 
 def _lang_id_oracle() -> str:
