@@ -315,3 +315,75 @@ def test_laplace_noise_bounded_and_seeded(spark, seed, eps):
     b = [r["n"] for r in df.select(col.alias("n")).collect()]
     assert a == b
     assert all(math.isfinite(v) and v != 0.0 for v in a)
+
+
+_HIST = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),   # bin index
+        st.integers(min_value=0, max_value=20),   # ref count
+        st.integers(min_value=0, max_value=20),   # cur count
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(hist=_HIST)
+@_SETTINGS
+def test_drift_folds_match_numpy_model(spark, hist):
+    """smoothed_psi and ks_statistic vs a direct numpy evaluation of
+    the published formulas over arbitrary zero-inflated histograms —
+    the generated shapes (one-sided bins, empty windows, single-bin
+    groups) are exactly the guards the Jeffreys smoothing and
+    try_divide exist for."""
+    import math
+
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        ks_statistic,
+        population_stability,
+    )
+
+    # materialize the histogram as raw value rows (bin b -> value b*w)
+    w = 10.0
+    ref_rows = [("g", b * w) for b, nr, _ in hist for _ in range(nr)]
+    cur_rows = [("g", b * w) for b, _, nc in hist for _ in range(nc)]
+    # keep the group present on both sides: guarantee one row each
+    if not ref_rows:
+        ref_rows = [("g", None)]
+    if not cur_rows:
+        cur_rows = [("g", None)]
+    ref = spark.createDataFrame(ref_rows, "grp string, value double")
+    cur = spark.createDataFrame(cur_rows, "grp string, value double")
+
+    live = [(b, nr, nc) for b, nr, nc in hist if nr + nc > 0]
+    if not live:
+        # both windows empty -> no cells at all -> empty results
+        assert population_stability(ref, cur, ["grp"], "value", w).count() == 0
+        assert ks_statistic(ref, cur, ["grp"], "value", w).count() == 0
+        return
+
+    nrt = sum(nr for _, nr, _ in live)
+    nct = sum(nc for _, _, nc in live)
+    nb = len(live)
+    s = 0.5
+    psi_exp = sum(
+        ((nr + s) / (nrt + s * nb) - (nc + s) / (nct + s * nb))
+        * math.log(((nr + s) / (nrt + s * nb)) / ((nc + s) / (nct + s * nb)))
+        for _, nr, nc in live
+    )
+    r = population_stability(ref, cur, ["grp"], "value", w).collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["n_bins"]) == (nrt, nct, nb)
+    assert r["psi"] == round(psi_exp, 6)
+
+    k = ks_statistic(ref, cur, ["grp"], "value", w).collect()[0]
+    if nrt == 0 or nct == 0:
+        assert k["ks"] is None and k["drift_flag"] is None
+    else:
+        cum_r = cum_c = 0
+        gaps = []
+        for _, nr, nc in sorted(live):
+            cum_r += nr
+            cum_c += nc
+            gaps.append(abs(cum_r / nrt - cum_c / nct))
+        assert k["ks"] == round(max(gaps), 6)
