@@ -6185,6 +6185,53 @@ _DRIFT_PSI_ORACLE = f"""
 """
 
 
+_DUP_SPAN_N = 5  # word-shingle width (≈9% dup positions on testdata)
+
+
+def _q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span statistics (Lee et al. 2021's
+    verbatim-substring dedup signal — operators/dedup.py:
+    duplicated_span_stats): per document, how many of its 5-token
+    shingles occur ≥2 times anywhere in the corpus. The
+    position-level complement to document near-dup matching (partial
+    template overlap never trips a whole-doc jaccard). One explode,
+    per-doc lead() window, two hash aggregates, one shingle-keyed
+    data-proportional join."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return duplicated_span_stats(docs, "doc_id", "text", n=_DUP_SPAN_N)
+
+
+_DUP_SPAN_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(raw[i+1:i+{_DUP_SPAN_N}], ' ') AS shingle
+        FROM t, LATERAL unnest(
+            range(0, GREATEST(len(raw) - {_DUP_SPAN_N} + 1, 0))
+        ) AS u(i)
+    ),
+    c AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM sh s JOIN c USING (shingle)
+    GROUP BY s.doc_id
+"""
+
+
 def _q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING drift monitor — the live-ingest face of
     drift_psi_events: the event stream's second half lands as an
@@ -8083,6 +8130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     streaming histogram scored per hour against the batch
         #     reference with the shared smoothed-PSI fold.
         "stream_drift_psi": _q_stream_drift_psi,  # last green: debut r9
+        #   text_dup_spans — cross-document duplicated-span stats
+        #     (the Lee-et-al verbatim-substring dedup signal).
+        "text_dup_spans": _q_text_dup_spans,  # last green: debut r9
         # the r6-green cohort, oldest-first (44 of 48): refreshing
         # them NOW spreads the staleness load — skipping them would
         # force all 48 into round 10's window at once (the r7
@@ -8373,6 +8423,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_embedding_psi": _EMB_DRIFT_ORACLE,
         "drift_ks_events": _DRIFT_KS_ORACLE,
         "stream_drift_psi": _STREAM_DRIFT_ORACLE,
+        "text_dup_spans": _DUP_SPAN_ORACLE,
         "stream_dedup_fingerprints": _STREAM_DEDUP_FP_ORACLE,
         "x5_idempotent_rerun": _X5_IDEMPOTENT_ORACLE,
         "fixed_size_per_lang_sample": _FIXED_SAMPLE_ORACLE,

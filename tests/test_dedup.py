@@ -345,3 +345,46 @@ def test_jaccard_index_cluster_fixture_matches_live_derivation(spark):
         for r in duplicate_clusters(corpus, pairs).collect()
     }
     assert fixture == live and fixture
+
+
+def test_duplicated_span_stats_hand_example(spark):
+    """5 docs, n=2: duplicated spans counted with corpus-wide
+    multiplicity (cross-doc AND within-doc), short docs absent."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    rows = [
+        (1, "a b c"),        # shingles: 'a b', 'b c'
+        (2, "a b x"),        # shingles: 'a b', 'b x'   -> 'a b' cross-doc dup
+        (3, "q q q"),        # shingles: 'q q', 'q q'   -> within-doc dup
+        (4, "solo"),         # 1 token: no shingles -> absent
+        (5, ""),             # empty -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_spans"], r["dup_fraction"])
+        for r in duplicated_span_stats(df, n=2).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),   # 'a b' dup, 'b c' unique
+        2: (2, 1, 0.5),   # 'a b' dup, 'b x' unique
+        3: (2, 2, 1.0),   # 'q q' occurs twice (same doc)
+    }
+
+
+def test_duplicated_span_stats_whitespace_normalization(spark):
+    """Multi-space and case differences must not split shingles —
+    normalization (trim/lower/\\s+) runs before shingling on both
+    engines."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    rows = [(1, "Foo  Bar baz"), (2, "foo bar   qux")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_spans"])
+        for r in duplicated_span_stats(df, n=2).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1)}  # 'foo bar' shared

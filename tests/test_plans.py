@@ -443,3 +443,16 @@ def test_drift_ks_answer_sized_tail(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_text_dup_spans_shuffle_free_shingling(spark):
+    """Shingles come from ONE per-row transform pass — no per-doc
+    window shuffle+sort (the lead() alternative measured 7x slower at
+    vanilla partition counts). Remaining exchanges: shingle-count
+    aggregate, the count join, and the per-doc rollup."""
+    df = e._q_text_dup_spans(spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert count_exchanges(df) <= 3
