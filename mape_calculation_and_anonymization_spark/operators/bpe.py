@@ -180,3 +180,111 @@ def bpe_merges(
     return spark.createDataFrame(
         out, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python single-word encode: replay the merge list IN RANK
+    ORDER with the same left-to-right fold training used
+    (:func:`_apply_merge`'s semantics) — so encoding a training word
+    reproduces exactly the symbol sequence the trainer left it with
+    (pinned in tests/test_bpe.py)."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode a DISTINCT word table against a learned merge list:
+    adds ``tokens`` (array<string>) and ``n_tokens``.
+
+    Scale shape — the tokenize-a-corpus pattern: the Python encode
+    loop (unbounded greedy fusion — not expressible as a bounded JVM
+    expression) runs ONLY over the vocabulary-sized word table, as an
+    Arrow-batched pandas UDF with the answer-sized merge list carried
+    in the closure (O(merges) driver traffic, same convention as the
+    trainer's per-iteration argmax). Corpus-sized text never meets
+    Python: callers join their exploded corpus against this encoded
+    vocabulary (see :func:`bpe_token_stats`) — encode-each-occurrence
+    would re-run the loop per token instead of per distinct word."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    merge_rows = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("rank", "left", "right").collect()
+    ]  # answer-sized by construction: one row per learned merge
+
+    # no signature type hints: `from __future__ import annotations`
+    # stringifies them and the locally-imported pd can't resolve at
+    # inference time — the explicit returnType carries the contract
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(batch):
+        return batch.map(lambda w: _encode_word(w, merge_rows))
+
+    out = words.withColumn("tokens", _encode(F.col(word_col)))
+    return out.withColumn("n_tokens", F.size("tokens"))
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document subword token counts under a learned BPE merge
+    list — the sizing pass every packing/costing stage needs after
+    tokenizer training. One corpus explode to (doc, word) counts, one
+    vocabulary-sized encode (:func:`bpe_encode_words` over the
+    DISTINCT words), one data-proportional join, one per-doc rollup;
+    documents with no alphabetic words report zero.
+
+    Word segmentation matches :func:`word_frequencies` (lowercase,
+    split on non-letters), so stats computed here agree with the
+    table the merges were trained on."""
+    doc_words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    vocab = bpe_encode_words(
+        doc_words.select("word").distinct(), merges
+    ).select("word", "n_tokens")
+    per_doc = (
+        doc_words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tokens")).alias("n_subword_tokens"),
+        )
+    )
+    # left join back so word-free documents report zeros, not absence
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subword_tokens", F.lit(0)).alias("n_subword_tokens"),
+        )
+    )

@@ -102,3 +102,59 @@ def test_bpe_local_max_words_guard(spark):
     )
     with pytest.raises(ValueError, match="max_words"):
         bpe_merges_local(words, 2, max_words=10)
+
+
+def test_encode_reproduces_training_symbol_table(spark):
+    """Replaying the merge list over the training words must leave
+    each word in exactly the symbol sequence the trainer's folds
+    produced — encode and train share one semantics."""
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        _apply_merge,
+        bpe_encode_words,
+        bpe_merges_local,
+        word_frequencies,
+    )
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = word_frequencies(docs, limit=200)
+    merges = bpe_merges_local(words, n_merges=12)
+
+    # trainer-side: fold the merges over the word table exactly as
+    # bpe_merges does internally
+    tbl = words.select("word", F.split("word", "").alias("syms"))
+    for r in merges.orderBy("rank").collect():
+        tbl = tbl.select(
+            "word", _apply_merge(F.col("syms"), r["left"], r["right"]).alias("syms")
+        )
+    trained = {r["word"]: r["syms"] for r in tbl.collect()}
+
+    encoded = {
+        r["word"]: r["tokens"]
+        for r in bpe_encode_words(words.select("word"), merges).collect()
+    }
+    assert encoded == trained
+    assert any(len(t) < len(w) for w, t in encoded.items() if len(w) > 2)
+
+
+def test_token_stats_hand_example(spark):
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa b"), (2, "AA!"), (3, "123 ...")],
+        "doc_id long, text string",
+    )
+    merges = spark.createDataFrame(
+        [(0, "a", "a", "aa", 2)],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subword_tokens"])
+        for r in bpe_token_stats(docs, merges).collect()
+    }
+    # doc1: 'aa'x2 -> 1 token each, 'b' -> 1 token: 3 words, 3 tokens
+    # doc2: 'aa' -> 1 token; doc3: no alphabetic words -> zeros
+    assert got == {1: (3, 3), 2: (1, 1), 3: (0, 0)}

@@ -58,11 +58,13 @@ ALLOWLIST = {
         "bounded training sample + max_queries-guarded query batch "
         "(pq.py:45-56 raises on corpus-sized input)",
     ),
-    # BPE: vocab fold (max_words-guarded) and the per-iteration argmax
+    # BPE: vocab fold (max_words-guarded), the per-iteration argmax,
+    # and the merge-list pull at encode time
     ("operators/bpe.py", "collect"): (
-        {"bpe_merges_local": 1},
-        "max_words-guarded word-frequency vocab (the HF/SentencePiece "
-        "driver-side merge-loop shape)",
+        {"bpe_merges_local": 1, "bpe_encode_words": 1},
+        "max_words-guarded word-frequency vocab (trainer) + the learned "
+        "merge list (one row per merge — answer-sized by construction, "
+        "carried into the encode UDF closure)",
     ),
     ("operators/bpe.py", "first"): (
         {"bpe_merges": 1},
