@@ -291,3 +291,65 @@ def auto_salted_join(
         salt,
     )
     return salted_join(probe, build, on, salt=salt, how=how)
+
+
+def touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lookback: str = "INTERVAL 7 DAYS",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for each conversion, the
+    earliest and latest same-key touch inside
+    ``[conversion.ts − lookback, conversion.ts]`` — the standard
+    marketing-attribution pair (first = acquisition credit, last =
+    closing credit). One row per conversion; conversions with NO
+    in-window touch keep NULL touch columns (they are the
+    "unattributed" bucket every report needs, never dropped).
+
+    Shape: an equi-join on the key plus the event-time RANGE
+    predicate (the stream-stream interval-join condition run in
+    batch), then ONE hash aggregate per conversion taking
+    ``min(struct(ts, id))`` / ``max(struct(ts, id))`` — the argmin
+    and argmax share a single aggregation, and the deterministic
+    struct tie-break (id after ts) makes the result reproducible in
+    any engine. The join shuffles on the key only — at 100 TB the
+    lookback bound keeps per-key match fan-out proportional to touch
+    frequency within the window, never stream history; a skewed key
+    routes through the salted-join helpers like any other hot-key
+    join."""
+    c = conversions.select(
+        F.col(on).alias("_k"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    t = touches.select(
+        F.col(on).alias("_k"),
+        F.col(id_col).alias("_t_id"),
+        F.col(ts_col).alias("_t_ts"),
+    )
+    cond = (
+        (c["_k"] == t["_k"])
+        & (t["_t_ts"] >= c["conversion_ts"] - F.expr(lookback))
+        & (t["_t_ts"] <= c["conversion_ts"])
+    )
+    joined = c.join(t, cond, "left_outer")
+    agg = joined.groupBy(
+        c["_k"].alias(on), "conversion_id", "conversion_ts"
+    ).agg(
+        F.min(F.struct("_t_ts", "_t_id")).alias("_first"),
+        F.max(F.struct("_t_ts", "_t_id")).alias("_last"),
+        F.count("_t_id").alias("n_touches"),
+    )
+    return agg.select(
+        on,
+        "conversion_id",
+        "conversion_ts",
+        F.col("_first._t_id").alias("first_touch_id"),
+        F.col("_first._t_ts").alias("first_touch_ts"),
+        F.col("_last._t_id").alias("last_touch_id"),
+        F.col("_last._t_ts").alias("last_touch_ts"),
+        "n_touches",
+    )

@@ -212,3 +212,61 @@ def test_auto_salted_join_rejects_right_full_eagerly(spark):
     for how in ("right", "full", "left_anti"):
         with pytest.raises(ValueError, match="inner.*left"):
             auto_salted_join(a, b, on="k", how=how)
+
+
+def test_touch_attribution_hand_example(spark):
+    """First/last-touch inside the lookback; unattributed conversions
+    keep NULLs; ties on timestamp break on the id (deterministic)."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        touch_attribution,
+    )
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(mins):
+        return T0 + dt.timedelta(minutes=mins)
+
+    conv = spark.createDataFrame(
+        [(1, 100, ts(0)), (1, 101, ts(120)), (2, 200, ts(0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    touch = spark.createDataFrame(
+        [
+            (1, 10, ts(-30)),   # in window for conv 100 and 101
+            (1, 11, ts(60)),    # after conv 100, before conv 101
+            (1, 12, ts(60)),    # same ts as 11 -> id tie-break
+            (2, 20, ts(-60 * 24 * 8)),  # outside the 7-day lookback
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = {
+        r["conversion_id"]: r
+        for r in touch_attribution(conv, touch).collect()
+    }
+    assert got[100]["first_touch_id"] == 10 and got[100]["last_touch_id"] == 10
+    assert got[100]["n_touches"] == 1
+    # conv 101: first = earliest (10); last = max(ts) tie -> max id (12)
+    assert got[101]["first_touch_id"] == 10 and got[101]["last_touch_id"] == 12
+    assert got[101]["n_touches"] == 3
+    # conv 200: touch outside lookback -> unattributed, still present
+    assert got[200]["first_touch_id"] is None and got[200]["n_touches"] == 0
+
+
+def test_touch_attribution_never_cartesian(spark):
+    from mape_calculation_and_anonymization_spark.fixtures import load_events
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        touch_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    out = touch_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lookback="INTERVAL 1 HOUR",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n_conv = ev.filter(F.col("event_type") == "purchase").count()
+    assert out.count() == n_conv  # exactly one row per conversion
