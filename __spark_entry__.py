@@ -1831,8 +1831,63 @@ _FIXTURE_BUILD_LOCKS: dict[str, int] = {}
 
 # A build lock older than this is presumed abandoned (holder crashed
 # mid-build) and is broken. Generous: the largest fixture build (the
-# jaccard index at sf0.1) completes in well under a minute.
+# jaccard index at sf0.1) completes in well under a minute — and the
+# keepalive thread below refreshes held locks every
+# _FIXTURE_LOCK_KEEPALIVE_S, so "stale" means "no heartbeat for
+# 600s", not "build took longer than 600s" (ADVICE r9: a legitimate
+# long build at a larger sf must never have its lock broken and its
+# half-built dir wiped mid-write).
 _FIXTURE_LOCK_STALE_S = 600.0
+_FIXTURE_LOCK_KEEPALIVE_S = 60.0
+_FIXTURE_KEEPALIVE_STARTED = False
+
+
+def _ensure_fixture_lock_keepalive() -> None:
+    """Start (once) a daemon thread that touches every lock this
+    session holds, so waiters' staleness clock measures holder
+    LIVENESS rather than build duration."""
+    global _FIXTURE_KEEPALIVE_STARTED
+    if _FIXTURE_KEEPALIVE_STARTED:
+        return
+    import os
+    import threading
+    import time
+
+    def _beat() -> None:
+        while True:
+            time.sleep(_FIXTURE_LOCK_KEEPALIVE_S)
+            for p in list(_FIXTURE_BUILD_LOCKS):
+                try:
+                    os.utime(p.rstrip("/") + ".lock")
+                except OSError:
+                    pass
+
+    threading.Thread(
+        target=_beat, name="fixture-lock-keepalive", daemon=True
+    ).start()
+    _FIXTURE_KEEPALIVE_STARTED = True
+
+
+def _lock_holder_alive(lock: str) -> bool:
+    """Best-effort same-host holder-liveness probe: the lock file's
+    first line is the holder's pid (written at acquire). Returns True
+    when in doubt — breaking a live lock is the expensive mistake."""
+    import os
+
+    try:
+        with open(lock) as fh:
+            pid = int(fh.readline().strip() or "0")
+    except (OSError, ValueError):
+        return True
+    if pid <= 0:
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
 
 
 def _fixture_ready(path: str) -> bool:
@@ -1874,18 +1929,47 @@ def _fixture_ready(path: str) -> bool:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, f"{os.getpid()}\n".encode())
             _FIXTURE_BUILD_LOCKS[path] = fd
+            _ensure_fixture_lock_keepalive()
             break
         except FileExistsError:
             try:
                 age = time.time() - os.stat(lock).st_mtime
             except FileNotFoundError:
                 continue  # holder just released; retry immediately
-            if age > _FIXTURE_LOCK_STALE_S:
-                # abandoned lock (holder crashed mid-build): break it;
-                # the racing removal is idempotent
+            if age > _FIXTURE_LOCK_STALE_S and not _lock_holder_alive(lock):
+                # Abandoned lock: no heartbeat for the stale window AND
+                # the recorded holder pid is gone. Break it ATOMICALLY
+                # via rename — exactly one of N concurrent breakers wins
+                # the rename; losers see FileNotFoundError and re-enter
+                # the O_EXCL race on the now-absent path. (ADVICE r9: a
+                # bare os.remove here could delete a FRESH lock that the
+                # first breaker re-created between its remove and
+                # create, letting two sessions build concurrently.)
+                grave = f"{lock}.stale.{os.getpid()}"
                 try:
-                    os.remove(lock)
-                except FileNotFoundError:
+                    os.rename(lock, grave)
+                except OSError:
+                    continue
+                try:
+                    fresh = (
+                        time.time() - os.stat(grave).st_mtime
+                        <= _FIXTURE_LOCK_STALE_S
+                    )
+                except OSError:
+                    fresh = False
+                if fresh:
+                    # pathological stat→rename race: a live lock landed
+                    # on the path in between — put it back (best
+                    # effort) and keep waiting like everyone else
+                    try:
+                        os.rename(grave, lock)
+                    except OSError:
+                        pass
+                    time.sleep(0.2)
+                    continue
+                try:
+                    os.remove(grave)
+                except OSError:
                     pass
                 continue
             if time.monotonic() > deadline:
@@ -8065,23 +8149,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 9): the driver's correctness harness
+    # Ordering policy (round 10): the driver's correctness harness
     # checks the FIRST 50 entries; the rotation-hygiene rule — no
     # oracle-backed query more than THREE rounds without a green
     # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
     # plan emitted by `python preflight.py --plan-window`) — dictates
     # this round's window:
-    # (a) the two forced must-includes: rolling_hour_user_avg and
-    #     w1_rolling_hourly, last green r5 and at exactly the 3-round
-    #     staleness budget (VERDICT r8 "What's wrong" №1 — the
-    #     designed red-at-judge-time forcing function; the judge
-    #     re-ran both green on a vanilla session).
-    # (b) round-9 debuts — new oracle-backed queries enter the window
-    #     on debut (see the debut block near the end of the window).
-    # (c) the r6-green cohort fills the remaining free slots, oldest
-    #     first; any r6-green displaced by a debut becomes a forced
-    #     must-include at round 10 (50 slots vs 43 r7-greens forced
-    #     at r11 — ample headroom).
+    # (a) the six forced must-includes: the r6-greens deferred from
+    #     round 9's full window (vocab_top_terms, weekday_seasonality,
+    #     winsorized_stats, x3_perturb_values, x4_label_anonymization,
+    #     zone_unpivot), named by the designed red-at-judge-time
+    #     forcing function (VERDICT r9 "What's wrong" №1).
+    # (b) round-10 debuts — new oracle-backed queries enter the window
+    #     on debut; each displaces one tail entry below the line.
+    # (c) the r7-green cohort fills the remaining free slots, oldest
+    #     first (all 43 fit this round, keeping round 11 unforced —
+    #     the planning rule learned in r9: fill free slots with the
+    #     OLDEST-green cohort, never the just-verified one).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
     # 200 oracle-backed capacity — the math lives in
@@ -8102,90 +8186,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test; applyInPandasWithState (stream_stateful_wape) covers the
     # custom-stateful slot in this environment.
     return {
-        # ---- round-9 driver window (names[:50]) ----
-        # forced must-includes: the two r5-greens at the 3-round
-        # staleness budget (VERDICT r8 "What's wrong" #1)
-        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r5
-        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r5
-        # round-9 debuts — new oracle-backed queries enter the window
-        # on debut (VERDICT r8 item 2: spend free slots on capability):
-        #   drift_embedding_psi — per-dimension embedding drift over
-        #     the PSI machinery (operators/drift.py reuse);
-        #   drift_ks_events — the KS companion statistic (worst
-        #     single quantile gap vs PSI's whole-distribution weight);
-        #   stream_dedup_fingerprints — streaming near-dup ingest via
-        #     dropDuplicatesWithinWatermark over the shared
-        #     normalized_fingerprint (SURVEY 2.10);
-        #   x5_idempotent_rerun — the anonymization pipeline's
-        #     cross-run key-table idempotence (VERDICT r8 item 3).
-        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: debut r9
-        "drift_ks_events": _q_drift_ks_events,  # last green: debut r9
-        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: debut r9
-        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: debut r9
-        #   stream_drift_psi — the live-ingest drift monitor: hourly
-        #     streaming histogram scored per hour against the batch
-        #     reference with the shared smoothed-PSI fold.
-        "stream_drift_psi": _q_stream_drift_psi,  # last green: debut r9
-        #   text_dup_spans — cross-document duplicated-span stats
-        #     (the Lee-et-al verbatim-substring dedup signal).
-        "text_dup_spans": _q_text_dup_spans,  # last green: debut r9
-        # the r6-green cohort, oldest-first (44 of 48): refreshing
-        # them NOW spreads the staleness load — skipping them would
-        # force all 48 into round 10's window at once (the r7
-        # capacity crunch). The 4 deferred sit first below the line
-        # and are round 10's only forced must-includes.
-        "anomaly_counts": _q_anomaly_counts,  # last green: r6
-        "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r6
-        "batch_sessionize": _q_batch_sessionize,  # last green: r6
-        "bigram_logprob_scores": _q_bigram_logprob_scores,  # last green: r6
-        "contamination_check": _q_contamination_check,  # last green: r6
-        "dedup_clusters": _q_dedup_clusters,  # last green: r6
-        "dedup_exact_groups": _q_dedup_exact_groups,  # last green: r6
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r6
-        "event_transitions": _q_event_transitions,  # last green: r6
-        "events_json_props": _q_events_json_props,  # last green: r6
-        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r6
-        "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r6
-        "gap_fill_hourly": _q_gap_fill_hourly,  # last green: r6
-        "inverted_index": _q_inverted_index,  # last green: r6
-        "j1_key_join": _q_j1_key_join,  # last green: r6
-        "k2_excel_sheets": _q_k2_excel_sheets,  # last green: r6
-        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,  # last green: r6
-        "k5_time_travel": _q_k5_time_travel,  # last green: r6
-        "k6_zorder_scan": _q_k6_zorder_scan,  # last green: r6
-        "k7_orc_roundtrip": _q_k7_orc_roundtrip,  # last green: r6
-        "lang_source_chi2": _q_lang_source_chi2,  # last green: r6
-        "langid_confusion": _q_langid_confusion,  # last green: r6
-        "mape_daily_portfolio": _q_mape_daily_portfolio,  # last green: r6
-        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,  # last green: r6
-        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,  # last green: r6
-        "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r6
-        "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r6
-        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r6
-        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r6
-        "profile_orders": _q_profile_orders,  # last green: r6
-        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r6
-        "scd2_event_history": _q_scd2_event_history,  # last green: r6
-        "seq_packing": _q_seq_packing,  # last green: r6
-        "snapshot_diff": _q_snapshot_diff,  # last green: r6
-        "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r6
-        "stream_outer_join": _q_stream_outer_join,  # last green: r6
-        "stream_session_windows": _q_stream_session_windows,  # last green: r6
-        "tfidf_top_terms": _q_tfidf_top_terms,  # last green: r6
-        "time_to_convert": _q_time_to_convert,  # last green: r6
-        "train_val_test_split": _q_train_val_test_split,  # last green: r6
-        "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r6
-        "u1_union_dedup": _q_u1_union_dedup,  # last green: r6
+        # ---- round-10 driver window (names[:50]) ----
+        # forced must-includes: the six r6-greens deferred from the
+        # round-9 window (VERDICT r9 "What's wrong" #1 — the designed
+        # red-at-judge-time forcing function named them explicitly).
         "vocab_top_terms": _q_vocab_top_terms,  # last green: r6
-        # ---- below the driver's 50-row window ----
-        # the five deferred r6-greens: round 10's forced must-includes
         "weekday_seasonality": _q_weekday_seasonality,  # last green: r6
         "winsorized_stats": _q_winsorized_stats,  # last green: r6
         "x3_perturb_values": _q_x3_perturb_values,  # last green: r6
         "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r6
         "zone_unpivot": _q_zone_unpivot,  # last green: r6
-        # r7-green cohort (rotates across rounds 10-11)
-        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r7 (impl changed r8)
+        # round-10 debuts land here (inserted by the debut commits;
+        # each displaces one tail entry below the 50-row line).
+        # the r7-green cohort, oldest-first: refreshing all 43 NOW
+        # keeps round 11 unforced (they would otherwise all be forced
+        # must-includes at r11 under the 3-round staleness budget).
+        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r7
         "agg_cube_counts": _q_agg_cube_counts,  # last green: r7
         "approx_stats_events": _q_approx_stats_events,  # last green: r7
         "backtest_persistence_wape": _q_backtest_persistence_wape,  # last green: r7
@@ -8228,11 +8244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
         "text_repetition": _q_text_repetition,  # last green: r7
         "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r7
+        # one r8-green tops up the window to 50 (displaced first when
+        # a debut needs the slot — r8 rows are inside budget to r12).
+        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r8
+        # ---- below the driver's 50-row window ----
         # r8-green cohort — inside the 3-round budget until round 12.
         # triangle_count stays directly ahead of pagerank_influencers:
         # the memoized co-occurrence edge derivation (_COOC_SHARED)
         # attributes to its first consumer in registry order.
-        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r8
         "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r8
         "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r8
         "argmax_user_events": _q_argmax_user_events,  # last green: r8
@@ -8282,6 +8301,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_influencers": _q_pagerank_influencers,  # last green: r8
         "profile_orders_approx": _q_profile_orders_approx,  # last green: r8
         "drift_psi_events": _q_drift_psi_events,  # last green: r8
+        # r9-green cohort (the full round-9 window: 2 r5 must-includes,
+        # 6 debuts, 42 r6-greens) — inside budget until round 13.
+        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
+        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r9
+        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r9
+        "drift_ks_events": _q_drift_ks_events,  # last green: r9
+        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
+        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r9
+        "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
+        "text_dup_spans": _q_text_dup_spans,  # last green: r9
+        "anomaly_counts": _q_anomaly_counts,  # last green: r9
+        "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r9
+        "batch_sessionize": _q_batch_sessionize,  # last green: r9
+        "bigram_logprob_scores": _q_bigram_logprob_scores,  # last green: r9
+        "contamination_check": _q_contamination_check,  # last green: r9
+        "dedup_clusters": _q_dedup_clusters,  # last green: r9
+        "dedup_exact_groups": _q_dedup_exact_groups,  # last green: r9
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r9
+        "event_transitions": _q_event_transitions,  # last green: r9
+        "events_json_props": _q_events_json_props,  # last green: r9
+        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r9
+        "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r9
+        "gap_fill_hourly": _q_gap_fill_hourly,  # last green: r9
+        "inverted_index": _q_inverted_index,  # last green: r9
+        "j1_key_join": _q_j1_key_join,  # last green: r9
+        "k2_excel_sheets": _q_k2_excel_sheets,  # last green: r9
+        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,  # last green: r9
+        "k5_time_travel": _q_k5_time_travel,  # last green: r9
+        "k6_zorder_scan": _q_k6_zorder_scan,  # last green: r9
+        "k7_orc_roundtrip": _q_k7_orc_roundtrip,  # last green: r9
+        "lang_source_chi2": _q_lang_source_chi2,  # last green: r9
+        "langid_confusion": _q_langid_confusion,  # last green: r9
+        "mape_daily_portfolio": _q_mape_daily_portfolio,  # last green: r9
+        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,  # last green: r9
+        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,  # last green: r9
+        "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r9
+        "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r9
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
+        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
+        "profile_orders": _q_profile_orders,  # last green: r9
+        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
+        "scd2_event_history": _q_scd2_event_history,  # last green: r9
+        "seq_packing": _q_seq_packing,  # last green: r9
+        "snapshot_diff": _q_snapshot_diff,  # last green: r9
+        "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r9
+        "stream_outer_join": _q_stream_outer_join,  # last green: r9
+        "stream_session_windows": _q_stream_session_windows,  # last green: r9
+        "tfidf_top_terms": _q_tfidf_top_terms,  # last green: r9
+        "time_to_convert": _q_time_to_convert,  # last green: r9
+        "train_val_test_split": _q_train_val_test_split,  # last green: r9
+        "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r9
+        "u1_union_dedup": _q_u1_union_dedup,  # last green: r9
         # rows-only by design (no portable-SQL oracle)
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "ann_recall_eval": _q_ann_recall_eval,

@@ -77,3 +77,92 @@ def test_stale_lock_from_crashed_holder_is_broken(tmp_path):
     os.makedirs(path, exist_ok=True)
     entrymod._mark_fixture_ready(path)
     assert entrymod._fixture_ready(path) is True
+
+
+def _stale_breaker(path, q):
+    # each child tries to break the same pre-staged stale lock, then
+    # runs the normal acquire-build-release cycle
+    import __spark_entry__ as e
+
+    if not e._fixture_ready(path):
+        os.makedirs(path, exist_ok=True)
+        time.sleep(0.3)  # widen the break/acquire race window
+        with open(os.path.join(path, "data"), "w") as fh:
+            fh.write("built\n")
+        e._mark_fixture_ready(path)
+        q.put("built")
+    else:
+        q.put("reused")
+
+
+def test_concurrent_stale_break_is_atomic(tmp_path):
+    """ADVICE r9: two waiters that both observe a stale lock must not
+    both remove it — the second remove could delete the first
+    breaker's freshly created lock, letting two builders run
+    concurrently. The rename-based break arbitrates: exactly one
+    builder wins even when every racer starts in the break path."""
+    path = str(tmp_path / "fx4")
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as fh:
+        fh.write("99999999\n")  # dead holder pid
+    stale = time.time() - entrymod._FIXTURE_LOCK_STALE_S - 5
+    os.utime(lock, (stale, stale))
+    q = multiprocessing.Queue()
+    procs = [
+        multiprocessing.Process(target=_stale_breaker, args=(path, q))
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(30)
+    results = sorted(q.get(timeout=5) for _ in procs)
+    assert results == ["built", "reused", "reused", "reused"], results
+    assert open(os.path.join(path, "data")).read() == "built\n"
+    assert not os.path.exists(lock)
+
+
+def test_stale_aged_lock_with_live_holder_is_not_broken(tmp_path):
+    """ADVICE r9 second half: a lock whose mtime is past the stale
+    threshold but whose recorded holder pid is ALIVE (keepalive thread
+    wedged, clock skew) must not be broken — liveness is checked
+    before the rename."""
+    path = str(tmp_path / "fx5")
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()}\n")  # this very test process: alive
+    stale = time.time() - entrymod._FIXTURE_LOCK_STALE_S - 5
+    os.utime(lock, (stale, stale))
+    assert entrymod._lock_holder_alive(lock) is True
+    before = os.stat(lock).st_mtime
+    # directly exercise the break predicate rather than _fixture_ready
+    # (which would legitimately wait out the full deadline)
+    assert not (
+        time.time() - before > entrymod._FIXTURE_LOCK_STALE_S
+        and not entrymod._lock_holder_alive(lock)
+    )
+    os.remove(lock)
+
+
+def test_keepalive_refreshes_held_lock_mtime(tmp_path, monkeypatch):
+    """ADVICE r9: the holder must refresh the lock mtime during long
+    builds so a legitimate >600s build never gets its lock broken and
+    its half-built dir wiped mid-write."""
+    monkeypatch.setattr(entrymod, "_FIXTURE_LOCK_KEEPALIVE_S", 0.1)
+    monkeypatch.setattr(entrymod, "_FIXTURE_KEEPALIVE_STARTED", False)
+    path = str(tmp_path / "fx6")
+    assert entrymod._fixture_ready(path) is False  # lock held + thread up
+    lock = path + ".lock"
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        if time.time() - os.stat(lock).st_mtime < 1800:
+            break
+        time.sleep(0.05)
+    refreshed_age = time.time() - os.stat(lock).st_mtime
+    os.makedirs(path, exist_ok=True)
+    entrymod._mark_fixture_ready(path)
+    assert refreshed_age < 1800, "keepalive never touched the held lock"
