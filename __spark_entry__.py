@@ -1186,14 +1186,49 @@ _STREAM_STATEFUL_ORACLE = """
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via sign-LSH + exact verify (rows-only;
-    planted twins = each vector scaled ×1.01 keeps cosine ≈ 1)."""
+    """Embedding-cosine near-dup via sign-LSH + exact verify (planted
+    twins = each vector scaled ×1.01 keeps cosine ≈ 1).
+
+    ORACLE-BACKED since round 10 (VERDICT r9 item 4 — the first ANN
+    entry with a value-level oracle): the DuckDB twin computes the
+    EXACT all-pairs cosine table above the threshold, so the driver's
+    hash match proves the bucketed path finds exactly the true pair
+    set. That equality is deterministic on this data, not luck: a
+    twin has identical sign bits in every hyperplane table (scaling
+    by 1.01 never flips a sign), so candidate generation cannot miss
+    it, the exact-verify stage filters any false bucket collision,
+    and the widest non-twin pair sits at cosine ≈ 0.51 — far under
+    the 0.98 threshold, so no probabilistic-recall pair exists to
+    miss. The Spark side still runs the production LSH plan (banded
+    self-join, never all-pairs); only the ORACLE is quadratic, which
+    is exactly the audit asymmetry you want at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias("embedding"),
     )
-    return embedding_near_duplicates(emb.unionByName(twins), threshold=0.98)
+    return embedding_near_duplicates(
+        emb.unionByName(twins), threshold=0.98
+    ).orderBy("id_a", "id_b")
+
+
+_EMBEDDING_NEAR_DUP_ORACLE = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(v, e -> e * 1.01) AS v
+        FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.98
+    ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2090,12 +2125,22 @@ def _q_k2_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_K2_ORACLE = f"""
+def _k2_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    """K2's oracle reads the CSV sidecar the query writes next to the
+    workbook — the only oracle with an sf-dependent PATH baked into
+    its SQL. The driver contract runs oracles at sf0.01, so
+    oracle_sql() bakes _ORACLE_SF_DIR; cross-scale sweeps
+    (preflight --sf) re-derive it through oracle_sql_at(sf_dir)
+    instead of carrying a known sweep failure (VERDICT r9 item 7)."""
+    return f"""
     SELECT COUNT(*) AS n_days,
            ROUND(SUM(forecast_mape), 6) AS sum_forecast_mape,
            ROUND(SUM(settlement), 2) AS sum_settlement
-    FROM read_csv_auto('{_k2_workbook_path(_ORACLE_SF_DIR)}.daily.csv')
+    FROM read_csv_auto('{_k2_workbook_path(sf_dir)}.daily.csv')
 """
+
+
+_K2_ORACLE = _k2_oracle()
 
 
 def _q_k7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6506,12 +6551,19 @@ _DRIFT_KS_ORACLE = f"""
            CAST(n_ref AS BIGINT) AS n_ref,
            CAST(n_cur AS BIGINT) AS n_cur,
            CAST(n_bins AS BIGINT) AS n_bins,
-           ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
-                         - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
-               AS ks,
-           ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
-                         - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
-               > 0.1 AS drift_flag
+           -- NULL guard mirrors Spark's try_divide (ADVICE r9): a
+           -- group present on only ONE side of the split must yield
+           -- NULL ks/flag in both engines — bare IEEE division here
+           -- would give inf/NaN and break parity on such a drop
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+           END AS ks,
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+                     > 0.1
+           END AS drift_flag
     FROM cum
     GROUP BY event_type, n_ref, n_cur, n_bins
 """
@@ -8137,6 +8189,92 @@ _BACKTEST_ORACLE = f"""
 """
 
 
+def _q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch marketing attribution (round-10 debut): for
+    each purchase conversion, the earliest and latest click/view by
+    the same user inside a 7-day lookback — acquisition credit and
+    closing credit in one pass, with the unattributed bucket kept as
+    NULL touch columns. Shape (operators/joins.py:touch_attribution):
+    key-equi join + event-time RANGE predicate, then ONE hash
+    aggregate per conversion taking min/max(struct(ts, id)) — argmin
+    and argmax share a single aggregation, deterministic id
+    tie-break. Shuffles on user_id only; the lookback bound keeps
+    per-key fan-out proportional to 7-day touch frequency, never
+    stream history — the batch twin of a stream-stream interval
+    join, so the plan survives a 100 TB event log."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        touch_attribution,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    conversions = ev.filter(F.col("event_type") == "purchase")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    return touch_attribution(
+        conversions, touches, on="user_id", lookback="INTERVAL 7 DAYS"
+    ).orderBy("conversion_id")
+
+
+_TOUCH_ATTRIBUTION_ORACLE = """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               make_timestamp(epoch_ns(ts) // 1000) AS ts
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id AS conversion_id, ts AS conversion_ts
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, event_id AS t_id, ts AS t_ts
+        FROM ev WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT c.user_id, c.conversion_id, c.conversion_ts, t.t_id, t.t_ts
+        FROM c LEFT JOIN t
+          ON c.user_id = t.user_id
+         AND t.t_ts >= c.conversion_ts - INTERVAL 7 DAY
+         AND t.t_ts <= c.conversion_ts
+    ),
+    agg AS (
+        SELECT user_id, conversion_id, conversion_ts,
+               min(struct_pack(ts := t_ts, id := t_id)) AS f,
+               max(struct_pack(ts := t_ts, id := t_id)) AS l,
+               COUNT(t_id) AS n_touches
+        FROM j GROUP BY user_id, conversion_id, conversion_ts
+    )
+    SELECT user_id, conversion_id, conversion_ts,
+           f.id AS first_touch_id, f.ts AS first_touch_ts,
+           l.id AS last_touch_id, l.ts AS last_touch_ts,
+           n_touches
+    FROM agg
+    ORDER BY conversion_id
+"""
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under the trained BPE merge
+    list (round-10 debut; rows-only: the greedy merge replay is
+    iterative, not SQL — local equivalence with the trainer's symbol
+    table pinned in tests/test_bpe.py). Completes the tokenizer
+    story: bpe_vocab_merges trains (r7), this query ENCODES — the
+    sizing pass every packing/costing stage consumes. Scale shape
+    (operators/bpe.py:bpe_token_stats): one corpus explode to
+    (doc, word) counts, the Python encode loop runs ONLY over the
+    DISTINCT vocabulary as an Arrow-batched pandas UDF (corpus text
+    never meets Python), then a data-proportional join + per-doc
+    rollup — at 100 TB the encode cost stays vocabulary-sized."""
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_merges_local,
+        bpe_token_stats,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = word_frequencies(docs, limit=2000)
+    merges = bpe_merges_local(words, n_merges=12)
+    return bpe_token_stats(docs, merges).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8196,8 +8334,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_perturb_values": _q_x3_perturb_values,  # last green: r6
         "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r6
         "zone_unpivot": _q_zone_unpivot,  # last green: r6
-        # round-10 debuts land here (inserted by the debut commits;
-        # each displaces one tail entry below the 50-row line).
+        # round-10 debuts (VERDICT r9 items 2-4), each displacing one
+        # tail entry below the 50-row line:
+        #   touch_attribution — first/last-touch marketing attribution
+        #     (lookback range join + one shared argmin/argmax struct
+        #     aggregate; oracle: same join + min/max(struct) in DuckDB);
+        #   bpe_token_stats — per-doc subword token counts under the
+        #     trained merge list (rows-only: greedy merge replay is not
+        #     SQL; completes the r7 tokenizer-training story);
+        #   embedding_near_dup — UPGRADED rows-only → oracle-backed:
+        #     the DuckDB twin computes exact all-pairs cosine, proving
+        #     the LSH path finds exactly the true pair set (the
+        #     x5_idempotent_rerun audit pattern generalized to ANN).
+        "touch_attribution": _q_touch_attribution,  # debut r10
+        "bpe_token_stats": _q_bpe_token_stats,  # debut r10 (rows-only)
+        "embedding_near_dup": _q_embedding_near_dup,  # oracle debut r10
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8242,16 +8393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
         "stream_stream_join": _q_stream_stream_join,  # last green: r7
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
+        # ---- below the driver's 50-row window ----
+        # the two r7-greens displaced by debuts rotate in first at r11
         "text_repetition": _q_text_repetition,  # last green: r7
         "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r7
-        # one r8-green tops up the window to 50 (displaced first when
-        # a debut needs the slot — r8 rows are inside budget to r12).
-        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r8
-        # ---- below the driver's 50-row window ----
         # r8-green cohort — inside the 3-round budget until round 12.
         # triangle_count stays directly ahead of pagerank_influencers:
         # the memoized co-occurrence edge derivation (_COOC_SHARED)
         # attributes to its first consumer in registry order.
+        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r8
         "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r8
         "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r8
         "argmax_user_events": _q_argmax_user_events,  # last green: r8
@@ -8361,7 +8511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_merges": _q_bpe_vocab_merges,
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -8517,7 +8666,25 @@ def oracle_sql() -> dict[str, str]:
         "kanon_risk_profile": _KANON_RISK_ORACLE,
         "dp_noisy_counts": _dp_noisy_counts_oracle(),
         "forecast_metrics_by_zone": _FORECAST_METRICS_ORACLE,
+        # round-10 debuts
+        "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
-        # embedding_near_dup
+        # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
+        # multimodal_features
     }
+
+
+def oracle_sql_at(sf_dir: str) -> dict[str, str]:
+    """oracle_sql() with sf-embedded paths re-derived for ``sf_dir``.
+
+    The driver contract runs every oracle at sf0.01, and oracle_sql()
+    stays pinned there (_ORACLE_SF_DIR). K2 is the one oracle whose
+    SQL embeds an sf-dependent filesystem path (the workbook's CSV
+    sidecar); cross-scale robustness sweeps (``preflight.py --sf``)
+    call this instead so k2_excel_sheets verifies at every scale
+    factor rather than being a documented sweep exception."""
+    out = dict(oracle_sql())
+    out["k2_excel_sheets"] = _k2_oracle(sf_dir)
+    return out

@@ -233,7 +233,15 @@ def bpe_encode_words(
     # inference time — the explicit returnType carries the contract
     @pandas_udf(T.ArrayType(T.StringType()))
     def _encode(batch):
-        return batch.map(lambda w: _encode_word(w, merge_rows))
+        # NULL-in → NULL-out (ADVICE r9): a null word arrives as
+        # None/NaN in the Arrow batch and list(None) would raise
+        # inside the executor; the public encode surface must not
+        # crash on nullable word columns
+        return batch.map(
+            lambda w: _encode_word(w, merge_rows)
+            if isinstance(w, str)
+            else None
+        )
 
     out = words.withColumn("tokens", _encode(F.col(word_col)))
     return out.withColumn("n_tokens", F.size("tokens"))

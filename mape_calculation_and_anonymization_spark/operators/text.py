@@ -106,14 +106,23 @@ def stopword_hits(col: str | Column, lang: str) -> Column:
 
 def language_id(col: str | Column, langs: list[str] | None = None) -> Column:
     """Heuristic language ID: argmax of per-language stopword hits
-    (first max wins; zero hits everywhere → 'und')."""
+    (first max wins; zero hits everywhere → 'und'; NULL text → NULL
+    — without the explicit isNull branch the all-NULL score array
+    fell through when(NULL <= 0)'s NULL condition into otherwise()
+    and mislabeled NULL docs as the LAST language (ADVICE r9 found
+    the bulk/per-row divergence; the per-row arm was the buggy one,
+    matching neither the oracle's NULL nor anything sensible)."""
     c = F.col(col) if isinstance(col, str) else col
     langs = langs or list(STOPWORDS)
     scores = F.array(*[stopword_hits(c, lang) for lang in langs])
     best = F.array_max(scores)
     idx = F.array_position(scores, best)  # 1-based, first occurrence
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    return F.when(best <= 0, F.lit("und")).otherwise(F.element_at(lang_arr, idx.cast("int")))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(best <= 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, idx.cast("int")))
+    )
 
 
 def language_id_bulk(
@@ -175,8 +184,16 @@ def language_id_bulk(
             )
         )["lang"].alias(out_col)
     )
+    # NULL-in → NULL-out, matching the per-row language_id expression
+    # and the DuckDB oracle (ADVICE r9): explode drops NULL-text rows,
+    # so an unconditional coalesce would label them 'und' here while
+    # the per-row path yields NULL — only docs with actual text fall
+    # back to the unknown bucket.
     return df.join(best, on=id_cols, how="left").withColumn(
-        out_col, F.coalesce(out_col, F.lit("und"))
+        out_col,
+        F.when(
+            F.col(text_col).isNotNull(), F.coalesce(out_col, F.lit("und"))
+        ),
     )
 
 

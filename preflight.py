@@ -84,7 +84,14 @@ def main(argv: list[str]) -> int:
         sf_dir, argv = argv[1], argv[2:]
         default_sf = False
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # oracle_sql() is pinned to the driver's sf0.01; --sf sweeps need
+    # the sf-embedded paths (K2's CSV sidecar) re-derived for the
+    # requested scale factor (VERDICT r9 item 7)
+    oracles = (
+        entrymod.oracle_sql()
+        if default_sf
+        else entrymod.oracle_sql_at(sf_dir)
+    )
 
     if argv and argv[0] == "--plan-window":
         return plan_window()
@@ -104,6 +111,23 @@ def main(argv: list[str]) -> int:
         print(f"  --changed: {len(names)} stale of {len(qs)}",
               file=sys.stderr)
     elif argv:
+        # explicit names: validate up front so a typo or a built-but-
+        # not-yet-registered operator ("round-N-ready") reports
+        # usefully instead of surfacing as a bare KeyError mid-loop
+        # (VERDICT r9 "What's wrong" #2)
+        unknown = [n for n in argv if n not in qs]
+        if unknown:
+            known = ", ".join(sorted(qs))
+            for n in unknown:
+                print(
+                    f"preflight: {n!r} is not in the queries() registry "
+                    "(built but not registered yet — round-N-ready?). "
+                    "Register it in __spark_entry__.py, or pick one of "
+                    "the registered names.",
+                    file=sys.stderr,
+                )
+            print(f"registered names: {known}", file=sys.stderr)
+            return 2
         names = argv
     else:
         names = [n for n in list(qs)[:50] if n in oracles]

@@ -232,8 +232,22 @@ def query_fingerprints(sf_dir: str) -> dict[str, str]:
 
     oracles = entrymod.oracle_sql()
     fps: dict[str, str] = {}
-    for name in entrymod.queries():
-        fn_name = f"_q_{name}"
+    for name, fn in entrymod.queries().items():
+        # Derive the entry-point function from the registered callable
+        # itself, not a naming convention (ADVICE r9): a registry
+        # entry bound to a function NOT named _q_<name> would
+        # otherwise silently fingerprint to data-token+oracle only,
+        # and --changed would never flag its code edits as stale.
+        fn_name = getattr(fn, "__name__", f"_q_{name}")
+        if fn_name not in top_funcs:
+            raise RuntimeError(
+                f"query_fingerprints: registry entry {name!r} is bound "
+                f"to {fn_name!r}, which is not a top-level def in the "
+                "entry file — --changed staleness tracking cannot see "
+                "its body. Bind registry entries to top-level entry-"
+                "file functions (wrappers included) so the AST closure "
+                "walk covers them."
+            )
         fn_closure = closure(fn_name)
         h = hashlib.md5()
         h.update(data_token_s.encode())

@@ -158,3 +158,27 @@ def test_token_stats_hand_example(spark):
     # doc1: 'aa'x2 -> 1 token each, 'b' -> 1 token: 3 words, 3 tokens
     # doc2: 'aa' -> 1 token; doc3: no alphabetic words -> zeros
     assert got == {1: (3, 3), 2: (1, 1), 3: (0, 0)}
+
+
+def test_encode_null_word_yields_null(spark):
+    """ADVICE r9: the public encode surface must map NULL words to
+    NULL token arrays instead of crashing in the executor
+    (list(None) inside the Arrow batch)."""
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_encode_words,
+    )
+
+    merges = spark.createDataFrame(
+        [(0, "a", "b", "ab", 2)],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+    words = spark.createDataFrame(
+        [("abba",), (None,), ("",)], "word string"
+    )
+    got = {
+        r["word"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_encode_words(words, merges).collect()
+    }
+    assert got["abba"] == (["ab", "b", "a"], 3)
+    assert got[None] == (None, None)  # NULL-in -> NULL-out, size(NULL)=NULL
+    assert got[""] == ([], 0)

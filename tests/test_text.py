@@ -210,6 +210,7 @@ def test_language_id_bulk_tie_and_und_cases(spark):
         (3, "der der die the"),   # de 3, en 1 → de
         (4, ""),                  # empty → 'und'
         (5, "de de de"),          # 'de' word is es+fr stopword (not German!) → tie es/fr → es
+        (6, None),                # NULL text → NULL, not 'und' (ADVICE r9)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     per_row = {
@@ -222,3 +223,4 @@ def test_language_id_bulk_tie_and_und_cases(spark):
     }
     assert bulk == per_row
     assert bulk[2] == "und" and bulk[4] == "und"
+    assert bulk[6] is None  # NULL-in → NULL-out on both paths
