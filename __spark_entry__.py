@@ -8281,6 +8281,157 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges).orderBy("doc_id")
 
 
+def _q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness disclosure audit (round-10 debut) — completes the
+    privacy stack (k-anonymity r7, l-diversity r7, DP counts r7):
+    per (nation, market-segment) equivalence class, the total
+    variation distance between the class's account-balance-band
+    distribution and the population's, with the t=0.2 verdict. Shape
+    (operators/privacy.py:t_closeness_report): the domain-completion
+    trick folds absent-value terms into ``0.5·(1 − Σ_present q)``, so
+    the plan is one corpus-sized hash aggregate to (class, band)
+    cells, a second stacked aggregate for the global distribution
+    (answer-sized), one broadcast join, one class-keyed rollup —
+    never a (class × domain) completion join."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+    return t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.2
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_TCLOSENESS_ORACLE = """
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS bal_band
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n_cv
+        FROM b GROUP BY 1, 2, 3
+    ),
+    gv AS (SELECT bal_band, SUM(n_cv) AS n_v FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_v) AS DOUBLE) AS n FROM gv),
+    q AS (
+        SELECT bal_band, CAST(n_v AS DOUBLE) / tot.n AS q
+        FROM gv, tot
+    ),
+    wp AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_cv, q.q,
+               CAST(SUM(c.n_cv) OVER (
+                   PARTITION BY c.c_nationkey, c.c_mktsegment
+               ) AS BIGINT) AS n_c
+        FROM cells c JOIN q USING (bal_band)
+    )
+    SELECT c_nationkey, c_mktsegment,
+           n_c AS class_size,
+           COUNT(*) AS n_sensitive,
+           ROUND(0.5 * SUM(ABS(CAST(n_cv AS DOUBLE) / CAST(n_c AS DOUBLE) - q))
+                 + 0.5 * (1.0 - SUM(q)), 6) AS tvd,
+           ROUND(0.5 * SUM(ABS(CAST(n_cv AS DOUBLE) / CAST(n_c AS DOUBLE) - q))
+                 + 0.5 * (1.0 - SUM(q)), 6) > 0.2 AS t_violation
+    FROM wp
+    GROUP BY c_nationkey, c_mktsegment, n_c
+    ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def _q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mixture weights per document source
+    (round-10 debut): ``weight ∝ (n_g/N)^0.7`` normalized — the
+    exponential-smoothing up/down-sampling rule multilingual and
+    multi-source pretraining mixtures use (alpha < 1 upsamples tail
+    sources); ``boost`` is the per-source sampling factor fed to the
+    stratified-sample rate map. Shape (operators/sampling.py:
+    mixture_weights): ONE corpus-sized count aggregate; every later
+    step is arithmetic over the |sources|-row frame (two scalar
+    broadcasts) — the 100 TB cost is the one count."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return mixture_weights(docs, "source", alpha=0.7).orderBy("source")
+
+
+_MIXTURE_ORACLE = """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM c),
+    s AS (
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / t.n AS share,
+               POW(CAST(n_docs AS DOUBLE) / t.n, 0.7) AS pw
+        FROM c, t
+    ),
+    z AS (SELECT SUM(pw) AS z FROM s)
+    SELECT source, n_docs,
+           ROUND(share, 6) AS raw_share,
+           ROUND(pw / z.z, 6) AS weight,
+           ROUND((pw / z.z) / share, 6) AS boost
+    FROM s, z
+    ORDER BY source
+"""
+
+
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size corpus subsample (round-10
+    debut): keep each document with ``p = min(1, 500·n_chars/Σ)`` —
+    the weighted (by length/quality) counterpart of the uniform hash
+    sample, with ``incl_p`` exposed for Horvitz-Thompson reweighting
+    downstream. Fully deterministic and engine-portable: the
+    selection uniform is the first 12 hex chars of a salted md5
+    (exact 48-bit integer over 2^48 — operators/sampling.py:
+    hash_uniform), Σ sums exact BIGINTs before the single double
+    division, so the SAME rows fall in the sample in Spark and in
+    the DuckDB oracle. Shape: one map-side-combinable sum + a pure
+    filter projection — no shuffle of the fact table, no RNG state."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = pps_sample(docs, "doc_id", "n_chars", expected_k=500)
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.round("incl_p", 6).alias("incl_p"),
+    ).orderBy("doc_id")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH t AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents),
+    s AS (
+        SELECT doc_id, lang, source, n_chars,
+               LEAST(1.0, 500.0 * CAST(n_chars AS DOUBLE) / t.tot) AS p,
+               CAST(concat('0x', substr(
+                   md5(concat('pps:', CAST(doc_id AS VARCHAR))), 1, 12
+               )) AS BIGINT) / 281474976710656.0 AS u
+        FROM documents, t
+    )
+    SELECT doc_id, lang, source, n_chars, ROUND(p, 6) AS incl_p
+    FROM s WHERE u < p
+    ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8355,6 +8506,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": _q_touch_attribution,  # debut r10
         "bpe_token_stats": _q_bpe_token_stats,  # debut r10 (rows-only)
         "embedding_near_dup": _q_embedding_near_dup,  # oracle debut r10
+        #   tcloseness_audit — completes the privacy stack (k-anon /
+        #     l-diversity / DP / t-closeness): per-class TVD vs the
+        #     population's sensitive distribution, domain-completion
+        #     trick keeps it two aggregates + one broadcast;
+        #   source_mixture_weights — temperature-based (share^0.7)
+        #     training-mixture reweighting per source: one corpus
+        #     count, then answer-sized arithmetic;
+        #   weighted_sample_docs — PPS Bernoulli corpus subsample on
+        #     a portable 48-bit md5 uniform, incl_p exposed for
+        #     Horvitz-Thompson reweighting; exact same rows fall in
+        #     the sample in Spark and DuckDB.
+        "tcloseness_audit": _q_tcloseness_audit,  # debut r10
+        "source_mixture_weights": _q_source_mixture_weights,  # debut r10
+        "weighted_sample_docs": _q_weighted_sample_docs,  # debut r10
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8396,11 +8561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
         "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
         "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
+        # ---- below the driver's 50-row window ----
+        # the five r7-greens displaced by debuts rotate in first at r11
         "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
         "stream_stream_join": _q_stream_stream_join,  # last green: r7
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
-        # ---- below the driver's 50-row window ----
-        # the two r7-greens displaced by debuts rotate in first at r11
         "text_repetition": _q_text_repetition,  # last green: r7
         "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r7
         # r8-green cohort — inside the 3-round budget until round 12.
@@ -8675,6 +8840,9 @@ def oracle_sql() -> dict[str, str]:
         # round-10 debuts
         "touch_attribution": _TOUCH_ATTRIBUTION_ORACLE,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_ORACLE,
+        "tcloseness_audit": _TCLOSENESS_ORACLE,
+        "source_mixture_weights": _MIXTURE_ORACLE,
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

@@ -104,3 +104,111 @@ def stratified_sample(
         _HEX_DIGITS,
     )
     return df.filter(prefix < thr)
+
+
+# 48-bit uniform: 12 hex chars parse exactly into a double (2^48 <
+# 2^53), so u is BIT-IDENTICAL in any engine that has md5 + hex parse
+_U_HEX_DIGITS = 12
+_U_DENOM = float(16 ** _U_HEX_DIGITS)
+
+
+def hash_uniform(key: str | Column, salt: str = "u") -> Column:
+    """Portable deterministic uniform in [0, 1): the first 12 hex
+    chars of ``md5(salt || ':' || key)`` as a 48-bit integer over
+    2^48. Content-stable (same key → same u forever) and exactly
+    re-derivable outside Spark — DuckDB:
+    ``CAST(concat('0x', substr(md5(...), 1, 12)) AS BIGINT) /
+    281474976710656.0``. The numerator is an exact integer and the
+    denominator a power of two, so the division itself is exact IEEE
+    — no cross-engine rounding drift enters before the caller's own
+    arithmetic."""
+    c = F.col(key) if isinstance(key, str) else key
+    n = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))),
+            1,
+            _U_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return n / F.lit(_U_DENOM)
+
+
+def pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    expected_k: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sample: row ``i``
+    is kept with ``p_i = min(1, k·w_i / Σw)``, giving an expected
+    sample size of ~``k`` with long/high-weight rows preferred — the
+    corpus-subsampling pattern when quality or length should bias
+    selection (weighted by tokens, not uniform by doc). Adds
+    ``incl_p`` (the inclusion probability) so downstream estimators
+    can Horvitz-Thompson reweight (estimate Σf(x) over the FULL
+    corpus as Σ f(x)/incl_p over the sample).
+
+    Scale shape: ONE map-side-combinable aggregate for Σw (exact —
+    integer weights sum as BIGINT, so the total is bit-identical in
+    any engine before the single double division), broadcast back as
+    a 1-row frame, then a pure filter projection: no shuffle of the
+    fact table, no RNG state, decision re-derivable row-by-row
+    outside Spark (see :func:`hash_uniform`)."""
+    w = F.col(weight_col).cast("double")
+    tot = df.agg(F.sum(weight_col).cast("double").alias("_tot"))
+    p = F.least(F.lit(1.0), F.lit(float(expected_k)) * w / F.col("_tot"))
+    return (
+        df.join(F.broadcast(tot))
+        .withColumn("incl_p", p)
+        .filter(hash_uniform(key_col, salt) < F.col("incl_p"))
+        .drop("_tot")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture reweighting over a grouping column
+    (source, language): ``share_g = n_g / N``, ``weight_g ∝
+    share_g^alpha`` normalized to 1 — the exponential-smoothing
+    up/down-sampling rule multilingual and multi-source pretraining
+    mixtures use (alpha < 1 upsamples the tail, alpha = 1 keeps raw
+    shares, alpha = 0 is uniform). Output per group: ``n_docs``,
+    ``raw_share``, ``weight``, and ``boost`` (= weight/raw_share, the
+    per-group sampling factor a pipeline feeds to
+    :func:`stratified_sample`-style rate maps).
+
+    Scale shape: one map-side-combinable count aggregate collapses
+    the corpus to |groups| rows; everything after is arithmetic over
+    that answer-sized frame (two scalar broadcasts, zero extra passes
+    over the data)."""
+    n = (
+        F.sum(count_col).alias("n_docs")
+        if count_col
+        else F.count(F.lit(1)).alias("n_docs")
+    )
+    counts = df.groupBy(group_col).agg(n)
+    total = counts.agg(F.sum("n_docs").cast("double").alias("_n"))
+    shared = counts.join(F.broadcast(total)).withColumn(
+        "raw_share", F.col("n_docs").cast("double") / F.col("_n")
+    )
+    powed = shared.withColumn("_pw", F.pow("raw_share", F.lit(float(alpha))))
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.join(F.broadcast(z))
+        .select(
+            group_col,
+            "n_docs",
+            F.round("raw_share", 6).alias("raw_share"),
+            F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+            F.round(
+                (F.col("_pw") / F.col("_z")) / F.col("raw_share"), 6
+            ).alias("boost"),
+        )
+    )

@@ -336,3 +336,75 @@ def test_cooccurrence_edges_hot_bucket_cap(spark, caplog):
     full = cooccurrence_edges(df, "user_id", ["t", "m"], max_bucket_size=100)
     assert full.count() == 28 + 1
     assert not caplog.messages
+
+
+def test_hash_uniform_is_portable_and_uniform(spark):
+    """u must be exactly re-derivable in DuckDB (the oracle contract)
+    and roughly uniform."""
+    import duckdb
+
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    df = spark.range(2000).select(F.col("id"))
+    got = {
+        r["id"]: r["u"]
+        for r in df.select("id", hash_uniform("id", "t").alias("u")).collect()
+    }
+    want = {
+        int(i): u
+        for i, u in duckdb.sql(
+            "SELECT i, CAST(concat('0x', substr(md5(concat('t:', CAST(i AS VARCHAR))), 1, 12)) AS BIGINT)"
+            " / 281474976710656.0 AS u FROM range(2000) t(i)"
+        ).fetchall()
+    }
+    assert got == want  # bit-identical, not approximately equal
+    mean = sum(got.values()) / len(got)
+    assert 0.45 < mean < 0.55
+
+
+def test_pps_sample_expected_size_and_determinism(spark):
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 + 1).alias("w"),
+    )
+    s1 = pps_sample(docs, "doc_id", "w", expected_k=500)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in pps_sample(docs, "doc_id", "w", 500).collect())
+    assert ids1 == ids2  # content-stable: identical sample on re-run
+    assert 350 < len(ids1) < 650  # ~500 expected
+    # high-weight rows must be overrepresented vs low-weight rows
+    hi = sum(1 for i in ids1 if i % 100 >= 50)
+    lo = sum(1 for i in ids1 if i % 100 < 50)
+    assert hi > lo * 1.5
+    # inclusion probabilities are exposed and within (0, 1]
+    ps = [r["incl_p"] for r in s1.collect()]
+    assert all(0 < p <= 1.0 for p in ps)
+
+
+def test_mixture_weights_temperature_semantics(spark):
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "src string")
+    w = {
+        r["src"]: r
+        for r in mixture_weights(df, "src", alpha=0.5).collect()
+    }
+    assert w["big"]["raw_share"] == 0.9
+    # alpha<1 upsamples the tail: small's weight > raw share, boost > 1
+    assert w["small"]["weight"] > 0.1 and w["small"]["boost"] > 1.0
+    assert abs(w["big"]["weight"] + w["small"]["weight"] - 1.0) < 1e-5
+    # alpha=1 keeps raw shares exactly
+    w1 = {r["src"]: r for r in mixture_weights(df, "src", alpha=1.0).collect()}
+    assert w1["big"]["weight"] == 0.9 and w1["big"]["boost"] == 1.0
+    # alpha=0 is uniform
+    w0 = {r["src"]: r for r in mixture_weights(df, "src", alpha=0.0).collect()}
+    assert w0["big"]["weight"] == 0.5 and w0["small"]["weight"] == 0.5

@@ -173,3 +173,46 @@ def test_dp_noisy_counts_warns_on_test_seed(spark):
         # socket ResourceWarnings are not under test)
         warnings.simplefilter("error", UserWarning)
         dp_noisy_counts(df, ["nation"], 1.0, 7).collect()
+
+
+def test_t_closeness_hand_example(spark):
+    """TVD against a hand-computed distribution, including the
+    domain-completion term for values absent from a class."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    # global: a×4, b×2, c×2 → q = (0.5, 0.25, 0.25)
+    rows = [
+        ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "c"),
+        ("g2", "a"), ("g2", "a"), ("g2", "b"), ("g2", "c"),
+    ]
+    df = spark.createDataFrame(rows, "grp string, s string")
+    got = {
+        r["grp"]: (r["class_size"], r["n_sensitive"], r["tvd"], r["t_violation"])
+        for r in t_closeness_report(df, ["grp"], "s", t=0.1).collect()
+    }
+    # both classes have the exact global distribution → tvd = 0
+    assert got == {"g1": (4, 3, 0.0, False), "g2": (4, 3, 0.0, False)}
+
+    # skewed class: g3 all-a (p=(1,0,0)); global becomes a×8,b×2,c×2
+    # → q=(2/3,1/6,1/6); tvd(g3) = 0.5*(|1-2/3|) + 0.5*(1-2/3) = 1/3
+    rows2 = rows + [("g3", "a")] * 4
+    df2 = spark.createDataFrame(rows2, "grp string, s string")
+    got2 = {r["grp"]: r["tvd"] for r in t_closeness_report(df2, ["grp"], "s").collect()}
+    assert abs(got2["g3"] - (1 / 3)) < 1e-6
+    # g1/g2: p=(0.5,0.25,0.25) vs q=(2/3,1/6,1/6):
+    # tvd = 0.5*(1/6 + 1/12 + 1/12) = 1/6
+    assert abs(got2["g1"] - (1 / 6)) < 1e-6
+
+
+def test_t_closeness_violation_flag(spark):
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = [("g1", "a")] * 9 + [("g2", "b")]
+    df = spark.createDataFrame(rows, "grp string, s string")
+    got = {r["grp"]: r["t_violation"] for r in t_closeness_report(df, ["grp"], "s", t=0.2).collect()}
+    # g2 is all-b while global is 90% a → tvd 0.9 > 0.2
+    assert got["g2"] is True and got["g1"] is False
