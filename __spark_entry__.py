@@ -8432,6 +8432,101 @@ _WEIGHTED_SAMPLE_ORACLE = """
 """
 
 
+def _q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-cleaning funnel (round-10 debut): five chained
+    quality gates (token floor/ceiling, punctuation flood, stopword
+    density, mean-token-length band) with per-gate attrition — which
+    gate is eating the corpus, not just the end-to-end keep rate.
+    Shape (operators/text.py:quality_gate_funnel): ONE corpus pass
+    computes all gate booleans + cumulative conjunctions in a single
+    projection, ONE map-side-combinable aggregate lands the (1-row)
+    cumulative counts, and the funnel rows unpivot from that
+    answer-sized row — adding a gate costs one conditional sum, never
+    another 100 TB pass. Gate expressions are the SAME deterministic
+    columns text_quality publishes, so the oracle reuses its proven
+    SQL fragments."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        quality_gate_funnel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return quality_gate_funnel(docs).orderBy("stage")
+
+
+def _quality_funnel_oracle() -> str:
+    return rf"""
+    WITH t AS (
+        SELECT
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_toks,
+            CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                / NULLIF(length(text), 0) AS p_ratio,
+            string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT n_toks, p_ratio,
+            CAST(len(list_filter(toks, x -> list_contains({_sw_list_sql('en')}, x))) AS DOUBLE)
+                / NULLIF(len(toks), 0) AS sw_ratio,
+            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / NULLIF(len(toks), 0) AS mean_len
+        FROM t
+    ),
+    g AS (
+        SELECT
+            COALESCE(n_toks >= 5, FALSE) AS c1,
+            COALESCE(n_toks >= 5, FALSE)
+              AND COALESCE(n_toks <= 5000, FALSE) AS c2,
+            COALESCE(n_toks >= 5, FALSE)
+              AND COALESCE(n_toks <= 5000, FALSE)
+              AND COALESCE(p_ratio < 0.3, FALSE) AS c3,
+            COALESCE(n_toks >= 5, FALSE)
+              AND COALESCE(n_toks <= 5000, FALSE)
+              AND COALESCE(p_ratio < 0.3, FALSE)
+              AND COALESCE(sw_ratio >= 0.02, FALSE) AS c4,
+            COALESCE(n_toks >= 5, FALSE)
+              AND COALESCE(n_toks <= 5000, FALSE)
+              AND COALESCE(p_ratio < 0.3, FALSE)
+              AND COALESCE(sw_ratio >= 0.02, FALSE)
+              AND COALESCE(mean_len >= 2.0 AND mean_len <= 12.0, FALSE) AS c5
+        FROM m
+    ),
+    a AS (
+        SELECT COUNT(*) AS n0,
+               CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        FROM g
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage, 'min_tokens' AS gate, n0 AS n_in, n1 AS n_pass,
+               ROUND(CAST(n1 AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0), 6) AS pass_rate
+        FROM a
+        UNION ALL
+        SELECT 2, 'max_tokens', n1, n2,
+               ROUND(CAST(n2 AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0), 6)
+        FROM a
+        UNION ALL
+        SELECT 3, 'punct_ratio', n2, n3,
+               ROUND(CAST(n3 AS DOUBLE) / NULLIF(CAST(n2 AS DOUBLE), 0), 6)
+        FROM a
+        UNION ALL
+        SELECT 4, 'stopword_ratio', n3, n4,
+               ROUND(CAST(n4 AS DOUBLE) / NULLIF(CAST(n3 AS DOUBLE), 0), 6)
+        FROM a
+        UNION ALL
+        SELECT 5, 'mean_token_len', n4, n5,
+               ROUND(CAST(n5 AS DOUBLE) / NULLIF(CAST(n4 AS DOUBLE), 0), 6)
+        FROM a
+    ) ORDER BY stage
+"""
+
+
+_QUALITY_FUNNEL_ORACLE = _quality_funnel_oracle()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8520,6 +8615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tcloseness_audit": _q_tcloseness_audit,  # debut r10
         "source_mixture_weights": _q_source_mixture_weights,  # debut r10
         "weighted_sample_docs": _q_weighted_sample_docs,  # debut r10
+        #   quality_gate_funnel — C4-style corpus-cleaning funnel:
+        #     per-gate attrition over five chained quality gates, one
+        #     corpus pass + one answer-sized aggregate.
+        "quality_gate_funnel": _q_quality_gate_funnel,  # debut r10
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8560,9 +8659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r7
         "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
         "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
-        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
         # ---- below the driver's 50-row window ----
-        # the five r7-greens displaced by debuts rotate in first at r11
+        # the six r7-greens displaced by debuts rotate in first at r11
+        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
         "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
         "stream_stream_join": _q_stream_stream_join,  # last green: r7
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
@@ -8843,6 +8942,7 @@ def oracle_sql() -> dict[str, str]:
         "tcloseness_audit": _TCLOSENESS_ORACLE,
         "source_mixture_weights": _MIXTURE_ORACLE,
         "weighted_sample_docs": _WEIGHTED_SAMPLE_ORACLE,
+        "quality_gate_funnel": _QUALITY_FUNNEL_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

@@ -476,3 +476,73 @@ def word_bigrams(col: str | Column) -> Column:
     return F.when(
         (F.trim(c) == "") | (F.size(w) < 2), F.array().cast("array<string>")
     ).otherwise(pairs)
+
+
+def quality_gate_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    gates: list[tuple[str, Column]] | None = None,
+) -> DataFrame:
+    """C4-style document-quality filtering funnel: chain the quality
+    gates in order and report per-gate attrition — ``(stage, gate,
+    n_in, n_pass, pass_rate)``, where each gate's ``n_in`` is the
+    previous gate's ``n_pass``. The report every corpus-cleaning
+    pipeline publishes before training: WHICH gate is eating the
+    corpus, not just the end-to-end keep rate.
+
+    Default gates (all deterministic expressions shared with
+    :func:`quality_score` / the text_quality oracle): a token-count
+    floor and ceiling, a punctuation-flood ceiling, a stopword-density
+    floor, and a mean-token-length band. A NULL/failing-to-evaluate
+    gate counts as FAIL (filters must be conservative).
+
+    Scale shape: ONE corpus pass computes every gate boolean and the
+    cumulative conjunctions in a single projection; ONE
+    map-side-combinable aggregate produces the (1-row) cumulative
+    counts; the funnel rows unpivot from that answer-sized row — no
+    per-gate re-scan, no shuffle beyond the count's partial-agg
+    exchange. Adding a gate costs one more conditional sum, never
+    another pass over 100 TB."""
+    c = F.col(text_col)
+    if gates is None:
+        toks = token_count(c)
+        mlen = mean_token_length(c)
+        gates = [
+            ("min_tokens", toks >= 5),
+            ("max_tokens", toks <= 5000),
+            ("punct_ratio", punct_ratio(c) < 0.3),
+            ("stopword_ratio", stopword_ratio(c) >= 0.02),
+            ("mean_token_len", (mlen >= 2.0) & (mlen <= 12.0)),
+        ]
+    cum = None
+    sums = []
+    for i, (_, g) in enumerate(gates):
+        passed = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
+        cum = passed if cum is None else (cum & passed)
+        sums.append(F.sum(cum.cast("long")).alias(f"_n{i + 1}"))
+    agg = docs.agg(F.count(F.lit(1)).alias("_n0"), *sums)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("gate"),
+                F.col(f"_n{i}").alias("n_in"),
+                F.col(f"_n{i + 1}").alias("n_pass"),
+            )
+            for i, (name, _) in enumerate(gates)
+        ]
+    )
+    return (
+        agg.select(F.explode(stages).alias("_s"))
+        .select("_s.*")
+        .withColumn(
+            "pass_rate",
+            F.round(
+                F.try_divide(
+                    F.col("n_pass").cast("double"),
+                    F.col("n_in").cast("double"),
+                ),
+                6,
+            ),
+        )
+    )

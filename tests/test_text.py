@@ -224,3 +224,35 @@ def test_language_id_bulk_tie_and_und_cases(spark):
     assert bulk == per_row
     assert bulk[2] == "und" and bulk[4] == "und"
     assert bulk[6] is None  # NULL-in → NULL-out on both paths
+
+
+def test_quality_gate_funnel_hand_example(spark):
+    """Chained gates: each stage's n_in is the previous n_pass, NULL
+    text fails conservatively, and a doc failing an early gate never
+    reaches later ones."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        quality_gate_funnel,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat with a dog today"),  # passes all
+        (2, "hi"),                                        # fails min_tokens
+        (3, None),                                        # NULL → fails gate 1
+        (4, "the " + "!!!! " * 20),                       # punct flood
+        (5, "zz qq ww ee rr tt yy uu"),                   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["gate"]: (r["stage"], r["n_in"], r["n_pass"], r["pass_rate"])
+        for r in quality_gate_funnel(df).collect()
+    }
+    assert got["min_tokens"] == (1, 5, 3, 0.6)   # docs 1, 4, 5 pass
+    assert got["max_tokens"][1:3] == (3, 3)
+    assert got["punct_ratio"][1:3] == (3, 2)     # doc 4 drops
+    assert got["stopword_ratio"][1:3] == (2, 1)  # doc 5 drops
+    assert got["mean_token_len"][1:3] == (1, 1)  # doc 1 survives
+    # funnel chaining: each n_in equals the previous gate's n_pass
+    ordered = sorted(got.values())
+    assert all(
+        ordered[i + 1][1] == ordered[i][2] for i in range(len(ordered) - 1)
+    )
