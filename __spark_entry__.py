@@ -8432,6 +8432,34 @@ _WEIGHTED_SAMPLE_ORACLE = """
 """
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (round-10 debut; rows-only:
+    k-means is iterative, not SQL — planted-twin exactness, no-dup
+    identity, and rerun determinism pinned in test_similarity.py):
+    cluster the embedding space with the IVF coarse quantizer, then
+    drop the more-cluster-typical member of every within-cell pair
+    above cosine 0.98 (keep-the-lowest-centroid-similarity, Abbas et
+    al. 2023). Planted twins (×1.01) make the expected answer exact:
+    every twin pair loses exactly one member. The quadratic compare
+    is confined to cluster cells — at 100 TB, n_clusters scales with
+    the corpus so cells stay bounded and candidate generation remains
+    a cluster-keyed self-join, never corpus×corpus."""
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
+    return semantic_dedup(
+        emb.unionByName(twins), threshold=0.98, n_clusters=16
+    ).orderBy("vec_id")
+
+
 def _q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-cleaning funnel (round-10 debut): five chained
     quality gates (token floor/ceiling, punctuation flood, stopword
@@ -8619,6 +8647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     per-gate attrition over five chained quality gates, one
         #     corpus pass + one answer-sized aggregate.
         "quality_gate_funnel": _q_quality_gate_funnel,  # debut r10
+        #   semantic_dedup — SemDeDup (cluster-then-dedup-within-cell,
+        #     keep the least-typical member): rows-only (k-means is
+        #     iterative), planted-twin exactness pinned in tests.
+        "semantic_dedup": _q_semantic_dedup,  # debut r10 (rows-only)
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8658,9 +8690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": _q_salted_join_revenue,  # last green: r7
         "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r7
         "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
-        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
         # ---- below the driver's 50-row window ----
-        # the six r7-greens displaced by debuts rotate in first at r11
+        # the seven r7-greens displaced by debuts rotate in first at r11
+        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
         "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
         "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
         "stream_stream_join": _q_stream_stream_join,  # last green: r7

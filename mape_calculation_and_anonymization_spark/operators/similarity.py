@@ -238,3 +238,98 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    pairs ONLY within a cluster, and for every semantic-duplicate
+    pair (cosine ≥ τ) drop the member more typical of its cluster —
+    SemDeDup's keep-the-LOWEST-centroid-similarity rule, which
+    preserves the diverse tail instead of the redundant core. Returns
+    one row per vector: ``(id, cluster, centroid_sim, kept)``.
+
+    Keep rule, exactly: a vector is dropped iff SOME in-cluster
+    duplicate partner precedes it in ``(centroid_sim, id)`` order —
+    the local-minimum trick (same shape as dedup_keep_best's
+    keep-argmin): every ε-ball duplicate group keeps its minimal
+    member deterministically, with the id tie-break making reruns
+    byte-stable.
+
+    Scale shape — the whole point of SemDeDup over all-pairs: the
+    quadratic compare is confined to cluster cells (expected cell
+    size n/k; pick ``n_clusters`` ∝ corpus size to bound cells), so
+    candidate generation is a cluster-keyed self-join, never a
+    corpus×corpus product. Clustering reuses the IVF coarse
+    quantizer (operators/ivf.py:build_ivf_index — bounded-iteration
+    distributed KMeans); centroids broadcast. Rows-only by design:
+    k-means is iterative, not SQL."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    assigned, centroids = build_ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_clusters=n_clusters, seed=seed,
+    )
+    scored = (
+        assigned.join(F.broadcast(centroids), "cluster")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            "cluster",
+            F.round(
+                cosine(F.col(vec_col), F.col("centroid")), 6
+            ).alias("centroid_sim"),
+        )
+        # both sides of the cell-keyed self-join consume this frame;
+        # the barrier stops the KMeans assignment re-running per side
+        .localCheckpoint(eager=True)
+    )
+    l = scored.select(
+        "cluster",
+        F.col("_id").alias("_id_a"),
+        F.col("_v").alias("_va"),
+        F.col("centroid_sim").alias("_cs_a"),
+    )
+    r = scored.select(
+        "cluster",
+        F.col("_id").alias("_id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("centroid_sim").alias("_cs_b"),
+    )
+    # a vector is dominated iff an in-cluster duplicate partner
+    # precedes it in (centroid_sim, id) order
+    dominated = (
+        l.join(
+            r,
+            on=[
+                l["cluster"] == r["cluster"],
+                (F.struct(l["_cs_a"], l["_id_a"]) < F.struct(r["_cs_b"], r["_id_b"])),
+            ],
+        )
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_id_b").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            dominated, scored["_id"] == dominated["_dropped"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )

@@ -274,3 +274,56 @@ def test_ivf_recall_curve_sets_match_ivf_top_k(spark):
             ).collect()
         }
         assert curve[p] == len(via_op & exact)
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """Each planted twin pair (cosine ≈ 1, same cell by construction)
+    must lose exactly one member; vectors with no near-duplicate all
+    survive; reruns are byte-stable."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(twins)
+    out = semantic_dedup(corpus, threshold=0.98, n_clusters=8).collect()
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    n_base = emb.count()
+    assert len(out) == 2 * n_base
+    # exactly one of each twin pair survives (no other pair reaches
+    # 0.98 — max non-twin cosine on this data is ~0.5)
+    for r in out:
+        vid = r["vec_id"]
+        twin = vid - 1_000_000 if vid >= 1_000_000 else vid + 1_000_000
+        assert (vid in kept) != (twin in kept), f"twin pair {vid}/{twin}"
+    assert len(kept) == n_base
+    # deterministic rerun
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_dedup(corpus, threshold=0.98, n_clusters=8).collect()
+        if r["kept"]
+    }
+    assert kept == kept2
+
+
+def test_semantic_dedup_no_duplicates_keeps_everything(spark):
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(emb, threshold=0.98, n_clusters=8).collect()
+    assert all(r["kept"] for r in out)
+    assert len(out) == emb.count()
