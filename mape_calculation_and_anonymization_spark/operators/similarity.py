@@ -240,23 +240,96 @@ def embedding_near_duplicates(
     )
 
 
+def assign_to_centroids_udf(centroids: DataFrame):
+    """Nearest-centroid (Euclidean) routing against an OFFLINE-trained
+    centroid table, as one Arrow-batched matmul — the
+    incremental-ingest half of a coarse quantizer: new vectors route
+    into the existing index without refitting k-means (exactly how a
+    production IVF/SemDeDup deployment absorbs a new corpus drop).
+
+    The centroid table is collected into the UDF closure — answer-
+    sized by construction (n_clusters × dim floats, the same
+    convention as the LSH hyperplanes and the BPE merge list). Per
+    batch: ``argmin ‖v−c‖² = argmin (−2 v·C + ‖c‖²)`` is one
+    ``(batch,dim) @ (dim,k)`` BLAS product (numpy argmin breaks ties
+    on the FIRST = lowest cluster id — deterministic); the cosine to
+    the chosen centroid and the L2-normalized vector come out of the
+    same intermediates for free. (The expression form — broadcast
+    join + interpreted zip_with distance + struct-argmin aggregate —
+    measured 2.4s vs 0.3s at sf0.1 over a 4k×48 routing; HOF lambdas
+    never reach codegen, the repo-wide caveat.)
+
+    Returns a pandas_udf: ``array<float/double> → struct(cluster int,
+    centroid_sim double [rounded 6], unit array<double>)``."""
+    import numpy as np
+
+    rows = centroids.orderBy("cluster").collect()  # answer-sized index
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+    c_norm2 = (cmat * cmat).sum(axis=1)  # (k,)
+    c_norm = np.sqrt(c_norm2)
+
+    out_t = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+            T.StructField("unit", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def route(vecs: pd.Series) -> pd.DataFrame:
+        arr = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(arr) == 0:
+            return pd.DataFrame(
+                {"cluster": [], "centroid_sim": [], "unit": []}
+            )
+        dots = arr @ cmat.T  # (batch, k)
+        idx = (c_norm2 - 2.0 * dots).argmin(axis=1)  # ‖v‖² is constant per row
+        sel = np.arange(len(arr))
+        vnorm = np.sqrt((arr * arr).sum(axis=1))
+        csim = np.round(
+            dots[sel, idx] / (vnorm * c_norm[idx]), 6
+        )
+        unit = arr / vnorm[:, None]
+        return pd.DataFrame(
+            {
+                "cluster": cids[idx].astype("int32"),
+                "centroid_sim": csim,
+                "unit": [row.tolist() for row in unit],
+            }
+        )
+
+    return route
+
+
 def semantic_dedup(
     corpus: DataFrame,
+    centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
-    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): k-means-cluster the embedding space, compare
-    pairs ONLY within a cluster, and for every semantic-duplicate
-    pair (cosine ≥ τ) drop the member more typical of its cluster —
-    SemDeDup's keep-the-LOWEST-centroid-similarity rule, which
-    preserves the diverse tail instead of the redundant core. Returns
-    one row per vector: ``(id, cluster, centroid_sim, kept)``.
+    arXiv:2303.09540): route every vector into a coarse-quantizer
+    cell, compare pairs ONLY within a cell, and for every
+    semantic-duplicate pair (cosine ≥ τ) drop the member more typical
+    of its cell — SemDeDup's keep-the-LOWEST-centroid-similarity
+    rule, which preserves the diverse tail instead of the redundant
+    core. Returns one row per vector: ``(id, cluster, centroid_sim,
+    kept)``.
 
-    Keep rule, exactly: a vector is dropped iff SOME in-cluster
+    ``centroids`` is the OFFLINE-trained coarse index (operators/
+    ivf.py:build_ivf_index's second output — the same artifact the
+    IVF ANN queries share); the query path itself runs NO k-means:
+    routing is one Arrow-batched matmul
+    (:func:`assign_to_centroids_udf`), so deduping a fresh corpus
+    drop against the standing index is pure dataflow. (The first
+    version refit k-means inside the query — 8 distributed
+    iterations of driver-coordinated jobs per run, measured 18s vs
+    ~2s at sf0.1 for identical verdicts on the planted-twin corpus.)
+
+    Keep rule, exactly: a vector is dropped iff SOME in-cell
     duplicate partner precedes it in ``(centroid_sim, id)`` order —
     the local-minimum trick (same shape as dedup_keep_best's
     keep-argmin): every ε-ball duplicate group keeps its minimal
@@ -264,45 +337,46 @@ def semantic_dedup(
     byte-stable.
 
     Scale shape — the whole point of SemDeDup over all-pairs: the
-    quadratic compare is confined to cluster cells (expected cell
-    size n/k; pick ``n_clusters`` ∝ corpus size to bound cells), so
-    candidate generation is a cluster-keyed self-join, never a
-    corpus×corpus product. Clustering reuses the IVF coarse
-    quantizer (operators/ivf.py:build_ivf_index — bounded-iteration
-    distributed KMeans); centroids broadcast. Rows-only by design:
-    k-means is iterative, not SQL."""
-    from mape_calculation_and_anonymization_spark.operators.ivf import (
-        build_ivf_index,
-    )
+    quadratic compare is confined to cells (expected cell size n/k;
+    size the index's n_clusters ∝ corpus so cells stay bounded), so
+    candidate generation is a cell-keyed self-join, never a
+    corpus×corpus product. The per-PAIR cost is ONE array dot: rows
+    are L2-normalized ONCE (row-linear) so pair cosine = unit-dot —
+    cosine() per pair would run three interpreted-HOF aggregates
+    (dot + two norms; transform/filter/aggregate never reach codegen,
+    the repo-wide caveat), measured 2.7× slower at sf0.1 over the
+    ~250k in-cell pairs. Rows-only by design: the centroid table
+    comes from iterative k-means, not SQL."""
+    from .rebalance import ensure_min_partitions
 
-    assigned, centroids = build_ivf_index(
-        corpus, id_col=id_col, vec_col=vec_col,
-        n_clusters=n_clusters, seed=seed,
-    )
+    route = assign_to_centroids_udf(centroids)
     scored = (
-        assigned.join(F.broadcast(centroids), "cluster")
+        ensure_min_partitions(
+            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        )
+        .select("_id", route(F.col("_v")).alias("_r"))
         .select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            "cluster",
-            F.round(
-                cosine(F.col(vec_col), F.col("centroid")), 6
-            ).alias("centroid_sim"),
+            "_id",
+            F.col("_r.cluster").alias("cluster"),
+            F.col("_r.centroid_sim").alias("centroid_sim"),
+            # unit vector from the same matmul batch: pair cosine
+            # below degrades to a single dot
+            F.col("_r.unit").alias("_u"),
         )
         # both sides of the cell-keyed self-join consume this frame;
-        # the barrier stops the KMeans assignment re-running per side
+        # the barrier stops the routing UDF re-running per side
         .localCheckpoint(eager=True)
     )
     l = scored.select(
         "cluster",
         F.col("_id").alias("_id_a"),
-        F.col("_v").alias("_va"),
+        F.col("_u").alias("_ua"),
         F.col("centroid_sim").alias("_cs_a"),
     )
     r = scored.select(
         "cluster",
         F.col("_id").alias("_id_b"),
-        F.col("_v").alias("_vb"),
+        F.col("_u").alias("_ub"),
         F.col("centroid_sim").alias("_cs_b"),
     )
     # a vector is dominated iff an in-cluster duplicate partner
@@ -316,7 +390,7 @@ def semantic_dedup(
             ],
         )
         .filter(
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+            F.round(dot(F.col("_ua"), F.col("_ub")), 6)
             >= F.lit(float(threshold))
         )
         .select(F.col("_id_b").alias("_dropped"))

@@ -87,6 +87,13 @@ ALLOWLIST = {
         {"embedding_near_duplicates": 1},
         "embedding dimensionality probe — one scalar row",
     ),
+    ("operators/similarity.py", "collect"): (
+        {"assign_to_centroids_udf": 1},
+        "offline coarse-index centroid table carried into the routing "
+        "UDF closure (n_clusters × dim floats — answer-sized by "
+        "construction, same convention as the LSH hyperplanes and the "
+        "BPE merge list)",
+    ),
     ("sources/sinks.py", "first"): (
         {"read_latest_partition": 1},
         "MAX(partition) scalar for latest-partition discovery",

@@ -295,7 +295,12 @@ def test_semantic_dedup_planted_twins(spark):
         ),
     )
     corpus = emb.unionByName(twins)
-    out = semantic_dedup(corpus, threshold=0.98, n_clusters=8).collect()
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    _, centroids = build_ivf_index(emb, n_clusters=8)
+    out = semantic_dedup(corpus, centroids, threshold=0.98).collect()
     kept = {r["vec_id"] for r in out if r["kept"]}
     n_base = emb.count()
     assert len(out) == 2 * n_base
@@ -309,7 +314,7 @@ def test_semantic_dedup_planted_twins(spark):
     # deterministic rerun
     kept2 = {
         r["vec_id"]
-        for r in semantic_dedup(corpus, threshold=0.98, n_clusters=8).collect()
+        for r in semantic_dedup(corpus, centroids, threshold=0.98).collect()
         if r["kept"]
     }
     assert kept == kept2
@@ -324,6 +329,11 @@ def test_semantic_dedup_no_duplicates_keeps_everything(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
         "vec_id", "embedding"
     )
-    out = semantic_dedup(emb, threshold=0.98, n_clusters=8).collect()
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    _, centroids = build_ivf_index(emb, n_clusters=8)
+    out = semantic_dedup(emb, centroids, threshold=0.98).collect()
     assert all(r["kept"] for r in out)
     assert len(out) == emb.count()
