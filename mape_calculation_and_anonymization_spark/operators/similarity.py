@@ -352,7 +352,13 @@ def semantic_dedup(
     route = assign_to_centroids_udf(centroids)
     scored = (
         ensure_min_partitions(
-            corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            # NULL vectors carry no semantic content to dedup against —
+            # drop them BEFORE the routing UDF (np.asarray(None) would
+            # raise inside the executor; same guard class as ADVICE
+            # r9's bpe_encode_words null-word fix)
+            corpus.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
         )
         .select("_id", route(F.col("_v")).alias("_r"))
         .select(

@@ -337,3 +337,23 @@ def test_semantic_dedup_no_duplicates_keeps_everything(spark):
     out = semantic_dedup(emb, centroids, threshold=0.98).collect()
     assert all(r["kept"] for r in out)
     assert len(out) == emb.count()
+
+
+def test_semantic_dedup_null_vectors_dropped(spark):
+    """NULL embeddings are excluded before the routing UDF rather
+    than crashing the executor batch."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    _, centroids = build_ivf_index(base.filter("embedding IS NOT NULL"), n_clusters=2)
+    out = semantic_dedup(base, centroids, threshold=0.98).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert all(r["kept"] for r in out)
