@@ -8568,6 +8568,118 @@ def _quality_funnel_oracle() -> str:
 _QUALITY_FUNNEL_ORACLE = _quality_funnel_oracle()
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (round-10 debut): the fraction of
+    each doc's distinct 5-token shingles whose FIRST corpus
+    occurrence (by ascending doc_id — ingestion order) is that doc.
+    The forward-looking complement of text_dup_spans: dup_spans asks
+    "how much of this doc appears elsewhere", novelty asks "how much
+    NEW text does this doc contribute" — the signal an incremental
+    corpus-growth pipeline ranks new drops by. Shape
+    (operators/text.py:ngram_novelty): explode → min(doc_id) per
+    shingle (map-side-combinable) → shingle-keyed join back → per-doc
+    rollup — the tf-idf plan shape."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return ngram_novelty(docs, n=5).orderBy("doc_id")
+
+
+_NGRAM_NOVELTY_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM documents
+    ),
+    sh_long AS (
+        SELECT doc_id, array_to_string(raw[i+1:i+5], ' ') AS shingle
+        FROM t, LATERAL unnest(
+            range(0, GREATEST(len(raw) - 4, 0))
+        ) AS u(i)
+    ),
+    sh_short AS (
+        SELECT doc_id, array_to_string(raw, ' ') AS shingle
+        FROM t WHERE len(raw) < 5
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short
+        )
+    ),
+    f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_distinct_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+    FROM sh s JOIN f USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""
+
+
+def _q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / CDC-apply (round-10 debut): upsert a derived
+    update batch (5% balance revision for every 10th customer —
+    carrying NULL segment to exercise the SPARSE update rule — plus
+    synthetic inserts for every 100th) into the customer snapshot,
+    with the per-row action audit column (updated/inserted/
+    unchanged) every CDC-apply job reports. Shape
+    (operators/joins.py:merge_upsert): ONE full-outer shuffle on the
+    merge key + a codegen'd coalesce projection — `MERGE INTO` for
+    engines without a native one; at 100 TB the update batch is
+    usually dim-sized and broadcasts."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    revisions = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 1.05, 2).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),  # sparse
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(
+        cust, revisions.unionByName(inserts), "c_custkey"
+    ).orderBy("c_custkey")
+
+
+_MERGE_UPSERT_ORACLE = """
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               ROUND(c_acctbal * 1.05, 2) AS c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           CASE WHEN t.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+                     THEN 'updated'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'unchanged' END AS action
+    FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+    ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8664,6 +8776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     keep the least-typical member): rows-only (k-means is
         #     iterative), planted-twin exactness pinned in tests.
         "semantic_dedup": _q_semantic_dedup,  # debut r10 (rows-only)
+        #   ngram_novelty — forward-looking dedup signal: fraction of
+        #     a doc's distinct 5-grams FIRST seen in that doc;
+        #   merge_upsert_snapshot — batch MERGE/CDC-apply as one
+        #     full-outer + coalesce, with the action audit column.
+        "ngram_novelty": _q_ngram_novelty,  # debut r10
+        "merge_upsert_snapshot": _q_merge_upsert_snapshot,  # debut r10
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8701,10 +8819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q_q9_product_profit,  # last green: r7
         "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r7
         "salted_join_revenue": _q_salted_join_revenue,  # last green: r7
+        # ---- below the driver's 50-row window ----
+        # the nine r7-greens displaced by debuts rotate in first at r11
         "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r7
         "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
-        # ---- below the driver's 50-row window ----
-        # the seven r7-greens displaced by debuts rotate in first at r11
         "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
         "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
         "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
@@ -8988,6 +9106,8 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_weights": _MIXTURE_ORACLE,
         "weighted_sample_docs": _WEIGHTED_SAMPLE_ORACLE,
         "quality_gate_funnel": _QUALITY_FUNNEL_ORACLE,
+        "ngram_novelty": _NGRAM_NOVELTY_ORACLE,
+        "merge_upsert_snapshot": _MERGE_UPSERT_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

@@ -353,3 +353,60 @@ def touch_attribution(
         F.col("_last._t_ts").alias("last_touch_ts"),
         "n_touches",
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    action_col: str = "action",
+) -> DataFrame:
+    """Batch MERGE (upsert) expressed as pure dataflow: full-outer
+    join on ``key``; matched rows take the UPDATE side's values,
+    unmatched update rows INSERT, unmatched target rows pass through
+    UNCHANGED — `MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT
+    MATCHED THEN INSERT` for engines/table-formats without a native
+    MERGE, plus an ``action`` audit column (updated/inserted/
+    unchanged) every CDC-apply job wants to report. Both inputs must
+    share a schema (asserted eagerly — a silent column mismatch
+    would coalesce the wrong values).
+
+    Update semantics are SPARSE: a NULL field in an update row
+    inherits the target's value (coalesce update-first), so partial
+    updates don't wipe columns; to explicitly null a field, model it
+    as a sentinel upstream. Inserted rows keep their NULLs (no target
+    to inherit from).
+
+    Scale shape: ONE full-outer shuffle on the merge key (broadcast
+    if the update batch is dim-sized — Catalyst picks it up from
+    statistics or an explicit broadcast() on the caller's side); the
+    coalesce projection is codegen'd. The snapshot-swap write
+    (write merged → atomic rename) is the same pattern the key-table
+    upsert uses (operators/keys.py)."""
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert: target columns {sorted(target.columns)} != "
+            f"update columns {sorted(updates.columns)} — both sides must "
+            "share a schema"
+        )
+    value_cols = [c for c in target.columns if c != key]
+    t = target.select(
+        F.col(key).alias("_tk"), *[F.col(c).alias(f"_t_{c}") for c in value_cols]
+    )
+    u = updates.select(
+        F.col(key).alias("_uk"), *[F.col(c).alias(f"_u_{c}") for c in value_cols]
+    )
+    joined = t.join(u, t["_tk"] == u["_uk"], "full_outer")
+    action = (
+        F.when(F.col("_tk").isNotNull() & F.col("_uk").isNotNull(), "updated")
+        .when(F.col("_tk").isNull(), "inserted")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce("_tk", "_uk").alias(key),
+        *[
+            F.coalesce(F.col(f"_u_{c}"), F.col(f"_t_{c}")).alias(c)
+            for c in value_cols
+        ],
+        action.alias(action_col),
+    )

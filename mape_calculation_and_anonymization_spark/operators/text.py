@@ -546,3 +546,62 @@ def quality_gate_funnel(
             ),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came
+    before it (by ascending id — ingestion order): the fraction of
+    the doc's distinct n-token shingles whose FIRST corpus occurrence
+    is this doc. The forward-looking complement of the duplicated-
+    span statistic: dup_spans asks "how much of this doc appears
+    elsewhere", novelty asks "how much NEW text does this doc
+    contribute" — the signal an incremental corpus-growth pipeline
+    ranks new drops by (near-zero novelty → the drop re-ships what
+    the corpus already has).
+
+    Semantics: shingles are :func:`~...operators.dedup.word_ngrams`
+    (distinct per doc, lowercased, short docs contribute their whole
+    text as one gram); a shingle is NOVEL in the doc with the
+    minimal id containing it. Ties cannot occur (min is unique per
+    shingle).
+
+    Scale shape — NO corpus-sized join back: because each doc's
+    shingles are distinct, ``n_novel(doc) = |{shingles whose min id
+    == doc}|`` is derivable from the min-aggregate ALONE (count its
+    rows per winner), so the plan is one explode feeding two
+    map-side-combinable aggregates (per-doc totals, per-shingle min
+    → per-doc novel counts) and a final doc-keyed join of two
+    ANSWER-SIZED per-doc frames. The tf-idf-style shingle-keyed join
+    back of (doc, shingle) rows would reshuffle the exploded corpus
+    a second time for nothing."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        word_ngrams,
+    )
+
+    sh = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n=n)).alias("_sh")
+    )
+    totals = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles")
+    )
+    novel = (
+        sh.groupBy("_sh")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_novel"))
+    )
+    return totals.join(novel, id_col, "left").select(
+        id_col,
+        "n_distinct_shingles",
+        F.coalesce("_n_novel", F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce("_n_novel", F.lit(0)).cast("double")
+            / F.col("n_distinct_shingles").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

@@ -270,3 +270,44 @@ def test_touch_attribution_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     n_conv = ev.filter(F.col("event_type") == "purchase").count()
     assert out.count() == n_conv  # exactly one row per conversion
+
+
+def test_merge_upsert_hand_example(spark):
+    """MERGE semantics: matched rows take update values (sparse —
+    NULL update fields inherit target), unmatched updates insert,
+    untouched target rows pass through unchanged."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, v double, tag string",
+    )
+    updates = spark.createDataFrame(
+        [(2, 99.0, None), (4, 40.0, "d")],
+        "k long, v double, tag string",
+    )
+    got = {
+        r["k"]: (r["v"], r["tag"], r["action"])
+        for r in merge_upsert(target, updates, "k").collect()
+    }
+    assert got == {
+        1: (10.0, "a", "unchanged"),
+        2: (99.0, "b", "updated"),   # sparse: NULL tag inherits target's
+        3: (30.0, "c", "unchanged"),
+        4: (40.0, "d", "inserted"),
+    }
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    u = spark.createDataFrame([(1, 1.0)], "k long, other double")
+    with pytest.raises(ValueError, match="share a schema"):
+        merge_upsert(t, u, "k")

@@ -256,3 +256,28 @@ def test_quality_gate_funnel_hand_example(spark):
     assert all(
         ordered[i + 1][1] == ordered[i][2] for i in range(len(ordered) - 1)
     )
+
+
+def test_ngram_novelty_hand_example(spark):
+    """First-occurrence attribution by ascending doc id; repeats are
+    not novel; short docs contribute their whole text as one gram."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    s = "alpha bravo charlie delta echo"  # exactly one 5-gram
+    rows = [
+        (1, s),                       # novel: first to ship the gram
+        (2, s),                       # 0 novel: re-ships doc 1's gram
+        (3, s + " foxtrot"),          # 2 grams: one old, one new
+        (4, "tiny doc"),              # short: whole text, novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_distinct_shingles"], r["n_novel"], r["novelty_rate"])
+        for r in ngram_novelty(df, n=5).collect()
+    }
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (2, 1, 0.5)
+    assert got[4] == (1, 1, 1.0)
