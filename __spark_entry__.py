@@ -1892,10 +1892,20 @@ def _ensure_fixture_lock_keepalive() -> None:
         while True:
             time.sleep(_FIXTURE_LOCK_KEEPALIVE_S)
             for p in list(_FIXTURE_BUILD_LOCKS):
+                fd = _FIXTURE_BUILD_LOCKS.get(p)
+                if fd is None:
+                    continue
                 try:
-                    os.utime(p.rstrip("/") + ".lock")
-                except OSError:
-                    pass
+                    # touch the held FD's inode, never the path: if a
+                    # pathological break/restore cycle left another
+                    # session's lock at the path, a path-utime would
+                    # heartbeat THEIR lock on our behalf
+                    os.utime(fd)
+                except (OSError, TypeError):
+                    try:
+                        os.utime(p.rstrip("/") + ".lock")
+                    except OSError:
+                        pass
 
     threading.Thread(
         target=_beat, name="fixture-lock-keepalive", daemon=True
@@ -1958,7 +1968,13 @@ def _fixture_ready(path: str) -> bool:
         return False
     lock = path.rstrip("/") + ".lock"
     os.makedirs(os.path.dirname(lock), exist_ok=True)
+    # The soft deadline restarts whenever the holder's heartbeat is
+    # fresh — a legitimate build may run far past one stale window
+    # (the keepalive refreshes mtime every _FIXTURE_LOCK_KEEPALIVE_S,
+    # so waiters must not give up while beats keep landing). The hard
+    # deadline bounds the pathological wedged-but-alive holder.
     deadline = time.monotonic() + _FIXTURE_LOCK_STALE_S + 60.0
+    hard_deadline = time.monotonic() + 6.0 * _FIXTURE_LOCK_STALE_S
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1971,6 +1987,12 @@ def _fixture_ready(path: str) -> bool:
                 age = time.time() - os.stat(lock).st_mtime
             except FileNotFoundError:
                 continue  # holder just released; retry immediately
+            if age <= _FIXTURE_LOCK_STALE_S:
+                # fresh heartbeat: the holder is making progress —
+                # restart the soft deadline (ADVICE follow-up: the
+                # fixed deadline timed out waiters on exactly the
+                # long builds the keepalive was added to protect)
+                deadline = time.monotonic() + _FIXTURE_LOCK_STALE_S + 60.0
             if age > _FIXTURE_LOCK_STALE_S and not _lock_holder_alive(lock):
                 # Abandoned lock: no heartbeat for the stale window AND
                 # the recorded holder pid is gone. Break it ATOMICALLY
@@ -1994,10 +2016,17 @@ def _fixture_ready(path: str) -> bool:
                     fresh = False
                 if fresh:
                     # pathological stat→rename race: a live lock landed
-                    # on the path in between — put it back (best
-                    # effort) and keep waiting like everyone else
+                    # on the path in between — restore it via LINK
+                    # (atomic, fails on collision) and keep waiting.
+                    # A rename-back could CLOBBER a brand-new lock a
+                    # third racer just won via O_EXCL, re-enabling the
+                    # two-concurrent-builders bug this protocol exists
+                    # to prevent; on EEXIST the displaced holder's
+                    # release is pid-checked, so nothing is deleted
+                    # out from under the new owner.
                     try:
-                        os.rename(grave, lock)
+                        os.link(grave, lock)
+                        os.remove(grave)
                     except OSError:
                         pass
                     time.sleep(0.2)
@@ -2007,7 +2036,10 @@ def _fixture_ready(path: str) -> bool:
                 except OSError:
                     pass
                 continue
-            if time.monotonic() > deadline:
+            if (
+                time.monotonic() > deadline
+                or time.monotonic() > hard_deadline
+            ):
                 raise TimeoutError(
                     f"fixture build lock {lock} held past the stale "
                     f"threshold without completing — investigate the "
@@ -2029,9 +2061,17 @@ def _release_fixture_lock(path: str) -> None:
     fd = _FIXTURE_BUILD_LOCKS.pop(path, None)
     if fd is not None:
         os.close(fd)
+        lock = path.rstrip("/") + ".lock"
         try:
-            os.remove(path.rstrip("/") + ".lock")
-        except FileNotFoundError:
+            # pid-checked removal: after a pathological break/restore
+            # cycle the path may hold ANOTHER session's lock — deleting
+            # it would let a third session acquire mid-build. Only the
+            # recorded owner removes.
+            with open(lock) as fh:
+                owner = int(fh.readline().strip() or "0")
+            if owner == os.getpid():
+                os.remove(lock)
+        except (OSError, ValueError):
             pass
 
 
@@ -8706,9 +8746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) round-10 debuts — new oracle-backed queries enter the window
     #     on debut; each displaces one tail entry below the line.
     # (c) the r7-green cohort fills the remaining free slots, oldest
-    #     first (all 43 fit this round, keeping round 11 unforced —
-    #     the planning rule learned in r9: fill free slots with the
-    #     OLDEST-green cohort, never the just-verified one).
+    #     first (34 of 43 fit after the ten debuts; the nine displaced
+    #     r7-greens sit first below the line and are round 11's only
+    #     forced must-includes — well under the 50-slot capacity. The
+    #     planning rule learned in r9 still holds: fill free slots
+    #     with the OLDEST-green cohort, never the just-verified one).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
     # 200 oracle-backed capacity — the math lives in

@@ -389,6 +389,25 @@ def merge_upsert(
             f"update columns {sorted(updates.columns)} — both sides must "
             "share a schema"
         )
+    # SQL MERGE raises "multiple source rows matched" when the update
+    # batch carries the same key twice; silently full-outer-joining
+    # would FAN OUT the matched target row (the snapshot would hold
+    # the key twice, both 'updated'). Check eagerly — one
+    # map-side-combinable aggregate over the update batch, which is
+    # dim-sized by contract; the probe reads ONE scalar row.
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .first()
+    )
+    if dup is not None:
+        raise ValueError(
+            f"merge_upsert: update batch contains key {dup[key]!r} "
+            f"{dup['_n']} times — MERGE requires at most one source row "
+            "per key (dedupe the batch first, e.g. keep the latest by "
+            "a version column)"
+        )
     value_cols = [c for c in target.columns if c != key]
     t = target.select(
         F.col(key).alias("_tk"), *[F.col(c).alias(f"_t_{c}") for c in value_cols]

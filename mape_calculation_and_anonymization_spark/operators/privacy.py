@@ -250,11 +250,18 @@ def t_closeness_report(
     glob_q = (
         glob.join(F.broadcast(tot))
         .select(
-            sensitive_col,
+            F.col(sensitive_col).alias("_sv"),
             (F.col("_n_v").cast("double") / F.col("_N")).alias("_q"),
         )
     )
-    cells_q = cells.join(F.broadcast(glob_q), sensitive_col)
+    # NULL-SAFE join: a NULL sensitive value is a real category for a
+    # disclosure audit (it appears in the global distribution and in
+    # class sizes) — a bare equi-join would silently drop NULL cells,
+    # undercount class_size, renormalize p over non-NULL values, and
+    # misattribute the NULL mass to the absent-value term.
+    cells_q = cells.join(
+        F.broadcast(glob_q), F.col(sensitive_col).eqNullSafe(F.col("_sv"))
+    ).drop("_sv")
     w = Window.partitionBy(*quasi_cols)
     with_p = cells_q.withColumn(
         "_n_c", F.sum("_n_cv").over(w)

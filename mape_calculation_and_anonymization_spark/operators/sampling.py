@@ -157,11 +157,17 @@ def pps_sample(
     a 1-row frame, then a pure filter projection: no shuffle of the
     fact table, no RNG state, decision re-derivable row-by-row
     outside Spark (see :func:`hash_uniform`)."""
+    # NULL weights carry no size information: EXCLUDE those rows
+    # outright (they are also invisible to Σw). Without this filter,
+    # F.least(1.0, NULL) would return 1.0 — Spark's least SKIPS NULLs
+    # — silently keeping every unknown-weight row at incl_p = 1.0 and
+    # biasing any Horvitz-Thompson estimate built on the sample.
+    known = df.filter(F.col(weight_col).isNotNull())
     w = F.col(weight_col).cast("double")
-    tot = df.agg(F.sum(weight_col).cast("double").alias("_tot"))
+    tot = known.agg(F.sum(weight_col).cast("double").alias("_tot"))
     p = F.least(F.lit(1.0), F.lit(float(expected_k)) * w / F.col("_tot"))
     return (
-        df.join(F.broadcast(tot))
+        known.join(F.broadcast(tot))
         .withColumn("incl_p", p)
         .filter(hash_uniform(key_col, salt) < F.col("incl_p"))
         .drop("_tot")

@@ -288,10 +288,23 @@ def assign_to_centroids_udf(centroids: DataFrame):
         idx = (c_norm2 - 2.0 * dots).argmin(axis=1)  # ‖v‖² is constant per row
         sel = np.arange(len(arr))
         vnorm = np.sqrt((arr * arr).sum(axis=1))
-        csim = np.round(
-            dots[sel, idx] / (vnorm * c_norm[idx]), 6
-        )
-        unit = arr / vnorm[:, None]
+        # zero vectors have no direction: cosine is undefined (NULL,
+        # matching try_divide in the expression-form sibling) and the
+        # "unit" stays all-zero, so a pair dot with it is 0 — a zero
+        # vector can never be marked anyone's semantic duplicate. A
+        # bare 0/0 here would make NaN, and Spark orders NaN GREATER
+        # than every double, so NaN >= threshold would silently flag
+        # the zero vector as a duplicate of its whole cell.
+        safe = np.where(vnorm == 0.0, 1.0, vnorm)
+        csel = c_norm[idx]
+        denom = safe * np.where(csel == 0.0, 1.0, csel)
+        csim_raw = np.round(dots[sel, idx] / denom, 6)
+        undef = (vnorm == 0.0) | (csel == 0.0)
+        csim = [
+            None if undef[i] else float(csim_raw[i])
+            for i in range(len(arr))
+        ]
+        unit = arr / safe[:, None]
         return pd.DataFrame(
             {
                 "cluster": cids[idx].astype("int32"),

@@ -573,17 +573,21 @@ def ngram_novelty(
     Scale shape — NO corpus-sized join back: because each doc's
     shingles are distinct, ``n_novel(doc) = |{shingles whose min id
     == doc}|`` is derivable from the min-aggregate ALONE (count its
-    rows per winner), so the plan is one explode feeding two
-    map-side-combinable aggregates (per-doc totals, per-shingle min
-    → per-doc novel counts) and a final doc-keyed join of two
-    ANSWER-SIZED per-doc frames. The tf-idf-style shingle-keyed join
-    back of (doc, shingle) rows would reshuffle the exploded corpus
-    a second time for nothing."""
+    rows per winner). The tf-idf-style shingle-keyed join back of
+    (doc, shingle) rows would reshuffle the exploded corpus a second
+    time for nothing. The two aggregates (per-doc totals, per-shingle
+    min) DO each re-scan and re-explode the source — a deliberate
+    trade: shingles are ~n× the text, so re-reading columnar parquet
+    twice beats materializing the exploded corpus to checkpoint
+    storage; callers holding ``docs`` cached pay the explode twice
+    but the scan once. NULL-text docs are excluded (no shingles to
+    attribute — and a NULL gram would otherwise award phantom
+    novelty to the lowest-id NULL doc)."""
     from mape_calculation_and_anonymization_spark.operators.dedup import (
         word_ngrams,
     )
 
-    sh = docs.select(
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=n)).alias("_sh")
     )
     totals = sh.groupBy(id_col).agg(

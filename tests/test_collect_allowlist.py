@@ -80,8 +80,9 @@ ALLOWLIST = {
         "single aggregate scalar for layout sizing",
     ),
     ("operators/joins.py", "first"): (
-        {"choose_salt": 1},
-        "skew decision reads ONE aggregated key-stats row",
+        {"choose_salt": 1, "merge_upsert": 1},
+        "skew decision and the MERGE duplicate-source-key guard each "
+        "read ONE aggregated scalar row",
     ),
     ("operators/similarity.py", "first"): (
         {"embedding_near_duplicates": 1},

@@ -408,3 +408,20 @@ def test_mixture_weights_temperature_semantics(spark):
     # alpha=0 is uniform
     w0 = {r["src"]: r for r in mixture_weights(df, "src", alpha=0.0).collect()}
     assert w0["big"]["weight"] == 0.5 and w0["small"]["weight"] == 0.5
+
+
+def test_pps_sample_null_weights_excluded(spark):
+    """NULL-weight rows are excluded outright — F.least(1.0, NULL)
+    would otherwise keep them at incl_p = 1.0 while they are
+    invisible to the weight total."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10)], "doc_id long, w long"
+    )
+    got = pps_sample(docs, "doc_id", "w", expected_k=10).collect()
+    assert all(r["doc_id"] != 2 for r in got)
+    assert all(r["incl_p"] == 1.0 for r in got)  # k >= population
+    assert sorted(r["doc_id"] for r in got) == [1, 3]

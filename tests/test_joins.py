@@ -311,3 +311,18 @@ def test_merge_upsert_schema_mismatch_raises(spark):
     u = spark.createDataFrame([(1, 1.0)], "k long, other double")
     with pytest.raises(ValueError, match="share a schema"):
         merge_upsert(t, u, "k")
+
+
+def test_merge_upsert_duplicate_update_keys_raise(spark):
+    """SQL MERGE semantics: two source rows for one key must error,
+    never silently fan out the matched target row."""
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    u = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, v double")
+    with pytest.raises(ValueError, match="at most one source row"):
+        merge_upsert(t, u, "k")

@@ -216,3 +216,20 @@ def test_t_closeness_violation_flag(spark):
     got = {r["grp"]: r["t_violation"] for r in t_closeness_report(df, ["grp"], "s", t=0.2).collect()}
     # g2 is all-b while global is 90% a → tvd 0.9 > 0.2
     assert got["g2"] is True and got["g1"] is False
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    """NULL sensitive values are a real category: they must survive
+    the join (null-safe) and count toward class size and TVD."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = [("g1", "a"), ("g1", None), ("g2", "a"), ("g2", None)]
+    df = spark.createDataFrame(rows, "grp string, s string")
+    got = {
+        r["grp"]: (r["class_size"], r["n_sensitive"], r["tvd"])
+        for r in t_closeness_report(df, ["grp"], "s").collect()
+    }
+    # both classes exactly match the global distribution (a: .5, NULL: .5)
+    assert got == {"g1": (2, 2, 0.0), "g2": (2, 2, 0.0)}

@@ -357,3 +357,27 @@ def test_semantic_dedup_null_vectors_dropped(spark):
     out = semantic_dedup(base, centroids, threshold=0.98).collect()
     assert sorted(r["vec_id"] for r in out) == [1, 2]
     assert all(r["kept"] for r in out)
+
+
+def test_semantic_dedup_zero_vector_is_never_a_duplicate(spark):
+    """A zero vector has no direction: centroid_sim is NULL (not NaN
+    — Spark orders NaN above every double, which would flag it as a
+    duplicate of its whole cell) and it is always kept."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    _, centroids = build_ivf_index(
+        base.filter("vec_id < 3"), n_clusters=2
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(base, centroids, threshold=0.99).collect()}
+    assert out[3]["centroid_sim"] is None
+    assert out[3]["kept"] is True
+    assert len(out) == 3
