@@ -387,3 +387,125 @@ def test_drift_folds_match_numpy_model(spark, hist):
             cum_c += nc
             gaps.append(abs(cum_r / nrt - cum_c / nct))
         assert k["ks"] == round(max(gaps), 6)
+
+
+@given(
+    tgt=st.lists(
+        st.tuples(st.integers(0, 30), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 40), st.floats(-100, 100, allow_nan=False)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_SETTINGS
+def test_merge_upsert_key_set_and_action_invariants(spark, tgt, upd):
+    """For any unique-keyed target and update batch: merged key set =
+    target ∪ update keys (each exactly once), action partition counts
+    add up, updated rows carry update values, unchanged rows carry
+    target values."""
+    from mape_calculation_and_anonymization_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame(tgt, "k long, v double")
+    u = spark.createDataFrame(upd, "k long, v double") if upd else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    got = {r["k"]: r for r in merge_upsert(t, u, "k").collect()}
+    tk, uk = {k for k, _ in tgt}, {k for k, _ in upd}
+    assert set(got) == tk | uk
+    tv, uv = dict(tgt), dict(upd)
+    for k, r in got.items():
+        if k in tk and k in uk:
+            assert r["action"] == "updated" and r["v"] == uv[k]
+        elif k in uk:
+            assert r["action"] == "inserted" and r["v"] == uv[k]
+        else:
+            assert r["action"] == "unchanged" and r["v"] == tv[k]
+
+
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    k=st.integers(1, 20),
+)
+@_SETTINGS
+def test_pps_sample_subset_probability_invariants(spark, weights, k):
+    """Sample ⊆ corpus, NULL/zero weights never sampled, incl_p ∈
+    (0, 1], and the sample is identical on rerun (content-stable)."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    rows = [(i, w if w > 0 else None) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = pps_sample(df, "doc_id", "w", expected_k=k).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert len(set(ids)) == len(ids)
+    valid = {i for i, w in rows if w is not None}
+    assert set(ids) <= valid
+    assert all(0.0 < r["incl_p"] <= 1.0 for r in got)
+    again = sorted(
+        r["doc_id"] for r in pps_sample(df, "doc_id", "w", expected_k=k).collect()
+    )
+    assert ids == again
+
+
+@given(
+    counts=st.lists(st.integers(1, 500), min_size=1, max_size=8),
+    alpha=st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+)
+@_SETTINGS
+def test_mixture_weights_normalization_and_monotonicity(spark, counts, alpha):
+    """Weights form a distribution (sum 1 within rounding); alpha=1
+    reproduces raw shares; alpha=0 is uniform; alpha<1 never DOWN-
+    boosts the smallest group below the largest's boost."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    rows = [(f"s{i}",) for i, n in enumerate(counts) for _ in range(n)]
+    df = spark.createDataFrame(rows, "src string")
+    got = {r["src"]: r for r in mixture_weights(df, "src", alpha=alpha).collect()}
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-4
+    if alpha == 1.0:
+        for r in got.values():
+            assert abs(r["weight"] - r["raw_share"]) < 1e-6
+    if alpha == 0.0:
+        for r in got.values():
+            assert abs(r["weight"] - 1.0 / len(counts)) < 1e-4
+    smallest = min(got.values(), key=lambda r: r["n_docs"])
+    largest = max(got.values(), key=lambda r: r["n_docs"])
+    if alpha < 1.0 and smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["boost"] >= largest["boost"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                  st.sampled_from(["a", "b", "c", None])),
+        min_size=2,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_t_closeness_tvd_bounds_and_identity(spark, rows):
+    """TVD ∈ [0, 1] for every class; a corpus with ONE class always
+    reports tvd 0 (its distribution IS the global one)."""
+    from mape_calculation_and_anonymization_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(rows, "grp string, s string")
+    got = t_closeness_report(df, ["grp"], "s").collect()
+    assert all(-1e-9 <= r["tvd"] <= 1.0 + 1e-9 for r in got)
+    one = spark.createDataFrame(
+        [("g", s) for _, s in rows], "grp string, s string"
+    )
+    got1 = t_closeness_report(one, ["grp"], "s").collect()
+    assert len(got1) == 1 and abs(got1[0]["tvd"]) < 1e-9
