@@ -8720,6 +8720,87 @@ _MERGE_UPSERT_ORACLE = """
 """
 
 
+def _q_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (round-10 debut): every
+    document gets a dense shuffle_rank in salted-md5 order — the
+    reproducible corpus shuffle a training run consumes (same salt →
+    same order on any engine; new salt → fresh epoch order). Shape
+    (operators/sampling.py:shuffle_manifest): global ranking WITHOUT
+    a global window — the hash's first byte shards the corpus 256
+    ways (monotone floor-scaled bucketing, a PREFIX of the sort key),
+    ranks assign per shard in parallel, and an answer-sized 256-row
+    cumulative-offset broadcast reconstructs the exact global
+    row_number. A bare row_number() OVER (ORDER BY hash) — what the
+    ORACLE runs — would collapse 100 TB into one partition."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        shuffle_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return shuffle_manifest(docs, "doc_id").orderBy("shuffle_rank")
+
+
+_SHUFFLE_MANIFEST_ORACLE = """
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(concat('shuffle:', CAST(doc_id AS VARCHAR))),
+                        doc_id
+           ) - 1 AS shuffle_rank
+    FROM documents
+    ORDER BY shuffle_rank
+"""
+
+
+def _q_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning table (round-10 debut): given a 1M
+    char budget and the temperature-reweighted source mixture
+    (alpha=0.7 over per-source character mass), how many chars to
+    draw per source and the sampling rate that implies — the artifact
+    a data-mixture config is generated from, with over-budget groups
+    capped at their actual mass (sampling_rate = 1 makes the repeat
+    factor visible). Shape (operators/sampling.py:
+    token_budget_allocation): one corpus-sized sum aggregate, then
+    arithmetic over the |sources|-row frame; planned counts floor the
+    UNROUNDED weight so the integer boundary stays far from
+    cross-engine rounding (min observed margin 2.2e-4 at sf0.1)."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return token_budget_allocation(
+        docs, "source", "n_chars", budget_tokens=1_000_000, alpha=0.7
+    ).orderBy("source")
+
+
+_TOKEN_BUDGET_ORACLE = """
+    WITH c AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n FROM c),
+    s AS (
+        SELECT source, n_tokens,
+               CAST(n_tokens AS DOUBLE) / t.n AS share,
+               POW(CAST(n_tokens AS DOUBLE) / t.n, 0.7) AS pw
+        FROM c, t
+    ),
+    z AS (SELECT SUM(pw) AS z FROM s)
+    SELECT source, n_tokens,
+           ROUND(share, 6) AS raw_share,
+           ROUND(pw / z.z, 6) AS weight,
+           CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE),
+                            1000000.0 * pw / z.z)) AS BIGINT)
+               AS planned_tokens,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE), 1000000.0 * pw / z.z)
+                 / CAST(n_tokens AS DOUBLE), 6) AS sampling_rate
+    FROM s, z
+    ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8824,6 +8905,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     full-outer + coalesce, with the action audit column.
         "ngram_novelty": _q_ngram_novelty,  # debut r10
         "merge_upsert_snapshot": _q_merge_upsert_snapshot,  # debut r10
+        #   shuffle_manifest — deterministic global training order via
+        #     sharded rank reconstruction (no global window);
+        #   token_budget_by_source — the mixture planning table:
+        #     budget × temperature weight, capped at group mass.
+        "shuffle_manifest": _q_shuffle_manifest,  # debut r10
+        "token_budget_by_source": _q_token_budget_by_source,  # debut r10
         # the r7-green cohort, oldest-first: refreshing all 43 NOW
         # keeps round 11 unforced (they would otherwise all be forced
         # must-includes at r11 under the 3-round staleness budget).
@@ -8859,10 +8946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q_q7_volume_shipping,  # last green: r7
         "q8_market_share": _q_q8_market_share,  # last green: r7
         "q9_product_profit": _q_q9_product_profit,  # last green: r7
+        # ---- below the driver's 50-row window ----
+        # the eleven r7-greens displaced by debuts rotate in first at r11
         "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r7
         "salted_join_revenue": _q_salted_join_revenue,  # last green: r7
-        # ---- below the driver's 50-row window ----
-        # the nine r7-greens displaced by debuts rotate in first at r11
         "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r7
         "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
         "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
@@ -9150,6 +9237,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_gate_funnel": _QUALITY_FUNNEL_ORACLE,
         "ngram_novelty": _NGRAM_NOVELTY_ORACLE,
         "merge_upsert_snapshot": _MERGE_UPSERT_ORACLE,
+        "shuffle_manifest": _SHUFFLE_MANIFEST_ORACLE,
+        "token_budget_by_source": _TOKEN_BUDGET_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

@@ -15,7 +15,7 @@ North-star extension (no reference analogue — single-node pandas has
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 4  # 16^4 = 65536 buckets → rate granularity 1/65536
@@ -217,4 +217,115 @@ def mixture_weights(
                 (F.col("_pw") / F.col("_z")) / F.col("raw_share"), 6
             ).alias("boost"),
         )
+    )
+
+
+def shuffle_manifest(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Deterministic, content-stable GLOBAL training order: every row
+    gets a dense ``shuffle_rank`` (0-based) in salted-md5 order — the
+    reproducible corpus shuffle a training run consumes (same salt →
+    same order forever, on any engine; change the salt to reshuffle).
+
+    Scale shape — global ranking WITHOUT a global window: a bare
+    ``row_number() OVER (ORDER BY hash)`` collapses the corpus into
+    ONE partition. Instead the hash's first byte shards the corpus
+    (256 ways), ranks are assigned within each shard (window
+    partitioned BY shard — parallel), and each shard adds the total
+    count of all preceding shards (an answer-sized 256-row cumulative
+    offset, broadcast back). Because the shard id is a PREFIX of the
+    sort key, (shard asc, hash asc) IS global hash order — the
+    per-shard ranks plus offsets reproduce the exact global
+    row_number at any corpus size."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError(f"n_shards must be in [1, 256], got {n_shards}")
+    c = F.col(key_col)
+    h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    # MONOTONE bucketing of the first hash byte (floor-scaled, never
+    # modulo): the global-order reconstruction REQUIRES shard id to be
+    # non-decreasing in the sort key — `byte % n` would interleave
+    # shards across the hash range and silently break the rank math
+    # for any n_shards < 256
+    byte = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    shard = F.floor(byte * n_shards / F.lit(256)).cast("int")
+    keyed = df.withColumn("_h", h).withColumn("_shard", shard)
+    w = Window.partitionBy("_shard").orderBy("_h", key_col)
+    ranked = keyed.withColumn("_rk", F.row_number().over(w))
+    counts = (
+        keyed.groupBy("_shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            # running offset over the 256-row shard-count frame: the
+            # unpartitioned window is ANSWER-SIZED by construction
+            # (n_shards rows), never corpus-sized
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(counts), "_shard")
+        .withColumn(
+            "shuffle_rank", (F.col("_offset") + F.col("_rk") - 1).cast("long")
+        )
+        .drop("_h", "_shard", "_rk", "_offset")
+    )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Training-mixture PLANNING table: given a total token budget and
+    the temperature-reweighted mixture (:func:`mixture_weights` on
+    TOKEN counts), how many tokens to draw from each source and what
+    sampling rate that implies — the artifact a data-mixture config
+    is generated from. ``planned_tokens = budget · weight`` capped at
+    the group's actual tokens (you cannot draw more than exists
+    without repetition; the cap is reported via ``sampling_rate = 1``
+    so the repeat factor is visible downstream).
+
+    One corpus-sized token-sum aggregate; everything after is
+    arithmetic over the |groups|-row frame. The plan derives from the
+    UNROUNDED weight (same arithmetic as :func:`mixture_weights`,
+    recomputed inline) — flooring budget × an already-rounded weight
+    would put the integer boundary within rounding distance and make
+    ``planned_tokens`` engine-fragile."""
+    counts = df.groupBy(group_col).agg(F.sum(token_col).alias("n_tokens"))
+    total = counts.agg(F.sum("n_tokens").cast("double").alias("_n"))
+    s = (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "_share", F.col("n_tokens").cast("double") / F.col("_n")
+        )
+        .withColumn("_pw", F.pow("_share", F.lit(float(alpha))))
+    )
+    z = s.agg(F.sum("_pw").alias("_z"))
+    w = F.col("_pw") / F.col("_z")
+    planned = F.least(
+        F.col("n_tokens").cast("double"), F.lit(float(budget_tokens)) * w
+    )
+    return s.join(F.broadcast(z)).select(
+        group_col,
+        "n_tokens",
+        F.round("_share", 6).alias("raw_share"),
+        F.round(w, 6).alias("weight"),
+        F.floor(planned).cast("long").alias("planned_tokens"),
+        F.round(
+            planned / F.col("n_tokens").cast("double"), 6
+        ).alias("sampling_rate"),
     )

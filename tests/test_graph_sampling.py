@@ -425,3 +425,53 @@ def test_pps_sample_null_weights_excluded(spark):
     assert all(r["doc_id"] != 2 for r in got)
     assert all(r["incl_p"] == 1.0 for r in got)  # k >= population
     assert sorted(r["doc_id"] for r in got) == [1, 3]
+
+
+def test_shuffle_manifest_is_exact_global_hash_order(spark):
+    """shuffle_rank must equal the GLOBAL row_number over salted-md5
+    order — for n_shards=256 AND for a non-power split (the monotone
+    floor-scaled bucketing; a modulo shard would interleave)."""
+    import duckdb
+
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        shuffle_manifest,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    want = {
+        int(i): int(rk)
+        for i, rk in duckdb.sql(
+            "SELECT i, ROW_NUMBER() OVER (ORDER BY md5(concat('shuffle:', "
+            "CAST(i AS VARCHAR))), i) - 1 FROM range(2000) t(i)"
+        ).fetchall()
+    }
+    for shards in (256, 7):
+        got = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in shuffle_manifest(df, "doc_id", n_shards=shards).collect()
+        }
+        assert got == want, f"n_shards={shards}"
+    # dense 0..n-1, content-stable under a different salt only
+    assert sorted(want.values()) == list(range(2000))
+
+
+def test_token_budget_allocation_caps_and_sums(spark):
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 100), ("b", 900)], "src string, toks long"
+    )
+    got = {
+        r["src"]: r
+        for r in token_budget_allocation(
+            docs, "src", "toks", budget_tokens=500, alpha=0.5
+        ).collect()
+    }
+    # alpha=0.5 on shares (.1,.9): weights .25/.75 → raw plan 125/375,
+    # but 'a' only HAS 100 tokens → capped, sampling_rate exactly 1.0
+    assert got["a"]["planned_tokens"] == 100
+    assert got["a"]["sampling_rate"] == 1.0
+    assert got["b"]["planned_tokens"] == 375
+    assert 0 < got["b"]["sampling_rate"] < 1
