@@ -174,6 +174,36 @@ def pps_sample(
     )
 
 
+def _group_weights_unrounded(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    count_col: str | None,
+    count_alias: str,
+) -> DataFrame:
+    """Shared core of :func:`mixture_weights` and
+    :func:`token_budget_allocation`: the |groups|-row frame with the
+    UNROUNDED share / pow / normalizer columns (``_share``, ``_pw``,
+    ``_z``) — callers project and round at their own precision, so the
+    weighting arithmetic lives in exactly one place."""
+    n = (
+        F.sum(count_col).alias(count_alias)
+        if count_col
+        else F.count(F.lit(1)).alias(count_alias)
+    )
+    counts = df.groupBy(group_col).agg(n)
+    total = counts.agg(F.sum(count_alias).cast("double").alias("_n"))
+    s = (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "_share", F.col(count_alias).cast("double") / F.col("_n")
+        )
+        .withColumn("_pw", F.pow("_share", F.lit(float(alpha))))
+    )
+    z = s.agg(F.sum("_pw").alias("_z"))
+    return s.join(F.broadcast(z))
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,
@@ -194,29 +224,15 @@ def mixture_weights(
     the corpus to |groups| rows; everything after is arithmetic over
     that answer-sized frame (two scalar broadcasts, zero extra passes
     over the data)."""
-    n = (
-        F.sum(count_col).alias("n_docs")
-        if count_col
-        else F.count(F.lit(1)).alias("n_docs")
-    )
-    counts = df.groupBy(group_col).agg(n)
-    total = counts.agg(F.sum("n_docs").cast("double").alias("_n"))
-    shared = counts.join(F.broadcast(total)).withColumn(
-        "raw_share", F.col("n_docs").cast("double") / F.col("_n")
-    )
-    powed = shared.withColumn("_pw", F.pow("raw_share", F.lit(float(alpha))))
-    z = powed.agg(F.sum("_pw").alias("_z"))
-    return (
-        powed.join(F.broadcast(z))
-        .select(
-            group_col,
-            "n_docs",
-            F.round("raw_share", 6).alias("raw_share"),
-            F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
-            F.round(
-                (F.col("_pw") / F.col("_z")) / F.col("raw_share"), 6
-            ).alias("boost"),
-        )
+    s = _group_weights_unrounded(df, group_col, alpha, count_col, "n_docs")
+    return s.select(
+        group_col,
+        "n_docs",
+        F.round("_share", 6).alias("raw_share"),
+        F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+        F.round(
+            (F.col("_pw") / F.col("_z")) / F.col("_share"), 6
+        ).alias("boost"),
     )
 
 
@@ -243,6 +259,12 @@ def shuffle_manifest(
     row_number at any corpus size."""
     if not 1 <= n_shards <= 256:
         raise ValueError(f"n_shards must be in [1, 256], got {n_shards}")
+    # NULL keys have no hash → no position in the order: exclude them
+    # (same contract as pps_sample). Left in, they would corrupt EVERY
+    # rank: md5(concat(..NULL)) is NULL, the NULL shard sorts FIRST in
+    # the offset window (inflating all real offsets by the NULL count)
+    # while the equi-join back drops the NULL rows themselves.
+    df = df.filter(F.col(key_col).isNotNull())
     c = F.col(key_col)
     h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
     # MONOTONE bucketing of the first hash byte (floor-scaled, never
@@ -305,21 +327,17 @@ def token_budget_allocation(
     recomputed inline) — flooring budget × an already-rounded weight
     would put the integer boundary within rounding distance and make
     ``planned_tokens`` engine-fragile."""
-    counts = df.groupBy(group_col).agg(F.sum(token_col).alias("n_tokens"))
-    total = counts.agg(F.sum("n_tokens").cast("double").alias("_n"))
-    s = (
-        counts.join(F.broadcast(total))
-        .withColumn(
-            "_share", F.col("n_tokens").cast("double") / F.col("_n")
-        )
-        .withColumn("_pw", F.pow("_share", F.lit(float(alpha))))
-    )
-    z = s.agg(F.sum("_pw").alias("_z"))
+    s = _group_weights_unrounded(df, group_col, alpha, token_col, "n_tokens")
     w = F.col("_pw") / F.col("_z")
+    # association matches the oracle EXACTLY: (budget · pw) / z, never
+    # budget · (pw/z) — the two rounding sequences can differ by an
+    # ulp, and FLOOR below amplifies an ulp into an off-by-one for a
+    # plan that lands near an integer
     planned = F.least(
-        F.col("n_tokens").cast("double"), F.lit(float(budget_tokens)) * w
+        F.col("n_tokens").cast("double"),
+        F.lit(float(budget_tokens)) * F.col("_pw") / F.col("_z"),
     )
-    return s.join(F.broadcast(z)).select(
+    return s.select(
         group_col,
         "n_tokens",
         F.round("_share", 6).alias("raw_share"),

@@ -453,6 +453,16 @@ def test_shuffle_manifest_is_exact_global_hash_order(spark):
         assert got == want, f"n_shards={shards}"
     # dense 0..n-1, content-stable under a different salt only
     assert sorted(want.values()) == list(range(2000))
+    # NULL keys are excluded and never shift the surviving ranks
+    with_null = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)], "doc_id long"
+    )
+    g2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_manifest(with_null, "doc_id").collect()
+    }
+    assert None not in g2 and len(g2) == 50
+    assert sorted(g2.values()) == list(range(50))  # still dense from 0
 
 
 def test_token_budget_allocation_caps_and_sums(spark):
@@ -463,15 +473,18 @@ def test_token_budget_allocation_caps_and_sums(spark):
     docs = spark.createDataFrame(
         [("a", 100), ("b", 900)], "src string, toks long"
     )
+    # budget=499 (NOT 500): with shares (.1,.9) and alpha=0.5 the
+    # weights are exactly .25/.75, and 500·0.75 = 375.0 sits EXACTLY
+    # on the floor boundary — a 1-ulp pow() difference would flip the
+    # assertion. 499 keeps ~0.25 of real margin on both sides.
     got = {
         r["src"]: r
         for r in token_budget_allocation(
-            docs, "src", "toks", budget_tokens=500, alpha=0.5
+            docs, "src", "toks", budget_tokens=499, alpha=0.5
         ).collect()
     }
-    # alpha=0.5 on shares (.1,.9): weights .25/.75 → raw plan 125/375,
-    # but 'a' only HAS 100 tokens → capped, sampling_rate exactly 1.0
+    # raw plans 124.75/374.25; 'a' only HAS 100 tokens → capped
     assert got["a"]["planned_tokens"] == 100
     assert got["a"]["sampling_rate"] == 1.0
-    assert got["b"]["planned_tokens"] == 375
+    assert got["b"]["planned_tokens"] == 374
     assert 0 < got["b"]["sampling_rate"] < 1
