@@ -8813,106 +8813,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 11): the driver's correctness harness
+    # Ordering policy (round 12): the driver's correctness harness
     # checks the FIRST 50 entries; the rotation-hygiene rule — no
     # oracle-backed query more than THREE rounds without a green
     # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
     # plan emitted by `python preflight.py --plan-window`) — dictates
     # this round's window:
-    # (a) the eleven forced must-includes: the r7-greens displaced by
-    #     round 10's twelve debuts (rank_window_top_parts ..
-    #     x6_stamp_metadata), named by the designed red-at-judge-time
-    #     forcing function (VERDICT r10 "What's wrong" №1).
-    # (b) round-11 debuts/re-verifies — new or changed oracle-backed
+    # (a) the eleven forced must-includes: the r8-greens displaced by
+    #     round 11's tight rotation (source_lang_crosstab ..
+    #     user_event_sequences), named by the designed
+    #     red-at-judge-time forcing function (VERDICT r11 headline).
+    # (b) round-12 debuts/re-verifies — new or changed oracle-backed
     #     queries enter the window on debut; each displaces one tail
-    #     entry below the line.
-    # (c) the r8-green cohort fills the remaining free slots, oldest
-    #     first (plan-window emission). This is load-bearing: the
-    #     50+1-entry r8 cohort is otherwise forced at r12 in full,
-    #     overflowing the window (VERDICT r10 item 2). The planning
-    #     rule learned in r9 still holds: fill free slots with the
-    #     OLDEST-green cohort, never the just-verified one.
+    #     entry of the fill below the line.
+    # (c) the r9-green cohort fills the remaining free slots, oldest
+    #     first (plan-window emission). The 50-entry r9 cohort is
+    #     otherwise forced at r13 in full; re-running 39 of them NOW
+    #     leaves only 11 (+debut displacements) forced at r13. The
+    #     planning rule learned in r9 still holds: fill free slots
+    #     with the OLDEST-green cohort, never the just-verified one.
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
     # 200 oracle-backed capacity — the math lives in
     # test_rotation_hygiene's docstring.
     # Below the window: oracle-backed entries ordered oldest-green
     # first (they rotate in next), then the rows-only entries.
-    # triangle_count stays ahead of pagerank_influencers — the
-    # memoized co-occurrence edge derivation (_COOC_SHARED) attributes
-    # to its first consumer in bench registry order; both sit in this
-    # round's window, adjacent.
     # stream_user_activity (transformWithStateInPandas) is NOT
     # registered: the Spark 4 arbitrary-state API needs the protobuf
     # wheel, which this container lacks (state-server handshake
-    # imports StateMessage_pb2; re-verified round 11). The operator
+    # imports StateMessage_pb2; re-verified round 12). The operator
     # ships import-gated in streaming/stateful.py with a skip-gated
     # test; applyInPandasWithState (stream_stateful_wape) covers the
     # custom-stateful slot in this environment.
     return {
-        # ---- round-11 driver window (names[:50]) ----
-        # Forced must-includes: the eleven r7-greens displaced by
-        # round-10's twelve debuts (VERDICT r10 "What's wrong" #1 —
+        # ---- round-12 driver window (names[:50]) ----
+        # Forced must-includes: the eleven r8-greens displaced by
+        # round-11's tight rotation (VERDICT r11 "Next round" #1 —
         # the red test_rotation_hygiene named them explicitly).
-        "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r7
-        "salted_join_revenue": _q_salted_join_revenue,  # last green: r7
-        "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r7
-        "small_qty_revenue": _q_small_qty_revenue,  # last green: r7
-        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r7
-        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r7
-        "stream_static_enrich": _q_stream_static_enrich,  # last green: r7
-        "stream_stream_join": _q_stream_stream_join,  # last green: r7
-        "text_pii_redaction": _q_text_pii_redaction,  # last green: r7
-        "text_repetition": _q_text_repetition,  # last green: r7
-        "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r7
-        # The r8-green cohort fills the free slots, oldest first
-        # (plan-window emission): the 50+1-entry r8 cohort is forced
-        # at r12 otherwise, which would overflow the window —
-        # re-running 39 of them NOW leaves only 11 forced at r12.
-        # triangle_count sits directly ahead of pagerank_influencers
-        # (the memoized co-occurrence edge derivation _COOC_SHARED
-        # attributes to its first consumer in registry order).
-        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r8
-        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r8
-        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r8
-        "argmax_user_events": _q_argmax_user_events,  # last green: r8
-        "asof_join_rates": _q_asof_join_rates,  # last green: r8
-        "bigram_top_terms": _q_bigram_top_terms,  # last green: r8
-        "bm25_search": _q_bm25_search,  # last green: r8
-        "cdc_latest_events": _q_cdc_latest_events,  # last green: r8
-        "decile_revenue_share": _q_decile_revenue_share,  # last green: r8
-        "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r8
-        "doc_length_histogram": _q_doc_length_histogram,  # last green: r8
-        "dq_expectations": _q_dq_expectations,  # last green: r8
-        "drift_psi_events": _q_drift_psi_events,  # last green: r8
-        "events_variant_props": _q_events_variant_props,  # last green: r8
-        "f4_unmatched_uids": _q_f4_unmatched_uids,  # last green: r8
-        "funnel_conversion": _q_funnel_conversion,  # last green: r8
-        "grouping_sets_revenue": _q_grouping_sets_revenue,  # last green: r8
-        "ivf_ann_topk": _q_ivf_ann_topk,  # last green: r8
-        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,  # last green: r8
-        "median_length_filter": _q_median_length_filter,  # last green: r8
-        "multimodal_frames": _q_multimodal_frames,  # last green: r8
-        "multimodal_metadata": _q_multimodal_metadata,  # last green: r8
-        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r8
-        "o1_top_revenue": _q_o1_top_revenue,  # last green: r8
-        "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r8
-        "triangle_count": _q_triangle_count,  # last green: r8
-        "pagerank_influencers": _q_pagerank_influencers,  # last green: r8
-        "percentile_order_prices": _q_percentile_order_prices,  # last green: r8
-        "profile_orders_approx": _q_profile_orders_approx,  # last green: r8
-        "q12_priority_returns": _q_q12_priority_returns,  # last green: r8
-        "q3_shipping_priority": _q_q3_shipping_priority,  # last green: r8
-        "q5_nation_volume": _q_q5_nation_volume,  # last green: r8
-        "range_join_price_bands": _q_range_join_price_bands,  # last green: r8
-        "retention_cohorts": _q_retention_cohorts,  # last green: r8
-        "s1_csv_scan": _q_s1_csv_scan,  # last green: r8
-        "s3_latest_partition": _q_s3_latest_partition,  # last green: r8
-        "s5_jsonl_scan": _q_s5_jsonl_scan,  # last green: r8
-        "semi_join_late_orders": _q_semi_join_late_orders,  # last green: r8
-        "set_intersect_except": _q_set_intersect_except,  # last green: r8
-        # ---- below the driver's 50-row window ----
-        # r8-greens that did not fit: round 12's forced must-includes.
         "source_lang_crosstab": _q_source_lang_crosstab,  # last green: r8
         "stream_distinct_users": _q_stream_distinct_users,  # last green: r8
         "stream_key_upsert": _q_stream_key_upsert,  # last green: r8
@@ -8924,15 +8861,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,  # last green: r8
         "training_pipeline": _q_training_pipeline,  # last green: r8
         "user_event_sequences": _q_user_event_sequences,  # last green: r8
-        # r9-green cohort — inside the 3-round budget until round 13.
-        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
-        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r9
-        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r9
-        "drift_ks_events": _q_drift_ks_events,  # last green: r9
-        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
-        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r9
-        "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
-        "text_dup_spans": _q_text_dup_spans,  # last green: r9
+        # The r9-green cohort fills the free slots, oldest first
+        # (plan-window emission). Round-12 debuts displace tail
+        # entries of this fill; displaced r9-greens become round-13
+        # forced must-includes (11 + displacements, well under
+        # capacity — the r10 cohort of 48 pulls forward at r13).
         "anomaly_counts": _q_anomaly_counts,  # last green: r9
         "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r9
         "batch_sessionize": _q_batch_sessionize,  # last green: r9
@@ -8941,6 +8874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,  # last green: r9
         "dedup_exact_groups": _q_dedup_exact_groups,  # last green: r9
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r9
+        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r9
+        "drift_ks_events": _q_drift_ks_events,  # last green: r9
         "event_transitions": _q_event_transitions,  # last green: r9
         "events_json_props": _q_events_json_props,  # last green: r9
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r9
@@ -8963,18 +8898,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
         "profile_orders": _q_profile_orders,  # last green: r9
+        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
         "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
         "scd2_event_history": _q_scd2_event_history,  # last green: r9
         "seq_packing": _q_seq_packing,  # last green: r9
         "snapshot_diff": _q_snapshot_diff,  # last green: r9
+        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
+        "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
+        # ---- below the driver's 50-row window ----
+        # r9-greens that did not fit: round 13's forced must-includes.
         "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r9
         "stream_outer_join": _q_stream_outer_join,  # last green: r9
         "stream_session_windows": _q_stream_session_windows,  # last green: r9
+        "text_dup_spans": _q_text_dup_spans,  # last green: r9
         "tfidf_top_terms": _q_tfidf_top_terms,  # last green: r9
         "time_to_convert": _q_time_to_convert,  # last green: r9
         "train_val_test_split": _q_train_val_test_split,  # last green: r9
         "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r9
         "u1_union_dedup": _q_u1_union_dedup,  # last green: r9
+        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r9
+        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r9
         # r10-green cohort (the full round-10 window) — until round 14.
         "vocab_top_terms": _q_vocab_top_terms,  # last green: r10
         "weekday_seasonality": _q_weekday_seasonality,  # last green: r10
@@ -9024,6 +8967,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q_q7_volume_shipping,  # last green: r10
         "q8_market_share": _q_q8_market_share,  # last green: r10
         "q9_product_profit": _q_q9_product_profit,  # last green: r10
+        # r11-green cohort (the full round-11 window) — until round 15.
+        # triangle_count stays ahead of pagerank_influencers — the
+        # memoized co-occurrence edge derivation (_COOC_SHARED)
+        # attributes to its first consumer in bench registry order.
+        "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r11
+        "salted_join_revenue": _q_salted_join_revenue,  # last green: r11
+        "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r11
+        "small_qty_revenue": _q_small_qty_revenue,  # last green: r11
+        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r11
+        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r11
+        "stream_static_enrich": _q_stream_static_enrich,  # last green: r11
+        "stream_stream_join": _q_stream_stream_join,  # last green: r11
+        "text_pii_redaction": _q_text_pii_redaction,  # last green: r11
+        "text_repetition": _q_text_repetition,  # last green: r11
+        "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r11
+        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r11
+        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r11
+        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r11
+        "argmax_user_events": _q_argmax_user_events,  # last green: r11
+        "asof_join_rates": _q_asof_join_rates,  # last green: r11
+        "bigram_top_terms": _q_bigram_top_terms,  # last green: r11
+        "bm25_search": _q_bm25_search,  # last green: r11
+        "cdc_latest_events": _q_cdc_latest_events,  # last green: r11
+        "decile_revenue_share": _q_decile_revenue_share,  # last green: r11
+        "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r11
+        "doc_length_histogram": _q_doc_length_histogram,  # last green: r11
+        "dq_expectations": _q_dq_expectations,  # last green: r11
+        "drift_psi_events": _q_drift_psi_events,  # last green: r11
+        "events_variant_props": _q_events_variant_props,  # last green: r11
+        "f4_unmatched_uids": _q_f4_unmatched_uids,  # last green: r11
+        "funnel_conversion": _q_funnel_conversion,  # last green: r11
+        "grouping_sets_revenue": _q_grouping_sets_revenue,  # last green: r11
+        "ivf_ann_topk": _q_ivf_ann_topk,  # last green: r11
+        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,  # last green: r11
+        "median_length_filter": _q_median_length_filter,  # last green: r11
+        "multimodal_frames": _q_multimodal_frames,  # last green: r11
+        "multimodal_metadata": _q_multimodal_metadata,  # last green: r11
+        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r11
+        "o1_top_revenue": _q_o1_top_revenue,  # last green: r11
+        "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r11
+        "triangle_count": _q_triangle_count,  # last green: r11
+        "pagerank_influencers": _q_pagerank_influencers,  # last green: r11
+        "percentile_order_prices": _q_percentile_order_prices,  # last green: r11
+        "profile_orders_approx": _q_profile_orders_approx,  # last green: r11
+        "q12_priority_returns": _q_q12_priority_returns,  # last green: r11
+        "q3_shipping_priority": _q_q3_shipping_priority,  # last green: r11
+        "q5_nation_volume": _q_q5_nation_volume,  # last green: r11
+        "range_join_price_bands": _q_range_join_price_bands,  # last green: r11
+        "retention_cohorts": _q_retention_cohorts,  # last green: r11
+        "s1_csv_scan": _q_s1_csv_scan,  # last green: r11
+        "s3_latest_partition": _q_s3_latest_partition,  # last green: r11
+        "s5_jsonl_scan": _q_s5_jsonl_scan,  # last green: r11
+        "semi_join_late_orders": _q_semi_join_late_orders,  # last green: r11
+        "set_intersect_except": _q_set_intersect_except,  # last green: r11
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, each pinned by unit tests instead.
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # rows-only

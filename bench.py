@@ -5,6 +5,28 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 
 Each query executes via a noop-format write so timing covers the full
 distributed plan without driver-side result transfer.
+
+Methodology — how to read the numbers (VERDICT r11 item 2):
+
+* Compare PER-QUERY medians, never headline-to-headline. The headline
+  total is the sum of ~169 per-query medians and carries roughly ±15%
+  machine-load variance between otherwise identical runs on this
+  shared container — round 11 "improved" 13% with ZERO
+  performance-relevant code changes, which is the proof case. A real
+  regression shows up as a specific query's median moving >30% across
+  runs with the same plan; chase those, ignore headline drift.
+* Each sample is a median of N passes (SPARK_GRAFT_BENCH_RUNS,
+  default 3) over a warmed session: JVM codegen, parquet footers,
+  the noop sink, broadcast machinery, and the Arrow Python worker
+  pool are all touched before the first timed region, so pass 1
+  is not structurally slower than pass N.
+* Output files: every run lands the full payload in BENCH_LATEST.json
+  (untracked scratch — safe for driver runs and sanity runs at any
+  sf). The COMMITTED artifact BENCH_LOCAL.json is refreshed only by
+  an explicit `python bench.py --refresh-local`, which refuses any
+  sf other than 0.1 — so a driver-context run or an sf0.01 sanity
+  check can never dirty the committed copy again (the r10/r11
+  footgun).
 """
 
 from __future__ import annotations
@@ -211,25 +233,35 @@ def main() -> None:
             }
         )
     )
-    try:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
-        with open(out_path, "w") as fh:
-            json.dump(
-                {
-                    "metric": "total_query_time",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "runs": n_runs,
-                },
-                fh,
+    payload = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": n_runs,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # Every run writes the untracked scratch copy; the committed
+    # BENCH_LOCAL.json moves ONLY under --refresh-local at sf0.1
+    # (see module docstring, "Output files").
+    targets = [os.path.join(repo, "BENCH_LATEST.json")]
+    if "--refresh-local" in sys.argv:
+        if abs(sf - 0.1) > 1e-9:
+            print(
+                f"refusing --refresh-local at sf={sf}: the committed "
+                "BENCH_LOCAL.json is an sf0.1 artifact",
+                file=sys.stderr,
             )
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout already carried the result
+            sys.exit(2)
+        targets.append(os.path.join(repo, "BENCH_LOCAL.json"))
+    for out_path in targets:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout already carried the result
 
 
 if __name__ == "__main__":
