@@ -8473,9 +8473,12 @@ _WEIGHTED_SAMPLE_ORACLE = """
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication (round-10 debut; rows-only:
-    k-means is iterative, not SQL — planted-twin exactness, no-dup
-    identity, and rerun determinism pinned in test_similarity.py):
+    """SemDeDup semantic deduplication (round-10 debut; oracle-backed
+    since round 12 — k-means itself is iterative, not SQL, but the
+    trained centroid table is a DISK fixture, so the DuckDB twin
+    re-derives ROUTING + in-cell dedup from that artifact; see
+    _semantic_dedup_oracle. Planted-twin exactness, no-dup identity,
+    and rerun determinism additionally pinned in test_similarity.py):
     cluster the embedding space with the IVF coarse quantizer, then
     drop the more-cluster-typical member of every within-cell pair
     above cosine 0.98 (keep-the-lowest-centroid-similarity, Abbas et
@@ -8511,6 +8514,114 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb.unionByName(twins), centroids, threshold=0.98
     ).orderBy("vec_id")
+
+
+def _semantic_dedup_cells(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    """Glob of the k=48 IVF centroid fixture parts the semantic_dedup
+    oracle reads — sf-keyed like K2's sidecar (the path embeds the
+    source fingerprint, so a regenerated corpus re-derives both the
+    fixture and this path together)."""
+    import os
+
+    return os.path.join(
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"ivf_{_source_token(sf_dir, 'embeddings')}_k48",
+        "cells",
+        "*.parquet",
+    )
+
+
+def _semantic_dedup_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    """DuckDB twin for semantic_dedup (VERDICT r11 item 3) — the
+    rows-only→oracle upgrade. The centroid table is the OFFLINE
+    k-means artifact (a disk parquet under /tmp/mape_spark_fixtures,
+    the same fixture the Spark query routes against), so the oracle
+    reads it with read_parquet — the K2-sidecar precedent: the one
+    non-SQL ingredient enters as a query-side artifact, and the twin
+    re-derives everything downstream of it independently:
+
+    * routing: argmin ‖v−c‖² = argmin (‖c‖² − 2 v·c) over all 48
+      centroids per vector (ROW_NUMBER over the cross product — the
+      oracle may be quadratic, the engine never is), ties on the
+      lowest cluster id, exactly the numpy argmin convention in
+      assign_to_centroids_udf (operators/similarity.py:243);
+    * centroid_sim: ROUND(v·c / (‖v‖‖c‖), 6), NULL for zero vectors
+      (matches the UDF's undefined-cosine guard);
+    * keep rule: b dropped iff SOME in-cell partner a precedes it in
+      (centroid_sim, id) order with ROUND(unit·unit, 6) ≥ 0.98 —
+      semantic_dedup's local-minimum trick verbatim.
+
+    Float caveats baked in: embeddings are FLOAT[] — every element is
+    CAST to DOUBLE before arithmetic (Spark's unionByName promotion
+    does the same); the twin corpus multiplies AFTER the cast, like
+    transform(x → x·lit(1.01)); sums run in element order on both
+    sides for the pair dot (zip_with+aggregate ↔ list_dot_product).
+    The threshold compare has enormous margin on this corpus (twin
+    cosine ≈ 1.0 vs max non-twin ≈ 0.51), so BLAS-vs-sequential
+    summation rounding in the ROUTING leg is the only cross-engine
+    risk, and only for exact centroid-distance ties — k-means
+    centroids are far apart relative to 1e-13."""
+    cells = _semantic_dedup_cells(sf_dir)
+    return f"""
+    WITH cents AS (
+        SELECT cluster,
+               centroid AS c,
+               list_dot_product(centroid, centroid) AS cn2,
+               sqrt(list_dot_product(centroid, centroid)) AS cn
+        FROM read_parquet('{cells}')
+    ),
+    emb0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM emb0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(v, x -> x * 1.01) AS v
+        FROM emb0
+    ),
+    scored AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM corpus
+    ),
+    routed AS (
+        SELECT s.vec_id, s.v, s.vn, c.cluster, c.cn,
+               list_dot_product(s.v, c.c) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY c.cn2 - 2.0 * list_dot_product(s.v, c.c),
+                            c.cluster
+               ) AS rn
+        FROM scored s CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cluster,
+               CASE WHEN vn = 0 OR cn = 0 THEN NULL
+                    ELSE ROUND(d / (vn * cn), 6) END AS centroid_sim,
+               list_transform(
+                   v, x -> x / (CASE WHEN vn = 0 THEN 1.0 ELSE vn END)
+               ) AS u
+        FROM routed WHERE rn = 1
+    ),
+    dominated AS (
+        SELECT DISTINCT b.vec_id
+        FROM best a JOIN best b
+          ON a.cluster = b.cluster
+         AND (a.centroid_sim < b.centroid_sim
+              OR (a.centroid_sim = b.centroid_sim
+                  AND a.vec_id < b.vec_id))
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.98
+    )
+    SELECT b.vec_id, b.cluster, b.centroid_sim,
+           (d.vec_id IS NULL) AS kept
+    FROM best b LEFT JOIN dominated d ON b.vec_id = d.vec_id
+    ORDER BY b.vec_id
+"""
+
+
+_SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
 
 
 def _q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8904,9 +9015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": _q_seq_packing,  # last green: r9
         "snapshot_diff": _q_snapshot_diff,  # last green: r9
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
-        "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
+        # round-12 debuts (displace tail fill entries; the displaced
+        # r9-greens join round 13's forced must-includes):
+        "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
         "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r9
         "stream_outer_join": _q_stream_outer_join,  # last green: r9
         "stream_session_windows": _q_stream_session_windows,  # last green: r9
@@ -9031,7 +9145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # rows-only
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # rows-only
         "multimodal_features": _q_multimodal_features,  # rows-only
-        "semantic_dedup": _q_semantic_dedup,  # rows-only
         "bpe_token_stats": _q_bpe_token_stats,  # rows-only
     }
 
@@ -9198,6 +9311,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_snapshot": _MERGE_UPSERT_ORACLE,
         "shuffle_manifest": _SHUFFLE_MANIFEST_ORACLE,
         "token_budget_by_source": _TOKEN_BUDGET_ORACLE,
+        # round-12 debuts
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
@@ -9209,11 +9324,13 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     """oracle_sql() with sf-embedded paths re-derived for ``sf_dir``.
 
     The driver contract runs every oracle at sf0.01, and oracle_sql()
-    stays pinned there (_ORACLE_SF_DIR). K2 is the one oracle whose
-    SQL embeds an sf-dependent filesystem path (the workbook's CSV
-    sidecar); cross-scale robustness sweeps (``preflight.py --sf``)
-    call this instead so k2_excel_sheets verifies at every scale
-    factor rather than being a documented sweep exception."""
+    stays pinned there (_ORACLE_SF_DIR). K2 (the workbook's CSV
+    sidecar) and semantic_dedup (the IVF centroid fixture) are the
+    two oracles whose SQL embeds an sf-dependent filesystem path;
+    cross-scale robustness sweeps (``preflight.py --sf``) call this
+    instead so both verify at every scale factor rather than being
+    documented sweep exceptions."""
     out = dict(oracle_sql())
     out["k2_excel_sheets"] = _k2_oracle(sf_dir)
+    out["semantic_dedup"] = _semantic_dedup_oracle(sf_dir)
     return out

@@ -47,6 +47,9 @@ def test_oracle_sf_contract():
         "s3_latest_partition": entrymod._PARTITIONED_FIXTURE,
         "s5_jsonl_scan": entrymod._JSONL_FIXTURE,
         "k2_excel_sheets": entrymod._k2_workbook_path(entrymod._ORACLE_SF_DIR),
+        "semantic_dedup": entrymod._semantic_dedup_cells(
+            entrymod._ORACLE_SF_DIR
+        ),
     }
     for name, sql in _ORACLES.items():
         if name in allowed:
