@@ -970,9 +970,100 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only; exact-equivalence pinned by tests)."""
+    """SimHash near-dup (rows-only; exact-equivalence pinned by tests).
+    blake2b feature hashing — the perf path; the oracle-verifiable md5
+    sibling is dedup_simhash_md5_pairs."""
     corpus = _docs_with_planted_twins(spark, sf_dir)
     return simhash_near_duplicates(corpus, max_hamming=3)
+
+
+def _q_dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, md5-PORTABLE signature (round-12 debut;
+    VERDICT r11 item 4 — the rows-only→oracle-backed simhash path).
+    Identical banded plan to dedup_simhash_pairs (4 pigeonhole chunks
+    over the 64-bit signature → bucket self-join → bit_count verify,
+    operators/dedup.py:simhash_near_duplicates), but the per-feature
+    hash is the first 8 md5 digest bytes instead of blake2b — md5 is
+    the one hash DuckDB shares with hashlib, so the twin re-derives
+    the SIGNATURES THEMSELVES in SQL (integer-exact: tokenize → word
+    3-grams → md5-prefix bits → per-bitplane majority vote) and then
+    verifies the full pair set brute-force. The pigeonhole guarantee
+    (chunks = max_hamming+1) makes the banded output EQUAL to the
+    quadratic all-pairs filter, so only the oracle pays n²."""
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    return simhash_near_duplicates(
+        corpus, max_hamming=3, feature_hash="md5"
+    ).orderBy("id_a", "id_b")
+
+
+# The twin recomputes the signature in SQL, bit for bit: same corpus
+# CTE as the jaccard family (planted twins), same tokenization as the
+# UDF's text.lower().split() (regex \s+ over trimmed lower text, empty
+# tokens dropped), word 3-grams via the proven 1-based-slice idiom
+# (_jaccard_ctes), md5-prefix feature bits, per-bitplane majority with
+# the signed bit-63 wrap, then brute-force Hamming over all pairs —
+# integer arithmetic end to end, so cross-engine parity is exact.
+_DEDUP_SIMHASH_MD5_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, concat(text, ' twin marker')
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(raw) = 0 THEN []
+                   WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+                   ELSE list_transform(
+                       range(0, len(raw) - 3 + 1),
+                       i -> array_to_string(raw[i+1:i+3], ' ')
+                   )
+               END) AS feats
+        FROM (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> w <> ''
+                   ) AS raw
+            FROM base
+            WHERE text IS NOT NULL
+        )
+    ),
+    fh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(f), 1, 16)) AS UBIGINT) AS h
+        FROM (SELECT doc_id, unnest(feats) AS f FROM t)
+    ),
+    nf AS (SELECT doc_id, COUNT(*) AS n FROM fh GROUP BY doc_id),
+    votes AS (
+        SELECT fh.doc_id, r.i,
+               CAST(SUM(CAST((fh.h >> CAST(r.i AS UBIGINT)) & 1 AS BIGINT))
+                    AS BIGINT) AS ones
+        FROM fh CROSS JOIN range(64) r(i)
+        GROUP BY fh.doc_id, r.i
+    ),
+    sims0 AS (
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN 2 * v.ones > nf.n THEN
+                   CASE WHEN v.i = 63
+                        THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << v.i END
+                   ELSE 0 END) AS BIGINT) AS sim
+        FROM votes v JOIN nf ON v.doc_id = nf.doc_id
+        GROUP BY v.doc_id
+    ),
+    sims AS (
+        -- zero-feature docs (empty text) sign to 0, like the UDF
+        SELECT t.doc_id, COALESCE(s.sim, CAST(0 AS BIGINT)) AS sim
+        FROM t LEFT JOIN sims0 s ON t.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY id_a, id_b
+"""
 
 
 def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
@@ -9014,12 +9105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_event_history": _q_scd2_event_history,  # last green: r9
         "seq_packing": _q_seq_packing,  # last green: r9
         "snapshot_diff": _q_snapshot_diff,  # last green: r9
-        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
+        "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # r12 debut
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
         "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
         "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r9
         "stream_outer_join": _q_stream_outer_join,  # last green: r9
@@ -9313,6 +9405,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_by_source": _TOKEN_BUDGET_ORACLE,
         # round-12 debuts
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
+        "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

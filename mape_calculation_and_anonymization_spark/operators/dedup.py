@@ -601,9 +601,20 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def make_simhash64_udf(shingle_n: int = 1):
+def make_simhash64_udf(shingle_n: int = 1, feature_hash: str = "blake2b"):
     """Build a 64-bit SimHash pandas UDF over word ``shingle_n``-gram
     feature sets (``shingle_n=1`` = whitespace tokens).
+
+    ``feature_hash`` selects the per-feature 64-bit hash:
+    ``"blake2b"`` (default — keyed-family sibling of the pseudonym
+    path, fastest in CPython) or ``"md5"`` (first 8 digest bytes,
+    big-endian) — the PORTABLE choice: md5 is the one hash DuckDB
+    shares with hashlib, so an md5-hashed signature can be re-derived
+    exactly by an external SQL engine
+    (``CAST(concat('0x', substr(md5(f), 1, 16)) AS UBIGINT)``), which
+    is what makes dedup_simhash_md5_pairs oracle-verifiable while the
+    blake2b path keeps the perf headline. Same convention as the
+    portable-uniform trick in sampling (md5-prefix / 2^48).
 
     Feature space matters as much as the hash: over a templated corpus
     unigram feature sets overlap broadly even between unrelated
@@ -622,6 +633,8 @@ def make_simhash64_udf(shingle_n: int = 1):
     """
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
+    if feature_hash not in ("blake2b", "md5"):
+        raise ValueError("feature_hash must be 'blake2b' or 'md5'")
 
     @F.pandas_udf(T.LongType())
     def _simhash64(texts: pd.Series) -> pd.Series:
@@ -636,15 +649,17 @@ def make_simhash64_udf(shingle_n: int = 1):
         memo: dict[str, "np.ndarray"] = {}
         shifts = np.arange(64, dtype=np.uint64)
 
+        if feature_hash == "md5":
+            def hash8(data: bytes) -> bytes:
+                return hashlib.md5(data).digest()[:8]
+        else:
+            def hash8(data: bytes) -> bytes:
+                return hashlib.blake2b(data, digest_size=8).digest()
+
         def bits_of(feat: str) -> "np.ndarray":
             b = memo.get(feat)
             if b is None:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(feat.encode(), digest_size=8).digest(),
-                        "big",
-                    )
-                )
+                h = np.uint64(int.from_bytes(hash8(feat.encode()), "big"))
                 b = ((h >> shifts) & np.uint64(1)).astype(np.int32)
                 memo[feat] = b
             return b
@@ -695,6 +710,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     chunks: int | None = None,
     shingle_n: int = 3,
+    feature_hash: str = "blake2b",
 ) -> DataFrame:
     """SimHash near-dup: by pigeonhole, two signatures within Hamming
     distance ``chunks-1`` share at least one identical chunk — so
@@ -707,7 +723,14 @@ def simhash_near_duplicates(
 
     ``shingle_n=3`` hashes word-3-gram feature sets (shared PHRASING);
     pass 1 for the historical unigram space — see make_simhash64_udf
-    for why unigrams saturate on templated corpora.
+    for why unigrams saturate on templated corpora. ``feature_hash``
+    passes through to make_simhash64_udf ("md5" = the
+    external-engine-portable signature).
+
+    Recall note the oracle relies on: with ``chunks = max_hamming+1``
+    (the default) the pigeonhole guarantee makes the bucketed output
+    EQUAL to the brute-force all-pairs Hamming filter — so a quadratic
+    SQL twin can verify the linear banded plan exactly.
     """
     if chunks is None:
         chunks = min(64, max_hamming + 1)
@@ -719,7 +742,7 @@ def simhash_near_duplicates(
     offsets = [sum(widths[:j]) for j in range(chunks)]
     # the pandas-UDF signature is the hot loop — parallelize a coarse
     # scan before shipping Arrow batches to the Python workers
-    sig_udf = make_simhash64_udf(shingle_n)
+    sig_udf = make_simhash64_udf(shingle_n, feature_hash)
     # materialize the signature table (id + one long per doc — tiny):
     # both sides of the bucket self-join consume it, and without the
     # barrier each side would re-run the pandas-UDF projection
@@ -731,9 +754,17 @@ def simhash_near_duplicates(
     def _chunk(j: int):
         c = F.shiftrightunsigned(F.col("sim"), offsets[j])
         # width 64 (chunks=1): the mask is the identity and 1<<64
-        # overflows a signed-long literal — skip the modulo.
+        # overflows a signed-long literal — skip it.
         if widths[j] < 64:
-            c = c % F.lit(1 << widths[j])
+            # bitmask, NOT `%`: Spark's % is a sign-preserving
+            # remainder, so for the offset-0 chunk of a NEGATIVE
+            # signature (bit 63 set) `sim % 65536` came out negative
+            # while the same low bits of a positive partner came out
+            # positive — bucket equality silently failed and the
+            # pigeonhole recall guarantee with it (found by the
+            # round-12 md5 oracle: 3 hamming-3 twin pairs whose only
+            # shared chunk was chunk 0 across a sign boundary).
+            c = c.bitwiseAND(F.lit((1 << widths[j]) - 1))
         return c
 
     chunk = F.posexplode(F.array(*[_chunk(j) for j in range(chunks)]))

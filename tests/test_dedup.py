@@ -208,6 +208,51 @@ def test_simhash_finds_planted(spark):
     assert planted <= truth
 
 
+def test_simhash_sign_boundary_recall(spark):
+    """Regression for the round-12 chunk-0 bug: Spark's % is a
+    sign-preserving remainder, so the offset-0 chunk of a NEGATIVE
+    signature (bit 63 set) came out negative while the identical low
+    bits of a positive partner came out positive — bucket equality
+    failed and hamming≤max pairs straddling the sign boundary were
+    silently dropped (the md5 oracle caught 3 such twin pairs at
+    sf0.01). Banded output must equal brute force over a corpus that
+    PROVABLY contains sign-straddling near-dup pairs."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        make_simhash64_udf,
+    )
+
+    # seed 5: pair (0, 1) is a hamming≤12 near-dup whose signatures
+    # straddle the sign boundary (searched; the straddling assert
+    # below keeps the choice honest)
+    docs = _corpus(n=120, seed=5)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    udf = make_simhash64_udf(1, "md5")
+    sigs = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", udf("text").alias("h")).collect()
+    }
+    truth = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b
+        and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 12
+    }
+    straddling = [
+        (a, b) for a, b in truth if (sigs[a] < 0) != (sigs[b] < 0)
+    ]
+    assert straddling, (
+        "corpus no longer exercises the sign boundary — reseed _corpus"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            df, max_hamming=12, shingle_n=1, feature_hash="md5"
+        ).collect()
+    }
+    assert got == truth
+
+
 def test_simhash_deterministic(spark):
     from mape_calculation_and_anonymization_spark.operators.dedup import simhash64_udf
 
