@@ -9003,6 +9003,70 @@ _TOKEN_BUDGET_ORACLE = """
 """
 
 
+def _q_token_budget_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repetition planning (round-12 debut; VERDICT
+    r11 item 5 — Muennighoff et al. 2023, arXiv:2305.16264): when the
+    token budget EXCEEDS a group's mass, plan repeated passes over its
+    data up to a max_epochs ceiling instead of silently capping at one
+    epoch. Budget = 2× the corpus character mass (sized inside the
+    plan, so the over-budget regime survives every scale factor),
+    alpha=0.5 over per-LANG mass, ceiling 2 epochs: the en head plans
+    ~1.4 epochs uncapped while every tail lang wants 2.2–2.6 and hits
+    the ceiling — both regimes exercised, with ≥0.17 epoch margin to
+    the cap at sf0.001/0.01/0.1 (measured), far outside cross-engine
+    float noise. `epochs` is the repeat factor; `deficit_tokens` is
+    the budget the ceiling left unplaced (what a mixture rebalancer
+    redistributes). Shape (operators/sampling.py:
+    token_budget_repetition): one corpus-sized sum aggregate, then
+    arithmetic on the 5-row lang frame."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        token_budget_repetition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return token_budget_repetition(
+        docs,
+        "lang",
+        "n_chars",
+        budget_multiple=2.0,
+        alpha=0.5,
+        max_epochs=2.0,
+    ).orderBy("lang")
+
+
+_TOKEN_BUDGET_REPETITION_ORACLE = """
+    WITH c AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS n FROM c),
+    s AS (
+        SELECT lang, n_tokens, t.n AS total,
+               CAST(n_tokens AS DOUBLE) / t.n AS share,
+               POW(CAST(n_tokens AS DOUBLE) / t.n, 0.5) AS pw
+        FROM c, t
+    ),
+    z AS (SELECT SUM(pw) AS z FROM s),
+    p AS (
+        SELECT lang, n_tokens, share, pw / z.z AS w,
+               (2.0 * total * pw) / z.z AS target,
+               LEAST(CAST(n_tokens AS DOUBLE) * 2.0,
+                     (2.0 * total * pw) / z.z) AS planned
+        FROM s, z
+    )
+    SELECT lang, n_tokens,
+           ROUND(share, 6) AS raw_share,
+           ROUND(w, 6) AS weight,
+           CAST(FLOOR(target) AS BIGINT) AS target_tokens,
+           CAST(FLOOR(planned) AS BIGINT) AS planned_tokens,
+           ROUND(planned / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+           CAST(FLOOR(target) - FLOOR(planned) AS BIGINT)
+               AS deficit_tokens
+    FROM p
+    ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9104,13 +9168,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
         "scd2_event_history": _q_scd2_event_history,  # last green: r9
         "seq_packing": _q_seq_packing,  # last green: r9
-        "snapshot_diff": _q_snapshot_diff,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # r12 debut
+        "token_budget_repetition": _q_token_budget_repetition,  # r12 debut
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "snapshot_diff": _q_snapshot_diff,  # last green: r9
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
         "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
         "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r9
@@ -9406,6 +9471,7 @@ def oracle_sql() -> dict[str, str]:
         # round-12 debuts
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_ORACLE,
+        "token_budget_repetition": _TOKEN_BUDGET_REPETITION_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

@@ -347,3 +347,70 @@ def token_budget_allocation(
             planned / F.col("n_tokens").cast("double"), 6
         ).alias("sampling_rate"),
     )
+
+
+def token_budget_repetition(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int | None = None,
+    budget_multiple: float | None = None,
+    alpha: float = 0.7,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Data-constrained mixture planning (Muennighoff et al. 2023,
+    arXiv:2305.16264): :func:`token_budget_allocation` extended with
+    a REPETITION ceiling for the over-budget regime. When the budget
+    asks a group for more tokens than it has, the plan may repeat the
+    group's data up to ``max_epochs`` passes (the paper's finding:
+    value decays gently to ~4 epochs, sharply after), so the per-group
+    cap becomes ``n_tokens · max_epochs`` instead of ``n_tokens``.
+
+    ``epochs`` (planned/n_tokens, the repeat factor — ≤ 1 means
+    subsampling, > 1 means repetition) and ``deficit_tokens`` (budget
+    the ceiling left unplaced — what a rebalancer redistributes) make
+    the regime explicit. With ``max_epochs=1.0`` the plan is exactly
+    token_budget_allocation's (property-pinned in
+    tests/test_sampling_ops.py).
+
+    ``budget_multiple`` sizes the budget RELATIVE to the corpus
+    (budget = multiple · Σ n_tokens) inside the plan itself — the
+    over-budget regime then survives any scale factor without a
+    driver-side total lookup; the ``_n`` total from the shared
+    weights frame is reused, so this costs nothing extra. Exactly one
+    of ``budget_tokens`` / ``budget_multiple`` must be given.
+
+    Same scale shape as the sibling: one corpus-sized sum aggregate,
+    then arithmetic over the |groups|-row frame. Float discipline:
+    ``(budget · pw) / z`` association preserved (never
+    ``budget · (pw/z)``), and the FLOOR/LEAST operands keep the same
+    expression shape the DuckDB oracle uses."""
+    if (budget_tokens is None) == (budget_multiple is None):
+        raise ValueError(
+            "exactly one of budget_tokens / budget_multiple required"
+        )
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    s = _group_weights_unrounded(df, group_col, alpha, token_col, "n_tokens")
+    if budget_multiple is not None:
+        target = (
+            F.lit(float(budget_multiple)) * F.col("_n") * F.col("_pw")
+        ) / F.col("_z")
+    else:
+        target = (F.lit(float(budget_tokens)) * F.col("_pw")) / F.col("_z")
+    cap = F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
+    planned = F.least(cap, target)
+    return s.select(
+        group_col,
+        "n_tokens",
+        F.round("_share", 6).alias("raw_share"),
+        F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+        F.floor(target).cast("long").alias("target_tokens"),
+        F.floor(planned).cast("long").alias("planned_tokens"),
+        F.round(
+            planned / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+        (F.floor(target) - F.floor(planned)).cast("long").alias(
+            "deficit_tokens"
+        ),
+    )

@@ -488,3 +488,81 @@ def test_token_budget_allocation_caps_and_sums(spark):
     assert got["a"]["sampling_rate"] == 1.0
     assert got["b"]["planned_tokens"] == 374
     assert 0 < got["b"]["sampling_rate"] < 1
+
+
+def test_token_budget_repetition_regimes(spark):
+    """Over-budget groups repeat up to the epoch ceiling; the deficit
+    accounts for what the ceiling refused; param validation bites."""
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        token_budget_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 100), ("b", 900)], "src string, toks long"
+    )
+    # budget 1999 (same off-boundary discipline as the sibling test):
+    # weights .25/.75 at alpha=.5 → targets 499.75/1499.25; 'a' wants
+    # ~5 epochs of its 100 tokens → clipped at 3; 'b' wants ~1.67 →
+    # under the ceiling, fully placed
+    got = {
+        r["src"]: r
+        for r in token_budget_repetition(
+            docs, "src", "toks", budget_tokens=1999, alpha=0.5,
+            max_epochs=3.0,
+        ).collect()
+    }
+    assert got["a"]["target_tokens"] == 499
+    assert got["a"]["planned_tokens"] == 300
+    assert got["a"]["epochs"] == 3.0
+    assert got["a"]["deficit_tokens"] == 199
+    assert got["b"]["planned_tokens"] == got["b"]["target_tokens"] == 1499
+    assert 1 < got["b"]["epochs"] < 2
+    assert got["b"]["deficit_tokens"] == 0
+    with pytest.raises(ValueError):
+        token_budget_repetition(docs, "src", "toks")
+    with pytest.raises(ValueError):
+        token_budget_repetition(
+            docs, "src", "toks", budget_tokens=10, budget_multiple=1.0
+        )
+    with pytest.raises(ValueError):
+        token_budget_repetition(
+            docs, "src", "toks", budget_tokens=10, max_epochs=0
+        )
+
+
+def test_token_budget_repetition_one_epoch_matches_allocation(spark):
+    """The property the VERDICT r11 item-5 mandate pins: with
+    max_epochs=1.0 (budget ≤ what exists, no repetition allowed) the
+    repetition plan is EXACTLY token_budget_allocation's — same
+    planned_tokens, and epochs == sampling_rate."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        token_budget_allocation,
+        token_budget_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 317), ("b", 911), ("c", 53), ("d", 4096)],
+        "src string, toks long",
+    )
+    base = {
+        r["src"]: r
+        for r in token_budget_allocation(
+            docs, "src", "toks", budget_tokens=2000, alpha=0.7
+        ).collect()
+    }
+    rep = {
+        r["src"]: r
+        for r in token_budget_repetition(
+            docs, "src", "toks", budget_tokens=2000, alpha=0.7,
+            max_epochs=1.0,
+        ).collect()
+    }
+    assert set(base) == set(rep)
+    for k in base:
+        assert rep[k]["planned_tokens"] == base[k]["planned_tokens"], k
+        assert rep[k]["epochs"] == base[k]["sampling_rate"], k
+        assert rep[k]["raw_share"] == base[k]["raw_share"], k
+        assert rep[k]["weight"] == base[k]["weight"], k
+        assert rep[k]["deficit_tokens"] >= 0
