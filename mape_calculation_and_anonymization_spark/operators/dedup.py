@@ -334,15 +334,30 @@ def lsh_candidate_pairs(
         )
     )
     buckets = sigs.select(F.col(id_col).alias("_id"), band_hash.alias("band", "bh"))
+    # ONE eager materialization of the bucket frame: every consumer
+    # below — the flood-cap aggregate and BOTH legs of the pair
+    # self-join — otherwise re-derives the full upstream plan (no
+    # exchange reuse across broadcast-join legs: measured 4 source
+    # scans + 2 bucket-count aggregates on the fixture path at sf0.1,
+    # and on the live path the whole corpus signature aggregation runs
+    # per leg). The frame is (id, band int, bh int) — bands × n_docs
+    # rows at ~20 bytes: far cheaper to land once than to recompute
+    # the signature pass per consumer, at any scale.
+    buckets = buckets.localCheckpoint(eager=True)
 
     if max_bucket_size:
-        ok = (
+        # flood-cap as an ANTI-join against the oversized buckets:
+        # the block-list is bounded by bands·n/max_bucket_size rows
+        # (small by construction), where the previous semi-join's OK
+        # set was corpus-sized — AQE turns this into a broadcast
+        # anti-join off the checkpointed frame.
+        blocked = (
             buckets.groupBy("band", "bh")
             .count()
-            .filter(F.col("count") <= max_bucket_size)
+            .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
-        buckets = buckets.join(ok, on=["band", "bh"], how="left_semi")
+        buckets = buckets.join(blocked, on=["band", "bh"], how="left_anti")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -503,6 +518,7 @@ def minhash_near_duplicates(
     seed: int = 42,
     shingle_mode: str = "char",
     precomputed_sigs: DataFrame | None = None,
+    precomputed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates →
     EXACT Jaccard verification on the candidates only.
@@ -531,6 +547,16 @@ def minhash_near_duplicates(
     shingles over such corpora are dense, which floods the candidate
     set with genuinely-similar-at-char-level pairs).
 
+    ``precomputed_shingles`` ((id_col, sh) — the same shingle space as
+    ``shingler(text_col, shingle_k)`` over the SAME corpus, e.g. a
+    landed shingle-table fixture): the verification stage then reads
+    the materialized tokens instead of re-running the interpreted HOF
+    shingling over every candidate document. Only meaningful together
+    with ``precomputed_sigs`` (the from-scratch path shingles the
+    whole corpus anyway to derive the signatures). Value-equality is
+    the caller's contract — tokenization is deterministic, so a
+    fixture derived by the same shingler is bit-identical.
+
     Output: (id_a, id_b, jaccard_sim) for verified pairs ≥ threshold.
     """
     shingler = char_shingles if shingle_mode == "char" else word_ngrams
@@ -543,12 +569,17 @@ def minhash_near_duplicates(
             .unionByName(cands.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        cand_sh = (
-            docs.join(cand_ids, id_col, "left_semi")
-            .select(
-                F.col(id_col).alias("_id"),
-                shingler(text_col, shingle_k).alias("sh"),
+        if precomputed_shingles is not None:
+            shingle_src = precomputed_shingles.select(
+                F.col(id_col), F.col("sh")
             )
+        else:
+            shingle_src = docs.select(
+                F.col(id_col), shingler(text_col, shingle_k).alias("sh")
+            )
+        cand_sh = (
+            shingle_src.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col).alias("_id"), "sh")
             .localCheckpoint(eager=True)  # shingled once, joined twice
         )
         a = cand_sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
