@@ -965,8 +965,10 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket frame is checkpointed once inside lsh_candidate_pairs
     (the self-join legs otherwise re-derived it, 4 source scans + 2
     cap aggregates), and verification no longer re-runs the
-    interpreted HOF shingling per run (median 3.3s → 2.2s at
-    sf0.1, byte-identical pairs)."""
+    interpreted HOF shingling per run (isolated-session median
+    3.3s → 2.2s at sf0.1, byte-identical pairs; the gain is
+    smaller under the bench harness, whose warmed page cache
+    partially masked the old re-derivation)."""
     corpus = _docs_with_planted_twins(spark, sf_dir)
     return minhash_near_duplicates(
         corpus,
