@@ -478,15 +478,25 @@ def md5_lsh_candidate_pairs(
     bucketed = md5_band_buckets(
         docs, id_col, toks_col, group_cols, bands, rows_per_band
     )
+    # Same materialization discipline as lsh_candidate_pairs (r12):
+    # the flood-cap aggregate and both self-join legs otherwise each
+    # re-run the bucket derivation — and here that derivation is the
+    # EXPENSIVE leg (bands×rows_per_band md5 computations per exploded
+    # token instance). One eager checkpoint of the (group, id, band,
+    # key) frame, then every consumer reads the materialized rows.
+    bucketed = bucketed.localCheckpoint(eager=True)
     if max_bucket_size:
         bucket_key = [*group_cols, "band_idx", "band_key"]
-        ok = (
+        # anti-join against the small flooded-bucket list (bounded by
+        # rows/max_bucket_size) instead of semi-joining the
+        # corpus-sized OK set — AQE broadcasts the block-list.
+        blocked = (
             bucketed.groupBy(*bucket_key)
             .count()
-            .filter(F.col("count") <= max_bucket_size)
+            .filter(F.col("count") > max_bucket_size)
             .drop("count")
         )
-        bucketed = bucketed.join(ok, on=bucket_key, how="left_semi")
+        bucketed = bucketed.join(blocked, on=bucket_key, how="left_anti")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cond = (
         [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols]
