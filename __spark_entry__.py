@@ -1405,6 +1405,92 @@ _TEXT_QUALITY_ORACLE = rf"""
 """
 
 
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (round-12 debut): the per-(source, lang)
+    curation summary a training-data release publishes — volume
+    (docs/chars/tokens), hygiene (NULL docs, exact-duplicate docs via
+    GLOBAL md5 fingerprint — duplicates detected across group
+    boundaries), and mean composite quality
+    (operators/text.py:corpus_datacard). Every 5th document is
+    unioned back as an EXACT copy so the duplicate columns exercise
+    real cross-group arithmetic (~1/3 dup rate, varying per group)
+    on a corpus whose original texts are all distinct. Shape: one
+    doc-level projection, ONE corpus shuffle for the global
+    fingerprint window (exact_dedup_groups' cost class), one group
+    aggregate — adding a metric is one aggregate expression, never
+    another corpus pass. The quality/token expressions are the SAME
+    deterministic columns text_quality publishes, so the oracle
+    reuses its proven SQL fragments."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        corpus_datacard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.unionByName(copies).select("source", "lang", "text")
+    return corpus_datacard(corpus).orderBy("source", "lang")
+
+
+_CORPUS_DATACARD_ORACLE = rf"""
+    WITH base AS (
+        SELECT source, lang, text FROM documents
+        UNION ALL
+        SELECT source, lang, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+        SELECT source, lang, text,
+               md5(text) AS fp,
+               length(text) AS chars,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_toks,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) AS p_ratio
+        FROM base
+    ),
+    m AS (
+        SELECT *,
+               CAST(len(list_filter(toks,
+                        x -> list_contains({_sw_list_sql('en')}, x)))
+                    AS DOUBLE) / NULLIF(len(toks), 0) AS sw_ratio,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / NULLIF(len(toks), 0) AS mean_len
+        FROM t
+    ),
+    q AS (
+        SELECT source, lang, text, fp, chars, n_toks,
+               LEAST(length(text) / 500.0, 1.0) * 0.3
+               + LEAST(sw_ratio * 4.0, 1.0) * 0.2
+               + GREATEST(1.0 - p_ratio * 5.0, 0.0) * 0.3
+               + (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+        FROM m
+    ),
+    w AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY fp) AS gcount FROM q
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN fp IS NOT NULL AND gcount >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs,
+           ROUND(CAST(SUM(CASE WHEN fp IS NOT NULL AND gcount >= 2
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+           ROUND(AVG(quality), 6) AS mean_quality
+    FROM w
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
 def _q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document language prediction as a shuffle-free PROJECTION
     (the per-row expression). The bulk explode+join variant
@@ -9180,14 +9266,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
         "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
         "scd2_event_history": _q_scd2_event_history,  # last green: r9
-        "seq_packing": _q_seq_packing,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # r12 debut
         "token_budget_repetition": _q_token_budget_repetition,  # r12 debut
+        "corpus_datacard": _q_corpus_datacard,  # r12 debut
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "seq_packing": _q_seq_packing,  # last green: r9
         "snapshot_diff": _q_snapshot_diff,  # last green: r9
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
         "stream_drift_psi": _q_stream_drift_psi,  # last green: r9
@@ -9485,6 +9572,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_ORACLE,
         "token_budget_repetition": _TOKEN_BUDGET_REPETITION_ORACLE,
+        "corpus_datacard": _CORPUS_DATACARD_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,

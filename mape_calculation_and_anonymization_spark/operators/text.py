@@ -609,3 +609,61 @@ def ngram_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def corpus_datacard(
+    df,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+):
+    """Per-group corpus DATA CARD: the one-table curation summary a
+    training-data release publishes per (source, language) slice —
+    volume (docs/chars/tokens), hygiene (NULL docs, exact-duplicate
+    docs via global md5 fingerprint), and the mean composite
+    :func:`quality_score`.
+
+    Shape: one doc-level projection (fingerprint + per-doc stats),
+    ONE corpus shuffle for the GLOBAL fingerprint counts (a window
+    over md5(text) — duplicates must be detected across group
+    boundaries, same cost class as exact_dedup_groups), then one
+    group aggregate over the decorated rows. Adding a metric is one
+    more aggregate expression, never another corpus pass.
+
+    NULL-text docs are counted (n_null_text) but excluded from the
+    duplicate logic (md5(NULL) is NULL; a NULL fingerprint is absent
+    data, not sameness) and contribute NULL to the char/token/quality
+    aggregates (skipped by SUM/AVG in both engines).
+
+    Output: (group_cols..., n_docs, n_null_text, total_chars,
+    total_tokens, exact_dup_docs, dup_rate, mean_quality), rounded 6.
+    """
+    from pyspark.sql import Window
+
+    per_doc = df.select(
+        *group_cols,
+        F.col(text_col).alias("_t"),
+        F.md5(F.col(text_col)).alias("_fp"),
+        F.length(F.col(text_col)).alias("_chars"),
+        token_count(F.col(text_col)).alias("_toks"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    gc = F.count(F.lit(1)).over(Window.partitionBy("_fp"))
+    flagged = per_doc.withColumn(
+        "_dup", F.col("_fp").isNotNull() & (gc >= 2)
+    )
+    n_docs = F.count(F.lit(1))
+    dup_docs = F.sum(F.col("_dup").cast("long"))
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum(F.col("_t").isNull().cast("long")).alias("n_null_text"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum(F.col("_toks").cast("long")).alias("total_tokens"),
+            dup_docs.alias("exact_dup_docs"),
+            F.round(
+                dup_docs.cast("double") / n_docs.cast("double"), 6
+            ).alias("dup_rate"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+        )
+    )

@@ -281,3 +281,39 @@ def test_ngram_novelty_hand_example(spark):
     assert got[2] == (1, 0, 0.0)
     assert got[3] == (2, 1, 0.5)
     assert got[4] == (1, 1, 1.0)
+
+
+def test_corpus_datacard(spark):
+    """Hand-checkable card: 2 groups, one exact duplicate pair that
+    CROSSES groups (global fingerprint), a NULL doc and a blank doc
+    (counted, excluded from dup/quality arithmetic)."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        corpus_datacard,
+    )
+
+    rows = [
+        ("a", "en", "the quick brown fox jumps over the lazy dog"),
+        ("a", "en", "shared boilerplate header text"),
+        ("b", "en", "shared boilerplate header text"),  # cross-group dup
+        ("a", "en", None),
+        ("b", "en", ""),
+        ("b", "en", "another perfectly ordinary document body"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r["source"], r["lang"]): r
+        for r in corpus_datacard(df).collect()
+    }
+    a, b = got[("a", "en")], got[("b", "en")]
+    assert a["n_docs"] == 3 and b["n_docs"] == 3
+    assert a["n_null_text"] == 1 and b["n_null_text"] == 0
+    # the duplicate pair is split across groups — each side counts 1
+    assert a["exact_dup_docs"] == 1 and b["exact_dup_docs"] == 1
+    assert a["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    # chars/tokens skip NULL; blank doc contributes 0 tokens, 0 chars
+    assert a["total_chars"] == len(rows[0][2]) + len(rows[1][2])
+    assert a["total_tokens"] == 9 + 4
+    assert b["total_tokens"] == 0 + 4 + 5
+    # quality: NULL doc and blank doc contribute NULL (skipped by avg)
+    assert a["mean_quality"] is not None
+    assert 0.0 < b["mean_quality"] <= 1.0
