@@ -456,3 +456,29 @@ def test_text_dup_spans_shuffle_free_shingling(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_round12_debut_plan_shapes(spark):
+    """Scale pins for the round-12 debuts: bounded exchange counts and
+    no cartesian products, so a refactor can't silently reintroduce a
+    corpus×corpus product or an extra full shuffle."""
+    # corpus_datacard: fingerprint window shuffle + group aggregate
+    # (+ the union read) — the global-dup detection is the only
+    # corpus-wide exchange pair
+    card = e._q_corpus_datacard(spark, SF)
+    p = physical_plan(card)
+    assert "CartesianProduct" not in p
+    assert count_exchanges(card) <= 4, count_exchanges(card)
+
+    # token_budget_repetition: one corpus-sized sum aggregate, then
+    # answer-sized arithmetic (normalizer broadcasts) — never more
+    # than the sibling planning aggregate's exchanges
+    rep = e._q_token_budget_repetition(spark, SF)
+    assert "CartesianProduct" not in physical_plan(rep)
+    assert count_exchanges(rep) <= 4, count_exchanges(rep)
+
+    # dedup_simhash_md5_pairs mirrors the blake2b sibling's banded
+    # shape: bucket self-join off the checkpointed signature frame,
+    # no product
+    md5p = e._q_dedup_simhash_md5_pairs(spark, SF)
+    assert "CartesianProduct" not in physical_plan(md5p)
