@@ -381,3 +381,48 @@ def test_semantic_dedup_zero_vector_is_never_a_duplicate(spark):
     assert out[3]["centroid_sim"] is None
     assert out[3]["kept"] is True
     assert len(out) == 3
+
+
+def test_semantic_dedup_routing_margin(spark):
+    """Cross-engine safety audit for the round-12 semantic_dedup
+    oracle: the DuckDB twin re-derives nearest-centroid routing with
+    sequential-sum dots while the Spark path uses BLAS — the two can
+    disagree only if some vector's best-vs-second-best centroid
+    distance margin sits inside float noise. Assert the actual margin
+    on the actual corpus+twins is astronomically wider than 1e-9 (and
+    that the centroid_sim round-6 values sit away from the .5
+    rounding boundary), so a future fixture/corpus change that
+    creates a near-tie fails HERE instead of as a driver hash
+    mismatch."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    _, cents = e._ivf_index_cached(spark, sf, n_clusters=48)
+    cmat = np.array(
+        [r["centroid"] for r in cents.orderBy("cluster").collect()]
+    )
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    vecs = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    corpus = np.vstack([vecs, vecs * 1.01])  # planted twins
+    d2 = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (corpus @ cmat.T)
+    part = np.partition(d2, 1, axis=1)
+    margins = part[:, 1] - part[:, 0]
+    assert margins.min() > 1e-9, float(margins.min())
+    # round-6 safety of centroid_sim: distance of the raw cosine to
+    # the nearest half-ulp-of-round-6 boundary
+    vn = np.linalg.norm(corpus, axis=1)
+    cn = np.linalg.norm(cmat, axis=1)
+    idx = d2.argmin(axis=1)
+    dots = np.einsum("ij,ij->i", corpus, cmat[idx])
+    cs = dots / (vn * cn[idx])
+    frac = np.abs((cs * 1e6) % 1.0 - 0.5)
+    # frac is in units of 1e-6 (one round-6 ulp): 1e-5 here = 1e-11
+    # absolute distance to a rounding boundary, ~10^4 x the ~1e-15
+    # cross-engine float noise on a cosine. Observed min on this
+    # corpus: 6.2e-5 (6.2e-11 absolute).
+    assert frac.min() > 1e-5, float(frac.min())
