@@ -1100,13 +1100,58 @@ def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
         f"pq_codebooks_{_source_token(sf_dir, 'embeddings')}.npy"
     )
     if os.path.exists(path):
-        return np.load(path)
-    cb = train_pq_codebooks(load_table(spark, sf_dir, "embeddings"))
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp.npy"
-    np.save(tmp, cb)
-    os.replace(tmp, path)
+        cb = np.load(path)
+    else:
+        cb = train_pq_codebooks(load_table(spark, sf_dir, "embeddings"))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.npy"
+        np.save(tmp, cb)
+        os.replace(tmp, path)
+    _ensure_pq_codebook_parquet(cb, _pq_codebook_parquet_path(sf_dir))
     return cb
+
+
+def _pq_codebook_parquet_path(sf_dir: str) -> str:
+    """Parquet twin of the PQ codebook artifact — what the
+    pq_ann_topk DuckDB oracle read_parquets (same sf-keyed-fixture
+    class as the semantic_dedup centroid table and K2's sidecar)."""
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"pq_codebooks_{_source_token(sf_dir, 'embeddings')}.parquet"
+    )
+
+
+def _ensure_pq_codebook_parquet(cb, path: str) -> None:
+    """Land the (m, k, sub) codebook array as (b, j, centroid) parquet
+    rows, written atomically via pyarrow (driver-side — the array is
+    sketch-sized by construction). Idempotent; also backfills the
+    parquet twin next to an npy that predates round 12."""
+    import os
+
+    if os.path.exists(path):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m, k, _sub = cb.shape
+    tbl = pa.table(
+        {
+            "b": pa.array(
+                [b for b in range(m) for _ in range(k)], pa.int32()
+            ),
+            "j": pa.array(
+                [j for _ in range(m) for j in range(k)], pa.int32()
+            ),
+            "centroid": pa.array(
+                [cb[b, j].tolist() for b in range(m) for j in range(k)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.parquet"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
 
 
 def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_clusters: int):
@@ -1142,28 +1187,131 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, n_clusters: int):
 
 
 def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (rows-only: codebook k-means is not
-    SQL-expressible; recall vs brute force pinned by
+    """Product-quantization ANN (oracle-backed since round 12 — the
+    codebook k-means stays non-SQL, but its trained artifact lands as
+    a parquet twin the DuckDB oracle read_parquets, the same
+    fixture-artifact pattern as semantic_dedup's centroid table; see
+    _PQ_ANN_ORACLE. Recall vs brute force additionally pinned by
     tests/test_similarity.py). 32x-compressed codes + per-query ADC
     lookup tables + exact cosine re-rank of an 8x shortlist — the
     memory-bound leg of the IVF+PQ stack every trillion-vector corpus
     search runs on. Codebooks come from the offline-index fixture
-    (_pq_codebooks_cached) — the timed path is encode + search."""
+    (_pq_codebooks_cached) — the timed path is encode + search.
+    Cross-engine float audit (test_similarity.py:
+    test_pq_oracle_margins): code-assign argmin margin ≥3.2e-6 and
+    shortlist-80 boundary margin ≥1.5e-4 on this corpus, 10^7-10^9 ×
+    the ~1e-13 sequential-vs-BLAS summation noise."""
     from mape_calculation_and_anonymization_spark.operators.pq import pq_top_k
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     codebooks = _pq_codebooks_cached(spark, sf_dir)
-    return pq_top_k(emb, queries, codebooks, k=10, shortlist_factor=8)
+    return pq_top_k(emb, queries, codebooks, k=10, shortlist_factor=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _pq_ann_oracle(sf_dir: str = None) -> str:
+    """DuckDB twin for pq_ann_topk: re-derives the ENTIRE ADC search
+    from the landed codebook parquet — per-block code assignment
+    (argmin ‖xb−c‖² over the 16 codes, lowest-j ties = the numpy
+    argmin convention), per-query LUTs from the same formula, approx
+    distance as the 8-block LUT sum, top-80 shortlist by
+    (approx_dist, neighbor_id), then the exact rounded-cosine re-rank
+    with the identical (sim desc, id asc) tie-break. Only the
+    codebook TRAINING (sampled Lloyd iterations) stays outside SQL —
+    exactly the piece that is an offline artifact in production.
+    Quadratic oracle, linear engine: the twin scores queries × corpus
+    via the code join; the engine streams m-byte codes per vector."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    cbp = _pq_codebook_parquet_path(d)
+    return f"""
+    WITH cb AS (SELECT b, j, centroid FROM read_parquet('{cbp}')),
+    emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    assign AS (
+        SELECT vec_id, b, j, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, b ORDER BY d2, j
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, c.b, c.j,
+                   list_dot_product(list_slice(e.v, c.b*8+1, c.b*8+8),
+                                    list_slice(e.v, c.b*8+1, c.b*8+8))
+                   - 2.0 * list_dot_product(
+                         list_slice(e.v, c.b*8+1, c.b*8+8), c.centroid)
+                   + list_dot_product(c.centroid, c.centroid) AS d2
+            FROM emb e CROSS JOIN cb c
+        )
+    ),
+    codes AS (SELECT vec_id, b, j AS code FROM assign WHERE rn = 1),
+    luts AS (
+        SELECT e.vec_id AS query_id, c.b, c.j,
+               list_dot_product(list_slice(e.v, c.b*8+1, c.b*8+8),
+                                list_slice(e.v, c.b*8+1, c.b*8+8))
+               - 2.0 * list_dot_product(
+                     list_slice(e.v, c.b*8+1, c.b*8+8), c.centroid)
+               + list_dot_product(c.centroid, c.centroid) AS d2
+        FROM emb e CROSS JOIN cb c
+        WHERE e.vec_id % 100 = 0
+    ),
+    ad AS (
+        SELECT l.query_id, co.vec_id AS neighbor_id, SUM(l.d2) AS approx_dist
+        FROM codes co JOIN luts l ON l.b = co.b AND l.j = co.code
+        WHERE l.query_id <> co.vec_id
+        GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_dist, neighbor_id
+                   ) AS r
+            FROM ad
+        ) WHERE r <= 80
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(
+                   list_dot_product(q.v, n.v)
+                   / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(n.v, n.v)), 0),
+                   6
+               ) AS cosine_sim
+        FROM sl s
+        JOIN emb q ON q.vec_id = s.query_id
+        JOIN emb n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rank
+        FROM rer
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
 
 
 def _q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF+PQ stack (rows-only; exhaustive-probe == PQ-only and
-    partial-probe recall pinned in tests/test_similarity.py): coarse
-    cells bound what is read, PQ codes bound bytes per read, exact
-    re-rank restores true similarities on the shortlist. Both index
-    artifacts come from the offline-index fixtures — the timed path
-    is routing + ADC scan + re-rank, the production steady state."""
+    """Full IVF+PQ stack (oracle-backed since round 12 — BOTH index
+    artifacts are on-disk parquet, so the DuckDB twin re-derives the
+    entire search: cosine routing into the k=16 cells, membership
+    from the landed assignment table, PQ code re-assignment from the
+    codebook parquet, the 8-block ADC shortlist, and the exact
+    rounded-cosine re-rank; see _ivf_pq_ann_oracle. Exhaustive-probe
+    == PQ-only and partial-probe recall additionally pinned in
+    tests/test_similarity.py, shortlist-boundary margins pinned in
+    test_pq_oracle_margins): coarse cells bound what is read, PQ
+    codes bound bytes per read, exact re-rank restores true
+    similarities on the shortlist. The timed path is routing + ADC
+    scan + re-rank, the production steady state."""
     from mape_calculation_and_anonymization_spark.operators.pq import (
         ivf_pq_top_k,
     )
@@ -1175,7 +1323,120 @@ def _q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_top_k(
         assigned, centroids, queries, codebooks, k=10, nprobe=4,
         shortlist_factor=8,
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_pq_ann_oracle(sf_dir: str = None) -> str:
+    """DuckDB twin for ivf_pq_ann_topk — composes the two proven
+    fixture-artifact patterns: cells/assigned parquet (semantic_dedup
+    precedent) for coarse routing + membership, codebook parquet
+    (pq_ann_topk precedent) for code assignment and per-query LUTs.
+    Routing cosines are BIT-stable cross-engine (both sides sum the
+    dot in element order — `dot()`'s design contract), code-assign
+    and shortlist-80 boundary margins are pinned in
+    test_pq_oracle_margins, and the final rank uses the rounded
+    cosine with the id tie-break on both sides."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    cbp = _pq_codebook_parquet_path(d)
+    cells = _ivf_fixture_glob(d, 16, "cells")
+    memb = _ivf_fixture_glob(d, 16, "assigned")
+    return f"""
+    WITH cb AS (SELECT b, j, centroid FROM read_parquet('{cbp}')),
+    cents AS (SELECT cluster, centroid FROM read_parquet('{cells}')),
+    memb AS (SELECT vec_id, cluster FROM read_parquet('{memb}')),
+    emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    routed AS (
+        SELECT query_id, cluster FROM (
+            SELECT e.vec_id AS query_id, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.centroid)
+                                / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.centroid,
+                                                          c.centroid)), 0)
+                                DESC,
+                                c.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN cents c
+            WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= 4
+    ),
+    assign AS (
+        SELECT vec_id, b, j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, b ORDER BY d2, j
+               ) AS rn
+        FROM (
+            SELECT e.vec_id, c.b, c.j,
+                   list_dot_product(list_slice(e.v, c.b*8+1, c.b*8+8),
+                                    list_slice(e.v, c.b*8+1, c.b*8+8))
+                   - 2.0 * list_dot_product(
+                         list_slice(e.v, c.b*8+1, c.b*8+8), c.centroid)
+                   + list_dot_product(c.centroid, c.centroid) AS d2
+            FROM emb e CROSS JOIN cb c
+        )
+    ),
+    codes AS (SELECT vec_id, b, j AS code FROM assign WHERE rn = 1),
+    luts AS (
+        SELECT e.vec_id AS query_id, c.b, c.j,
+               list_dot_product(list_slice(e.v, c.b*8+1, c.b*8+8),
+                                list_slice(e.v, c.b*8+1, c.b*8+8))
+               - 2.0 * list_dot_product(
+                     list_slice(e.v, c.b*8+1, c.b*8+8), c.centroid)
+               + list_dot_product(c.centroid, c.centroid) AS d2
+        FROM emb e CROSS JOIN cb c
+        WHERE e.vec_id % 100 = 0
+    ),
+    cand AS (
+        SELECT r.query_id, m2.vec_id AS neighbor_id
+        FROM routed r JOIN memb m2 ON m2.cluster = r.cluster
+        WHERE m2.vec_id <> r.query_id
+    ),
+    ad AS (
+        SELECT ca.query_id, ca.neighbor_id, SUM(l.d2) AS approx_dist
+        FROM cand ca
+        JOIN codes co ON co.vec_id = ca.neighbor_id
+        JOIN luts l ON l.query_id = ca.query_id
+                   AND l.b = co.b AND l.j = co.code
+        GROUP BY 1, 2
+    ),
+    sl AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_dist, neighbor_id
+                   ) AS r
+            FROM ad
+        ) WHERE r <= 80
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(
+                   list_dot_product(q.v, n.v)
+                   / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(n.v, n.v)), 0),
+                   6
+               ) AS cosine_sim
+        FROM sl s
+        JOIN emb q ON q.vec_id = s.query_id
+        JOIN emb n ON n.vec_id = s.neighbor_id
     )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rank
+        FROM rer
+    )
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
 
 
 def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,9 +1448,11 @@ def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scoring pass for the whole sweep
     (operators/ivf.py:ivf_recall_curve — per-budget set equality with
     ivf_top_k is pinned in tests, as are the monotone curve and
-    exhaustive-probe recall == 1.0). Rows-only: the cell assignment is
-    KMeans-based (no portable SQL); the exact baseline is itself
-    oracle-verified via ann_cosine_topk."""
+    exhaustive-probe recall == 1.0). Oracle-backed since round 12:
+    the k=8 cells + assignment are on-disk parquet, and routing
+    cosines are bit-stable cross-engine, so the twin re-derives the
+    scored frame, the exact baseline, every budget's top-k, and the
+    hit counts in SQL (_ann_recall_oracle)."""
     from mape_calculation_and_anonymization_spark.operators.ivf import (
         ivf_recall_curve,
     )
@@ -1200,6 +1463,87 @@ def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_curve(
         assigned, centroids, queries, k=10, budgets=(1, 2, 4, 8)
     )
+
+
+def _ann_recall_oracle(sf_dir: str = None) -> str:
+    """DuckDB twin for ann_recall_eval: scores every (query, corpus)
+    pair once with the neighbor's cell rank attached (the crank trick
+    ivf_recall_curve uses), derives the exact baseline and each probe
+    budget's top-10 from that one frame, and counts hits — identical
+    rounded-cosine + id tie-break ordering on both sides."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    cells = _ivf_fixture_glob(d, 8, "cells")
+    memb = _ivf_fixture_glob(d, 8, "assigned")
+    return f"""
+    WITH cents AS (SELECT cluster, centroid FROM read_parquet('{cells}')),
+    memb AS (SELECT vec_id, cluster FROM read_parquet('{memb}')),
+    emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    routed AS (
+        SELECT e.vec_id AS query_id, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.centroid)
+                            / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(c.centroid,
+                                                      c.centroid)), 0)
+                            DESC,
+                            c.cluster
+               ) AS crank
+        FROM emb e CROSS JOIN cents c
+        WHERE e.vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT r.query_id, m2.vec_id AS neighbor_id, r.crank,
+               ROUND(
+                   list_dot_product(qv.v, nv.v)
+                   / NULLIF(sqrt(list_dot_product(qv.v, qv.v))
+                            * sqrt(list_dot_product(nv.v, nv.v)), 0),
+                   6
+               ) AS cosine_sim
+        FROM routed r
+        JOIN memb m2 ON m2.cluster = r.cluster
+        JOIN emb qv ON qv.vec_id = r.query_id
+        JOIN emb nv ON nv.vec_id = m2.vec_id
+        WHERE m2.vec_id <> r.query_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= 10
+    ),
+    apx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT b.p AS nprobe, s.query_id, s.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.p, s.query_id
+                       ORDER BY s.cosine_sim DESC, s.neighbor_id
+                   ) AS rk
+            FROM scored s
+            JOIN (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(p)) b
+              ON s.crank <= b.p
+        ) WHERE rk <= 10
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM exact)
+    SELECT CAST(a.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+               AS mean_recall_at_10
+    FROM apx a
+    JOIN exact x ON x.query_id = a.query_id
+                AND x.neighbor_id = a.neighbor_id
+    CROSS JOIN tot
+    GROUP BY a.nprobe, tot.n
+    ORDER BY nprobe
+"""
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8706,19 +9050,25 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _semantic_dedup_cells(sf_dir: str = _ORACLE_SF_DIR) -> str:
-    """Glob of the k=48 IVF centroid fixture parts the semantic_dedup
-    oracle reads — sf-keyed like K2's sidecar (the path embeds the
+def _ivf_fixture_glob(sf_dir: str, n_clusters: int, part: str) -> str:
+    """Glob of one part (``cells`` or ``assigned``) of the IVF index
+    fixture — the on-disk artifacts the ANN-family oracles
+    read_parquet (sf-keyed like K2's sidecar: the path embeds the
     source fingerprint, so a regenerated corpus re-derives both the
     fixture and this path together)."""
     import os
 
     return os.path.join(
         f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
-        f"ivf_{_source_token(sf_dir, 'embeddings')}_k48",
-        "cells",
+        f"ivf_{_source_token(sf_dir, 'embeddings')}_k{n_clusters}",
+        part,
         "*.parquet",
     )
+
+
+def _semantic_dedup_cells(sf_dir: str = _ORACLE_SF_DIR) -> str:
+    """The k=48 centroid glob the semantic_dedup oracle reads."""
+    return _ivf_fixture_glob(sf_dir, 48, "cells")
 
 
 def _semantic_dedup_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
@@ -9263,17 +9613,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
         "profile_orders": _q_profile_orders,  # last green: r9
-        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
-        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
-        "scd2_event_history": _q_scd2_event_history,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # r12 debut
         "token_budget_repetition": _q_token_budget_repetition,  # r12 debut
         "corpus_datacard": _q_corpus_datacard,  # r12 debut
+        "pq_ann_topk": _q_pq_ann_topk,  # oracle-backed since r12
+        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # oracle-backed since r12
+        "ann_recall_eval": _q_ann_recall_eval,  # oracle-backed since r12
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
+        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
+        "scd2_event_history": _q_scd2_event_history,  # last green: r9
         "seq_packing": _q_seq_packing,  # last green: r9
         "snapshot_diff": _q_snapshot_diff,  # last green: r9
         "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r9
@@ -9395,9 +9748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, each pinned by unit tests instead.
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # rows-only
-        "ann_recall_eval": _q_ann_recall_eval,  # rows-only
-        "pq_ann_topk": _q_pq_ann_topk,  # rows-only
-        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # rows-only
         "bpe_vocab_merges": _q_bpe_vocab_merges,  # rows-only
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # rows-only
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # rows-only
@@ -9573,6 +9923,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_md5_pairs": _DEDUP_SIMHASH_MD5_ORACLE,
         "token_budget_repetition": _TOKEN_BUDGET_REPETITION_ORACLE,
         "corpus_datacard": _CORPUS_DATACARD_ORACLE,
+        "pq_ann_topk": _pq_ann_oracle(),
+        "ivf_pq_ann_topk": _ivf_pq_ann_oracle(),
+        "ann_recall_eval": _ann_recall_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
@@ -9593,4 +9946,7 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out = dict(oracle_sql())
     out["k2_excel_sheets"] = _k2_oracle(sf_dir)
     out["semantic_dedup"] = _semantic_dedup_oracle(sf_dir)
+    out["pq_ann_topk"] = _pq_ann_oracle(sf_dir)
+    out["ivf_pq_ann_topk"] = _ivf_pq_ann_oracle(sf_dir)
+    out["ann_recall_eval"] = _ann_recall_oracle(sf_dir)
     return out

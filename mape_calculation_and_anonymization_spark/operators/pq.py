@@ -207,6 +207,13 @@ def pq_top_k(
             dist = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
             for b in range(mm):
                 dist += luts[:, b, :][:, codes[:, b]]
+            # exclude self BEFORE the local prune: a query's own row
+            # (distance ~0) would otherwise occupy a local top slot
+            # and, on partitions larger than the shortlist, evict the
+            # partition's true shortlist_k-th non-self candidate from
+            # the global shortlist (spec: top shortlist_k NON-SELF by
+            # approx distance)
+            dist[q_ids[:, None] == ids[None, :]] = np.inf
             # per-partition partial top: emit each query's local best
             keep = min(shortlist_k, len(ids))
             part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]

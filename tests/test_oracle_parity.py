@@ -50,6 +50,15 @@ def test_oracle_sf_contract():
         "semantic_dedup": entrymod._semantic_dedup_cells(
             entrymod._ORACLE_SF_DIR
         ),
+        "pq_ann_topk": entrymod._pq_codebook_parquet_path(
+            entrymod._ORACLE_SF_DIR
+        ),
+        "ivf_pq_ann_topk": entrymod._ivf_fixture_glob(
+            entrymod._ORACLE_SF_DIR, 16, "assigned"
+        ),
+        "ann_recall_eval": entrymod._ivf_fixture_glob(
+            entrymod._ORACLE_SF_DIR, 8, "assigned"
+        ),
     }
     for name, sql in _ORACLES.items():
         if name in allowed:

@@ -426,3 +426,57 @@ def test_semantic_dedup_routing_margin(spark):
     # cross-engine float noise on a cosine. Observed min on this
     # corpus: 6.2e-5 (6.2e-11 absolute).
     assert frac.min() > 1e-5, float(frac.min())
+
+
+def test_pq_oracle_margins(spark):
+    """Cross-engine float audit for the round-12 pq_ann_topk oracle:
+    the DuckDB twin recomputes code assignment and ADC sums with
+    sequential-order arithmetic while numpy batches through BLAS.
+    Pin the margins that keep the two bit-compatible after rounding:
+    per-(vector, block) best-vs-second code distance, and the
+    shortlist-80/81 approximate-distance boundary per query. Also pin
+    that code tuples are collision-free on this corpus, so no exact
+    approx-distance ties can make the local partial-top's arbitrary
+    ordering observable."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cb = e._pq_codebooks_cached(spark, sf)
+    rows = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([np.asarray(r["embedding"], np.float64) for r in rows])
+    m, k, sub = cb.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    min_marg = np.inf
+    for b in range(m):
+        xb = X[:, b * sub : (b + 1) * sub]
+        d2 = (
+            (xb * xb).sum(1)[:, None]
+            - 2.0 * xb @ cb[b].T
+            + (cb[b] * cb[b]).sum(1)[None, :]
+        )
+        codes[:, b] = d2.argmin(1)
+        part = np.partition(d2, 1, axis=1)
+        min_marg = min(min_marg, float((part[:, 1] - part[:, 0]).min()))
+    assert min_marg > 1e-9, min_marg
+    assert len(np.unique(codes, axis=0)) == len(codes)
+    qm = ids % 100 == 0
+    luts = np.empty((int(qm.sum()), m, k))
+    for b in range(m):
+        qb = X[qm][:, b * sub : (b + 1) * sub]
+        luts[:, b, :] = (
+            (qb * qb).sum(1)[:, None]
+            - 2.0 * qb @ cb[b].T
+            + (cb[b] * cb[b]).sum(1)[None, :]
+        )
+    dist = np.zeros((int(qm.sum()), len(ids)))
+    for b in range(m):
+        dist += luts[:, b, :][:, codes[:, b]]
+    for qi, qid in enumerate(ids[qm]):
+        s = np.sort(dist[qi][ids != qid])
+        assert s[80] - s[79] > 1e-9, float(s[80] - s[79])
