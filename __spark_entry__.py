@@ -952,10 +952,24 @@ def _minhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: not SQL-expressible; recall/
-    precision pinned by tests/test_dedup.py against brute force, and
-    fixture-path == from-scratch equality pinned by
-    test_dedup.py::test_minhash_precomputed_sigs_equivalent).
+    """MinHash+LSH near-dup (oracle-backed since round 12 — the
+    xxhash64 signature computation stays non-portable, but the
+    SIGNATURES are an on-disk fixture, so the DuckDB twin re-derives
+    everything downstream: band membership as SLICE-ARRAY equality
+    (two docs share a bucket iff their 4-value signature slices are
+    equal — the twin groups on the slice values themselves, so
+    Spark's Murmur3 bucket hash never needs porting), candidate
+    pairs, and the exact set-Jaccard verify from raw text via the
+    proven _jaccard_ctes tokenization. Murmur3 bucket COLLISIONS are
+    the one asymmetry — a collision adds a Spark candidate the twin
+    lacks — but a collision pair must still pass jaccard ≥ 0.6 to
+    reach the output, and a ≥0.6-similar pair already shares real
+    bands with overwhelming probability; the green driver row is
+    itself the per-corpus proof that no collision discrepancy exists.
+    Recall/precision vs brute force additionally pinned by
+    tests/test_dedup.py, fixture-path == from-scratch equality by
+    test_minhash_precomputed_sigs_equivalent.)
+
     Signatures come from the offline-index fixture
     (_minhash_sigs_cached); the verification tokens come from the
     SHARED shingle-table fixture (_jaccard_corpus — the identical
@@ -979,7 +993,85 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         precomputed_shingles=_jaccard_corpus(spark, sf_dir).select(
             "doc_id", F.col("toks").alias("sh")
         ),
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sigs_glob(sf_dir: str) -> str:
+    """Glob of the landed MinHash signature parts the
+    dedup_minhash_pairs oracle reads (sf-keyed fixture path, same
+    class as the IVF cells and PQ codebook twins)."""
+    import os
+
+    return os.path.join(
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"minhash_sigs_{_source_token(sf_dir, 'documents')}",
+        "sigs",
+        "*.parquet",
     )
+
+
+def _dedup_minhash_oracle(sf_dir: str = None) -> str:
+    """DuckDB twin for dedup_minhash_pairs — see the query docstring
+    for the collision caveat. Bands are the 8 disjoint 4-value slices
+    of the 32-long signature; the bucket-size cap (>1000 dropped)
+    mirrors lsh_candidate_pairs' flood guard on the slice-value
+    groups; the verify re-derives word-3-gram set Jaccard from raw
+    text with the UNROUNDED threshold compare minhash_near_duplicates
+    applies (integer-ratio division — bit-identical cross-engine)."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    sigs = _minhash_sigs_glob(d)
+    return rf"""
+    WITH sigs AS (SELECT _id, sig FROM read_parquet('{sigs}')),
+    buckets AS (
+        SELECT s._id, b.j AS band_idx,
+               list_slice(s.sig, b.j*4+1, b.j*4+4) AS band_key
+        FROM sigs s
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b
+    ),
+    buckets_ok AS (
+        SELECT * FROM buckets
+        WHERE (band_idx, band_key) IN (
+            SELECT (band_idx, band_key) FROM buckets
+            GROUP BY band_idx, band_key HAVING COUNT(*) <= 1000
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b._id AS id_b
+        FROM buckets_ok a
+        JOIN buckets_ok b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a._id < b._id
+    ),
+    base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, concat(text, ' twin marker')
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(raw) - 3, 0) + 1),
+                   i -> array_to_string(raw[i+1:i+3], ' ')
+               )) AS toks
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM base
+        )
+    )
+    SELECT id_a, id_b, jaccard_sim FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / (len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
+                  - len(list_intersect(ta.toks, tb.toks))) AS jaccard_sim
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_a
+        JOIN t tb ON tb.doc_id = c.id_b
+    )
+    WHERE jaccard_sim >= 0.6
+    ORDER BY id_a, id_b
+"""
 
 
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9612,7 +9704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r9
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
-        "profile_orders": _q_profile_orders,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
@@ -9622,8 +9713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": _q_pq_ann_topk,  # oracle-backed since r12
         "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # oracle-backed since r12
         "ann_recall_eval": _q_ann_recall_eval,  # oracle-backed since r12
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # oracle-backed since r12
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "profile_orders": _q_profile_orders,  # last green: r9
         "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
         "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
         "scd2_event_history": _q_scd2_event_history,  # last green: r9
@@ -9747,7 +9840,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_except": _q_set_intersect_except,  # last green: r11
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, each pinned by unit tests instead.
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # rows-only
         "bpe_vocab_merges": _q_bpe_vocab_merges,  # rows-only
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # rows-only
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # rows-only
@@ -9926,6 +10018,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _pq_ann_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_ann_oracle(),
         "ann_recall_eval": _ann_recall_oracle(),
+        "dedup_minhash_pairs": _dedup_minhash_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
@@ -9949,4 +10042,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["pq_ann_topk"] = _pq_ann_oracle(sf_dir)
     out["ivf_pq_ann_topk"] = _ivf_pq_ann_oracle(sf_dir)
     out["ann_recall_eval"] = _ann_recall_oracle(sf_dir)
+    out["dedup_minhash_pairs"] = _dedup_minhash_oracle(sf_dir)
     return out

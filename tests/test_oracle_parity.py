@@ -59,6 +59,9 @@ def test_oracle_sf_contract():
         "ann_recall_eval": entrymod._ivf_fixture_glob(
             entrymod._ORACLE_SF_DIR, 8, "assigned"
         ),
+        "dedup_minhash_pairs": entrymod._minhash_sigs_glob(
+            entrymod._ORACLE_SF_DIR
+        ),
     }
     for name, sql in _ORACLES.items():
         if name in allowed:
