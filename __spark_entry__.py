@@ -8923,28 +8923,148 @@ _TOUCH_ATTRIBUTION_ORACLE = """
 """
 
 
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str):
+    """The trained 12-merge BPE list as a disk fixture (offline
+    tokenizer training, the PQ-codebook posture: the artifact
+    outlives queries; training is deterministic — freq-desc/word-asc
+    vocab cap, (-count, left, right) argmax tie-break — so the cached
+    list is value-equal to a fresh train). The parquet twin is what
+    the bpe_token_stats oracle replays in SQL."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.bpe import (
+        bpe_merges_local,
+        word_frequencies,
+    )
+
+    root = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"bpe_merges12_{_source_token(sf_dir, 'documents')}"
+    )
+    if not _fixture_ready(root):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        words = word_frequencies(docs, limit=2000)
+        bpe_merges_local(words, n_merges=12).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "merges"))
+        _mark_fixture_ready(root)
+    return spark.read.parquet(os.path.join(root, "merges"))
+
+
+def _bpe_merges_glob(sf_dir: str) -> str:
+    """Glob of the landed merge-list parts the bpe_token_stats oracle
+    reads (sf-keyed fixture path)."""
+    import os
+
+    return os.path.join(
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"bpe_merges12_{_source_token(sf_dir, 'documents')}",
+        "merges",
+        "*.parquet",
+    )
+
+
 def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword token counts under the trained BPE merge
-    list (round-10 debut; rows-only: the greedy merge replay is
-    iterative, not SQL — local equivalence with the trainer's symbol
-    table pinned in tests/test_bpe.py). Completes the tokenizer
-    story: bpe_vocab_merges trains (r7), this query ENCODES — the
-    sizing pass every packing/costing stage consumes. Scale shape
+    list (round-10 debut; oracle-backed since round 12 — the greedy
+    TRAINING loop stays non-SQL, but the learned merge list is now an
+    on-disk fixture (_bpe_merges_cached, the PQ-codebook posture),
+    and the ENCODE is a deterministic rank-ordered left-to-right
+    fold the DuckDB twin replays exactly with ONE recursive
+    state-machine CTE — consume one symbol per step, advance to the
+    next merge when a pass completes (see _bpe_token_stats_oracle);
+    local equivalence with the trainer's symbol table additionally
+    pinned in tests/test_bpe.py). Completes the tokenizer story:
+    bpe_vocab_merges trains (r7), this query ENCODES — the sizing
+    pass every packing/costing stage consumes. Scale shape
     (operators/bpe.py:bpe_token_stats): one corpus explode to
     (doc, word) counts, the Python encode loop runs ONLY over the
     DISTINCT vocabulary as an Arrow-batched pandas UDF (corpus text
     never meets Python), then a data-proportional join + per-doc
     rollup — at 100 TB the encode cost stays vocabulary-sized."""
     from mape_calculation_and_anonymization_spark.operators.bpe import (
-        bpe_merges_local,
         bpe_token_stats,
-        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = word_frequencies(docs, limit=2000)
-    merges = bpe_merges_local(words, n_merges=12)
+    merges = _bpe_merges_cached(spark, sf_dir)
     return bpe_token_stats(docs, merges).orderBy("doc_id")
+
+
+def _bpe_token_stats_oracle(sf_dir: str = None) -> str:
+    """DuckDB twin for bpe_token_stats: replays the rank-ordered
+    left-to-right merge fold (operators/bpe.py:_encode_word) over the
+    landed merge list with one recursive state-machine CTE — each
+    step consumes ONE symbol of the current pass (fusing it into the
+    accumulator when (acc[-1], sym) equals the pass's merge pair,
+    appending otherwise), and an exhausted pass re-arms the
+    accumulator as the next pass's input. Recursion depth is
+    Σ_m |word| ≈ merges × word length — bounded and tiny over the
+    DISTINCT vocabulary. Everything is integer/string arithmetic:
+    no cross-engine float surface at all."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    mg = _bpe_merges_glob(d)
+    return rf"""
+    WITH RECURSIVE merges AS (
+        SELECT rank, "left" AS lft, "right" AS rgt
+        FROM read_parquet('{mg}')
+    ),
+    last_rank AS (SELECT MAX(rank) AS mr FROM merges),
+    doc_words AS (
+        SELECT doc_id, word, COUNT(*) AS n_occ
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY doc_id, word
+    ),
+    vocab0 AS (SELECT DISTINCT word FROM doc_words),
+    enc AS (
+        SELECT word, 0 AS m,
+               list_transform(range(1, length(word) + 1),
+                              i -> word[i:i]) AS rest,
+               CAST([] AS VARCHAR[]) AS acc
+        FROM vocab0
+        UNION ALL
+        SELECT e.word,
+               CASE WHEN len(e.rest) = 0 THEN e.m + 1 ELSE e.m END,
+               CASE WHEN len(e.rest) = 0 THEN e.acc
+                    ELSE list_slice(e.rest, 2, len(e.rest)) END,
+               CASE WHEN len(e.rest) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN len(e.acc) > 0 AND e.acc[-1] = g.lft
+                         AND e.rest[1] = g.rgt
+                         THEN list_slice(e.acc, 1, len(e.acc) - 1)
+                              || [g.lft || g.rgt]
+                    ELSE e.acc || [e.rest[1]] END
+        FROM enc e
+        JOIN merges g ON g.rank = e.m
+        CROSS JOIN last_rank lr
+        WHERE len(e.rest) > 0 OR e.m < lr.mr
+    ),
+    vocab AS (
+        SELECT e.word, len(e.acc) AS n_tokens
+        FROM enc e CROSS JOIN last_rank lr
+        WHERE e.m = lr.mr AND len(e.rest) = 0
+    ),
+    per_doc AS (
+        SELECT dw.doc_id,
+               CAST(SUM(dw.n_occ) AS BIGINT) AS n_words,
+               CAST(SUM(dw.n_occ * v.n_tokens) AS BIGINT)
+                   AS n_subword_tokens
+        FROM doc_words dw JOIN vocab v ON v.word = dw.word
+        GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, CAST(0 AS BIGINT)) AS n_words,
+           COALESCE(p.n_subword_tokens, CAST(0 AS BIGINT))
+               AS n_subword_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
 
 
 def _q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9703,7 +9823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r9
         "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r9
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
-        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
@@ -9714,8 +9833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # oracle-backed since r12
         "ann_recall_eval": _q_ann_recall_eval,  # oracle-backed since r12
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # oracle-backed since r12
+        "bpe_token_stats": _q_bpe_token_stats,  # oracle-backed since r12
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
         "profile_orders": _q_profile_orders,  # last green: r9
         "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
         "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r9
@@ -9844,7 +9965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # rows-only
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # rows-only
         "multimodal_features": _q_multimodal_features,  # rows-only
-        "bpe_token_stats": _q_bpe_token_stats,  # rows-only
     }
 
 
@@ -10019,6 +10139,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_ann_topk": _ivf_pq_ann_oracle(),
         "ann_recall_eval": _ann_recall_oracle(),
         "dedup_minhash_pairs": _dedup_minhash_oracle(),
+        "bpe_token_stats": _bpe_token_stats_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
@@ -10043,4 +10164,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["ivf_pq_ann_topk"] = _ivf_pq_ann_oracle(sf_dir)
     out["ann_recall_eval"] = _ann_recall_oracle(sf_dir)
     out["dedup_minhash_pairs"] = _dedup_minhash_oracle(sf_dir)
+    out["bpe_token_stats"] = _bpe_token_stats_oracle(sf_dir)
     return out
