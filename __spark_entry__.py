@@ -4599,10 +4599,91 @@ def _sample_oracle() -> str:
 _SAMPLE_ORACLE = _sample_oracle()
 
 
+def _bpe_training_oracle_sql(n_merges: int = 12, limit: int = 2000) -> str:
+    """Generate the DuckDB twin for bpe_vocab_merges: BPE TRAINING in
+    pure SQL — n_merges unrolled blocks, each = weighted pair count
+    over the current symbol table (lateral unnest of adjacent
+    positions), argmax with the trainer's exact (-count, left, right)
+    tie-break, and the left-to-right merge fold as a recursive
+    state-machine CTE (the bpe_token_stats encode machinery, one
+    merge per block). Every intermediate CTE is MATERIALIZED — the
+    12-deep chain re-evaluates exponentially if the optimizer inlines
+    it (measured: >120s inlined vs 0.22s materialized at sf0.01).
+    Same unrolled-iteration precedent as the 10-CTE pagerank oracle;
+    integer/string arithmetic end to end."""
+    parts = [f"""
+    WITH RECURSIVE vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY word
+        ORDER BY freq DESC, word ASC
+        LIMIT {limit}
+    ),
+    syms0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_transform(range(1, length(word) + 1),
+                              i -> word[i:i]) AS syms
+        FROM vocab
+    )"""]
+    for m in range(n_merges):
+        parts.append(f""",
+    pairs{m} AS MATERIALIZED (
+        SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b,
+               CAST(SUM(s.freq) AS BIGINT) AS c
+        FROM syms{m} s, unnest(range(1, len(s.syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    best{m} AS MATERIALIZED (
+        SELECT a, b, c FROM pairs{m}
+        ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    fold{m} AS (
+        SELECT s.word, s.freq,
+               CASE WHEN len(s.syms) >= 2
+                    THEN CAST([] AS VARCHAR[]) ELSE s.syms END AS acc,
+               CASE WHEN len(s.syms) >= 2 THEN s.syms
+                    ELSE CAST([] AS VARCHAR[]) END AS rest
+        FROM syms{m} s
+        UNION ALL
+        SELECT f.word, f.freq,
+               CASE WHEN len(f.acc) > 0 AND f.acc[-1] = g.a
+                         AND f.rest[1] = g.b
+                    THEN list_slice(f.acc, 1, len(f.acc) - 1)
+                         || [g.a || g.b]
+                    ELSE f.acc || [f.rest[1]] END,
+               list_slice(f.rest, 2, len(f.rest))
+        FROM fold{m} f CROSS JOIN best{m} g
+        WHERE len(f.rest) > 0
+    ),
+    syms{m + 1} AS MATERIALIZED (
+        SELECT word, freq, acc AS syms
+        FROM fold{m}
+        WHERE len(rest) = 0
+    )""")
+    sel = "\n    UNION ALL\n".join(
+        f'    SELECT CAST({m} AS INT) AS rank, a AS "left", b AS "right",'
+        f" a || b AS merged, c AS pair_count FROM best{m}"
+        for m in range(n_merges)
+    )
+    parts.append(f"""
+{sel}
+    ORDER BY rank
+""")
+    return "".join(parts)
+
+
 def _q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (rows-only: the greedy merge
-    loop is iterative, not SQL-expressible; equivalence with a pure-
-    Python reference implementation is pinned in tests/test_bpe.py).
+    """Distributed BPE tokenizer training (oracle-backed since round
+    12 — the greedy merge loop unrolls into 12 generated SQL blocks,
+    each a weighted pair count + exact-tie-break argmax + recursive
+    fold; see _bpe_training_oracle_sql. Equivalence with a pure-
+    Python reference implementation additionally pinned in
+    tests/test_bpe.py).
     ONE corpus pass builds the vocabulary-sized word-frequency table
     (top 2000 words, deterministic cap, logged); the 12-iteration
     greedy loop then runs driver-side on the collected bounded vocab —
@@ -9822,7 +9903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,  # last green: r9
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r9
         "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r9
-        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
         # round-12 debuts (displace tail fill entries; the displaced
         # r9-greens join round 13's forced must-includes):
         "semantic_dedup": _q_semantic_dedup,  # oracle-backed since r12
@@ -9834,8 +9914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _q_ann_recall_eval,  # oracle-backed since r12
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # oracle-backed since r12
         "bpe_token_stats": _q_bpe_token_stats,  # oracle-backed since r12
+        "bpe_vocab_merges": _q_bpe_vocab_merges,  # oracle-backed since r12
         # ---- below the driver's 50-row window ----
         # r9-greens that did not fit: round 13's forced must-includes.
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r9
         "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r9
         "profile_orders": _q_profile_orders,  # last green: r9
         "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r9
@@ -9961,7 +10043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_except": _q_set_intersect_except,  # last green: r11
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, each pinned by unit tests instead.
-        "bpe_vocab_merges": _q_bpe_vocab_merges,  # rows-only
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # rows-only
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # rows-only
         "multimodal_features": _q_multimodal_features,  # rows-only
@@ -10140,6 +10221,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": _ann_recall_oracle(),
         "dedup_minhash_pairs": _dedup_minhash_oracle(),
         "bpe_token_stats": _bpe_token_stats_oracle(),
+        "bpe_vocab_merges": _bpe_training_oracle_sql(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym, dedup_minhash_pairs, dedup_simhash_pairs,
         # bpe_vocab_merges, bpe_token_stats, pq/ivf_pq ANN, recall eval,
@@ -10165,4 +10247,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["ann_recall_eval"] = _ann_recall_oracle(sf_dir)
     out["dedup_minhash_pairs"] = _dedup_minhash_oracle(sf_dir)
     out["bpe_token_stats"] = _bpe_token_stats_oracle(sf_dir)
+    out["bpe_vocab_merges"] = _bpe_training_oracle_sql()
     return out
