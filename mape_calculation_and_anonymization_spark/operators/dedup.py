@@ -752,6 +752,7 @@ def simhash_near_duplicates(
     chunks: int | None = None,
     shingle_n: int = 3,
     feature_hash: str = "blake2b",
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup: by pigeonhole, two signatures within Hamming
     distance ``chunks-1`` share at least one identical chunk — so
@@ -772,6 +773,16 @@ def simhash_near_duplicates(
     (the default) the pigeonhole guarantee makes the bucketed output
     EQUAL to the brute-force all-pairs Hamming filter — so a quadratic
     SQL twin can verify the linear banded plan exactly.
+
+    ``precomputed_sigs`` — a ``(_id, sim)`` frame (the offline-index
+    posture: signatures are an artifact that outlives queries, same
+    as minhash_near_duplicates' option). When provided, the pandas-UDF
+    signature pass is skipped entirely and ``docs``/``text_col``/
+    ``shingle_n``/``feature_hash`` are ignored; the frame must carry
+    exactly the columns ``_id`` (doc key) and ``sim`` (signed 64-bit
+    signature). The UDF is deterministic, so a landed fixture is
+    value-equal to a fresh derivation (pinned by
+    tests/test_dedup.py::test_simhash_precomputed_sigs_equivalent).
     """
     if chunks is None:
         chunks = min(64, max_hamming + 1)
@@ -781,17 +792,24 @@ def simhash_near_duplicates(
     base_w, extra = divmod(64, chunks)
     widths = [base_w + (1 if j < extra else 0) for j in range(chunks)]
     offsets = [sum(widths[:j]) for j in range(chunks)]
-    # the pandas-UDF signature is the hot loop — parallelize a coarse
-    # scan before shipping Arrow batches to the Python workers
-    sig_udf = make_simhash64_udf(shingle_n, feature_hash)
-    # materialize the signature table (id + one long per doc — tiny):
-    # both sides of the bucket self-join consume it, and without the
-    # barrier each side would re-run the pandas-UDF projection
-    sigs = (
-        ensure_min_partitions(docs)
-        .select(F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sim"))
-        .localCheckpoint(eager=True)
-    )
+    if precomputed_sigs is not None:
+        sigs = precomputed_sigs.select("_id", "sim")
+    else:
+        # the pandas-UDF signature is the hot loop — parallelize a
+        # coarse scan before shipping Arrow batches to the workers
+        sig_udf = make_simhash64_udf(shingle_n, feature_hash)
+        # materialize the signature table (id + one long per doc —
+        # tiny): both sides of the bucket self-join consume it, and
+        # without the barrier each side would re-run the pandas-UDF
+        # projection
+        sigs = (
+            ensure_min_partitions(docs)
+            .select(
+                F.col(id_col).alias("_id"),
+                sig_udf(F.col(text_col)).alias("sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
     def _chunk(j: int):
         c = F.shiftrightunsigned(F.col("sim"), offsets[j])
         # width 64 (chunks=1): the mask is the identity and 1<<64

@@ -371,7 +371,7 @@ def token_budget_repetition(
     the ceiling left unplaced — what a rebalancer redistributes) make
     the regime explicit. With ``max_epochs=1.0`` the plan is exactly
     token_budget_allocation's (property-pinned in
-    tests/test_sampling_ops.py).
+    tests/test_graph_sampling.py:535).
 
     ``budget_multiple`` sizes the budget RELATIVE to the corpus
     (budget = multiple · Σ n_tokens) inside the plan itself — the

@@ -182,6 +182,42 @@ def test_minhash_precomputed_sigs_equivalent(spark):
     assert cached == fresh
 
 
+def test_simhash_precomputed_sigs_equivalent(spark):
+    """The offline-index path (precomputed_sigs) must return
+    byte-identical pairs to the from-scratch pipeline — the blake2b
+    signature UDF is deterministic, so a landed (_id, sim) frame is
+    value-equal to a fresh derivation, and banding + verify downstream
+    are pure functions of the signatures. This is the pin the
+    dedup_simhash_pairs fixture-artifact oracle leans on (the DuckDB
+    twin reads the landed signatures; this test proves the landing
+    step loses nothing)."""
+    docs = _corpus()
+    # exact twin of doc 0 → hamming 0, guaranteeing a non-empty answer
+    docs.append((1_000_000, docs[0][1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        make_simhash64_udf,
+        simhash_near_duplicates,
+    )
+
+    sig_udf = make_simhash64_udf(3, "blake2b")
+    sigs = df.select(
+        F.col("doc_id").alias("_id"), sig_udf(F.col("text")).alias("sim")
+    )
+    fresh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    cached = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            df, max_hamming=3, precomputed_sigs=sigs
+        ).collect()
+    }
+    assert cached == fresh
+    assert fresh, "planted corpus must produce at least one pair"
+
+
 def test_simhash_finds_planted(spark):
     docs = _corpus()
     df = spark.createDataFrame(docs, ["doc_id", "text"])

@@ -62,6 +62,9 @@ def test_oracle_sf_contract():
         "dedup_minhash_pairs": entrymod._minhash_sigs_glob(
             entrymod._ORACLE_SF_DIR
         ),
+        "dedup_simhash_pairs": entrymod._simhash_sigs_glob(
+            entrymod._ORACLE_SF_DIR
+        ),
         "bpe_token_stats": entrymod._bpe_merges_glob(
             entrymod._ORACLE_SF_DIR
         ),
