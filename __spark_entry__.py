@@ -7189,6 +7189,84 @@ _DUP_SPAN_ORACLE = rf"""
 """
 
 
+def _q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring REMOVE-SPAN plan (round-13
+    debut; VERDICT r12 item 4a — Lee et al. 2021 ExactSubstr dedup at
+    word-shingle granularity, operators/dedup.py:
+    exact_substring_spans): one row per maximal token interval to cut
+    so that only the canonical (lexicographically first) occurrence
+    of each duplicated 5-token shingle keeps its span start. The
+    actionable sequel to text_dup_spans — that query SCORES docs by
+    duplicated positions; this one emits the per-doc cut list a
+    curation pipeline applies. Plan: the same shuffle-free HOF
+    shingle pass, ONE hash aggregate for (count, canonical) per
+    shingle (min(struct) — no corpus window), a data-proportional
+    shingle-keyed join, then a gaps-and-islands merge windowed by
+    DOCUMENT over removable positions only (a stream far smaller
+    than the corpus)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return exact_substring_spans(docs, "doc_id", "text", n=_DUP_SPAN_N)
+
+
+# Twin re-derives the whole plan: window-numbered canonical (rn=1 on
+# (doc_id, pos) per shingle == Spark's min(struct)), running-max-end
+# islands merge, INT casts mirroring posexplode's int positions.
+_EXACT_SUBSTRING_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(raw[i+1:i+{_DUP_SPAN_N}], ' ') AS shingle
+        FROM t, LATERAL unnest(
+            range(0, GREATEST(len(raw) - {_DUP_SPAN_N} + 1, 0))
+        ) AS u(i)
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY shingle) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shingle ORDER BY doc_id, pos
+               ) AS rn
+        FROM sh
+    ),
+    removable AS (
+        SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {_DUP_SPAN_N - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -2) + 1 THEN 1 ELSE 0 END AS new_island
+        FROM removable
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + {_DUP_SPAN_N - 1} AS INT) AS span_end,
+           CAST(MAX(pos) + {_DUP_SPAN_N - 1} - MIN(pos) + 1 AS INT)
+               AS span_tokens
+    FROM grp
+    GROUP BY doc_id, island
+"""
+
+
 def _q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING drift monitor — the live-ingest face of
     drift_psi_events: the event stream's second half lands as an
@@ -9996,12 +10074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
         "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
-        "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
+        "exact_substring_spans": _q_exact_substring_spans,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
         "q22_idle_balances": _q_q22_idle_balances,  # last green: r10
         "vocab_top_terms": _q_vocab_top_terms,  # last green: r10
         "weekday_seasonality": _q_weekday_seasonality,  # last green: r10
@@ -10309,6 +10388,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_merges": _bpe_training_oracle_sql(),
         # round-13 debuts
         "dedup_simhash_pairs": _dedup_simhash_oracle(),
+        "exact_substring_spans": _EXACT_SUBSTRING_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

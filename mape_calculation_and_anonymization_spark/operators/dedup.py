@@ -184,6 +184,108 @@ def duplicated_span_stats(
     )
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING remove-span plan — the
+    actionable sequel to :func:`duplicated_span_stats` and the
+    word-shingle rendition of Lee et al. 2021's ExactSubstr dedup
+    (the paper removes every duplicated byte span, keeping one
+    occurrence): one output row per maximal token interval to CUT
+    from a document. Every non-canonical occurrence of a duplicated
+    shingle is covered by some span; the canonical occurrence's START
+    is never one (though a merged neighbor span may clip its tail
+    tokens — the same boundary fuzz the paper's byte-level cuts have).
+
+    Semantics, deterministically: a position ``(doc, pos)`` is
+    removable when its shingle occurs ≥2 times corpus-wide (within-doc
+    repetition included) AND it is not the shingle's CANONICAL
+    occurrence — the lexicographically minimal ``(doc_id, pos)`` —
+    which is the one copy kept. Removable positions cover token
+    intervals ``[pos, pos+n-1]``; overlapping/adjacent intervals merge
+    (gaps-and-islands) into maximal spans. Docs with no removable
+    position emit nothing.
+
+    Scale shape: shingle assembly is the same single shuffle-free
+    HOF pass as duplicated_span_stats; the canonical + frequency
+    table is ONE aggregate with partial (map-side) combine
+    (``count, min(struct(doc_id, pos))`` — the struct min makes it a
+    SortAggregate rather than hash, but it is still a single shuffle
+    on the shingle key, never a corpus-wide window); the dup decision
+    is a data-proportional join on the shingle key; only the interval
+    merge uses a window, and that window partitions on the DOCUMENT
+    key over removable positions only — a stream orders of magnitude
+    smaller than the corpus.
+    Every primitive is engine-portable, so a SQL twin re-derives
+    identical spans (window-numbered canonical + islands merge).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # 0-based token position via posexplode
+    shingled = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_shingle")
+    )
+    stats = shingled.groupBy("_shingle").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+    )
+    removable = (
+        shingled.join(stats, "_shingle")
+        .filter(
+            (F.col("_cnt") >= 2)
+            & ~(
+                (F.col(f"_keep.{id_col}") == F.col(id_col))
+                & (F.col("_keep.pos") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+        # a position can carry several duplicated shingles only once
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # island break: this interval starts beyond every previous end + 1
+    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = removable.withColumn(
+        "_new_island",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct key with the
     kept (minimum) id and the duplicate count. Partial aggregation

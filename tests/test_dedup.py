@@ -324,6 +324,38 @@ def test_md5_band_buckets_match_hof_form(spark):
     assert got == want and len(got) == 30 * 4
 
 
+def test_exact_substring_spans_semantics(spark):
+    """Hand-built corpus pinning the remove-span plan: canonical
+    (first) occurrences keep their span starts, non-canonical ones
+    are covered, overlapping removable positions merge into maximal
+    intervals, and within-doc repetition flags itself."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = [
+        (1, "a b c d e f g h"),                               # all canonical
+        (2, "x x a b c d e f y y z w q"),                     # middle copy
+        (3, "a b c d e q1 q2 q3 q4 b c d e f"),               # two cuts
+        (4, "m n o p q m n o p q m n o p q"),                 # self-repeat
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in exact_substring_spans(df, n=5).collect()
+    }
+    assert got == {
+        # doc2: shingles at pos 2,3 duplicate doc1 pos 0,1 -> [2, 7]
+        (2, 2, 7, 6),
+        # doc3: "a b c d e"@0 and "b c d e f"@9 removable, disjoint
+        (3, 0, 4, 5),
+        (3, 9, 13, 5),
+        # doc4: the 5 rotations' first occurrences (pos 0-4) are
+        # canonical; pos 5-10 removable -> one merged span [5, 14]
+        (4, 5, 14, 10),
+    }
+
+
 def test_incremental_dedup_ledger_semantics(spark):
     """The dedup_incremental registry query on a hand-built corpus:
     evens = history, odds = increment (plus the query's synthesized
