@@ -485,6 +485,75 @@ _DEDUP_EXACT_ORACLE = """
 """
 
 
+def _q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (round-13 debut; VERDICT
+    r12 item 4b — operators/dedup.py:bloom_prefilter_anti_join): the
+    dedup_incremental shape with the history anti join guarded by a
+    Bloom filter of the store, built as a word-indexed bit_or
+    DataFrame aggregate (2048 broadcastable rows at 2^17 bits).
+    Increment rows the filter rules out skip the anti-join shuffle
+    entirely; only the maybe set (true dupes + ~0.3% false
+    positives) reaches it. EXACTNESS-PRESERVING by design — the
+    output IS the plain anti join, so the DuckDB twin is a full
+    re-derivation (NOT EXISTS; the Bloom layer needs no porting) and
+    the driver's green row proves the pre-filter dropped nothing.
+
+    Fixture split (deterministic): store = even-doc fingerprints;
+    increment = odd docs (genuinely new) ∪ even-doc copies at id+1M
+    with two trailing spaces (history dupes the whitespace
+    normalization must catch). Output: the kept (new) doc ids with
+    their lang."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        bloom_prefilter_anti_join,
+        normalized_fingerprint as fp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        fp(F.col("text")).alias("fp_plain"),
+        fp(F.concat(F.col("text"), F.lit("  "))).alias("fp_spaced"),
+    ).localCheckpoint(eager=True)
+    even = base.filter(F.col("doc_id") % 2 == 0)
+    odd = base.filter(F.col("doc_id") % 2 == 1)
+    store = even.select(F.col("fp_plain").alias("fp")).distinct()
+    increment = odd.select(
+        "doc_id", "lang", F.col("fp_plain").alias("fp")
+    ).unionByName(
+        even.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            "lang",
+            F.col("fp_spaced").alias("fp"),
+        )
+    )
+    return bloom_prefilter_anti_join(increment, store, "fp").select(
+        "doc_id", "lang"
+    )
+
+
+_DEDUP_BLOOM_ORACLE = r"""
+    WITH fp_norm AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ),
+    store AS (SELECT DISTINCT fp FROM fp_norm WHERE doc_id % 2 = 0),
+    increment AS (
+        SELECT doc_id, lang, fp FROM fp_norm WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT d.doc_id + 1000000, d.lang,
+               md5(lower(trim(regexp_replace(d.text || '  ', '\s+', ' ', 'g'))))
+        FROM documents d WHERE d.doc_id % 2 = 0
+    )
+    SELECT i.doc_id, i.lang
+    FROM increment i
+    WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = i.fp)
+"""
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state production dedup: a daily INCREMENT deduplicated
     against the historical corpus's FINGERPRINT STORE — never a
@@ -10073,13 +10142,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
-        "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
         "exact_substring_spans": _q_exact_substring_spans,  # r13 debut
+        "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
         "q22_idle_balances": _q_q22_idle_balances,  # last green: r10
         "vocab_top_terms": _q_vocab_top_terms,  # last green: r10
@@ -10389,6 +10459,7 @@ def oracle_sql() -> dict[str, str]:
         # round-13 debuts
         "dedup_simhash_pairs": _dedup_simhash_oracle(),
         "exact_substring_spans": _EXACT_SUBSTRING_ORACLE,
+        "dedup_bloom_prefilter": _DEDUP_BLOOM_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

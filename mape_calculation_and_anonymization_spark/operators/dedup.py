@@ -286,6 +286,103 @@ def exact_substring_spans(
     )
 
 
+def _bloom_probes(df: DataFrame, col: str, num_bits: int, num_hashes: int):
+    """Per-row Bloom probe positions: ``num_hashes`` independent
+    64-bit hashes (xxhash64 seeded by a literal salt column) mapped
+    onto the ``num_bits`` bitmap, each emitted as the bitmap WORD it
+    lands in plus the single-bit mask within that word. All built-in
+    expressions — stays inside whole-stage codegen."""
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select("*", F.explode(probes).alias("_pos"))
+        .withColumn("_word", F.shiftright(F.col("_pos"), 6))
+        .withColumn(
+            "_mask",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"),
+        )
+        .drop("_pos")
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, num_bits: int = 1 << 17, num_hashes: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build as a plain DataFrame aggregate:
+    one row per bitmap WORD that has at least one set bit —
+    ``(_word, _bits)`` with ``_bits = bit_or`` of the members' masks.
+    A commutative bit-or is partition-order independent, so the
+    bitmap is deterministic; at ``num_bits = 2^17`` it is ≤ 2048 rows
+    (16 KB) and broadcastable up to multi-GB history filters
+    (``num_bits = 10^10`` ≈ 1.25 GB). Spark's native
+    ``bloom_filter_agg``/``might_contain`` expressions are not
+    SQL-registered in PySpark 4.1, and this word-table form keeps the
+    probe join declarative (Catalyst broadcasts it) instead of
+    smuggling a sketch blob through a scalar subquery."""
+    return (
+        _bloom_probes(df.select(F.col(col)), col, num_bits, num_hashes)
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+
+
+def bloom_prefilter_anti_join(
+    increment: DataFrame,
+    store: DataFrame,
+    fp_col: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACTNESS-PRESERVING Bloom pre-filter for incremental dedup:
+    returns exactly ``increment LEFT ANTI JOIN store ON fp_col`` —
+    but only the increment rows the Bloom filter of the store cannot
+    rule out ever reach the anti join. A Bloom filter has no false
+    negatives (every member's bits are all set), so rows with any
+    unset probe bit are DEFINITELY new and bypass the join; the
+    "maybe" set (true dupes + false positives, FP-rate-sized) is the
+    only traffic the anti-join shuffle carries. At a 100 TB history
+    the anti join against the fingerprint store is the dominant
+    shuffle of the daily dedup — this caps its probe side at
+    ``n_dupes + fp_rate · n_new`` rows while the output stays
+    bit-identical to the exact plan (which is why the DuckDB twin is
+    a full re-derivation: plain NOT EXISTS, no Bloom modeling).
+
+    The bitmap side is a broadcast at practical sizes (see
+    bloom_bitmap); the probe join is on the word index, never a
+    cross join. Increment rows must be unique (the probe rollup
+    groups on all increment columns to reassemble rows — give each
+    row an id if the frame can carry duplicates). False-positive
+    rate pins live in tests/test_dedup.py::test_bloom_prefilter_*.
+    """
+    bitmap = bloom_bitmap(store, fp_col, num_bits, num_hashes)
+    probed = (
+        _bloom_probes(increment, fp_col, num_bits, num_hashes)
+        .join(F.broadcast(bitmap), "_word", "left")
+        .withColumn(
+            "_hit",
+            (
+                F.coalesce(F.col("_bits"), F.lit(0)).bitwiseAND(
+                    F.col("_mask")
+                )
+                == F.col("_mask")
+            ).cast("int"),
+        )
+        .groupBy(*increment.columns)
+        .agg((F.sum("_hit") == F.lit(num_hashes)).alias("_maybe"))
+    )
+    definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    confirmed_new = (
+        probed.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(store.select(F.col(fp_col)).distinct(), fp_col, "left_anti")
+    )
+    return definite_new.unionByName(confirmed_new)
+
+
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct key with the
     kept (minimum) id and the duplicate count. Partial aggregation

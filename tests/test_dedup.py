@@ -324,6 +324,76 @@ def test_md5_band_buckets_match_hof_form(spark):
     assert got == want and len(got) == 30 * 4
 
 
+def test_bloom_prefilter_exact_equivalence(spark):
+    """bloom_prefilter_anti_join must return EXACTLY the plain
+    left-anti join (the exactness-preserving contract the
+    dedup_bloom_prefilter oracle leans on) — including when the
+    Bloom filter is deliberately tiny and saturated with false
+    positives (64 bits for 200 keys: nearly every probe reports
+    maybe, so the confirm join does all the work)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        bloom_prefilter_anti_join,
+    )
+
+    store = spark.range(0, 200).selectExpr("md5(cast(id as string)) AS fp")
+    inc = spark.range(100, 400).selectExpr(
+        "id AS row_id", "md5(cast(id as string)) AS fp"
+    )
+    expected = {
+        r["row_id"]
+        for r in inc.join(store, "fp", "left_anti").collect()
+    }
+    assert expected == set(range(200, 400))
+    for num_bits in (64, 1 << 17):
+        got = {
+            r["row_id"]
+            for r in bloom_prefilter_anti_join(
+                inc, store, "fp", num_bits=num_bits
+            ).collect()
+        }
+        assert got == expected, f"num_bits={num_bits}"
+
+
+def test_bloom_prefilter_no_false_negatives_and_split(spark):
+    """Every store member must test maybe (no false negatives — the
+    property that makes the pre-filter safe), and at a sanely sized
+    bitmap the definite-new path carries the bulk of genuinely new
+    rows (false-positive rate under a loose 5% bound)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        bloom_bitmap,
+        _bloom_probes,
+    )
+
+    num_bits, k = 1 << 17, 5
+    store = spark.range(0, 2000).selectExpr("md5(cast(id as string)) AS fp")
+    bitmap = bloom_bitmap(store, "fp", num_bits, k)
+    # probe members + 2000 disjoint non-members through the bitmap
+    members = store.withColumn("is_member", F.lit(True))
+    others = spark.range(10_000, 12_000).selectExpr(
+        "md5(cast(id as string)) AS fp", "false AS is_member"
+    )
+    probed = (
+        _bloom_probes(members.unionByName(others), "fp", num_bits, k)
+        .join(bitmap, "_word", "left")
+        .withColumn(
+            "_hit",
+            (
+                F.coalesce(F.col("_bits"), F.lit(0)).bitwiseAND(
+                    F.col("_mask")
+                )
+                == F.col("_mask")
+            ).cast("int"),
+        )
+        .groupBy("fp", "is_member")
+        .agg((F.sum("_hit") == F.lit(k)).alias("maybe"))
+    )
+    rows = probed.collect()
+    false_negatives = [r for r in rows if r["is_member"] and not r["maybe"]]
+    assert not false_negatives
+    fp_count = sum(1 for r in rows if not r["is_member"] and r["maybe"])
+    assert fp_count / 2000 < 0.05, fp_count
+
+
 def test_exact_substring_spans_semantics(spark):
     """Hand-built corpus pinning the remove-span plan: canonical
     (first) occurrences keep their span starts, non-canonical ones
