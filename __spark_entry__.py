@@ -3650,6 +3650,115 @@ def _keep_best_oracle() -> str:
     )
 
 
+def _q_dedup_keep_best_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATE-aware representative selection (round-13 debut; VERDICT
+    r12 item 4c — operators/dedup.py:gated_cluster_representatives):
+    dedup_keep_best fused with quality_gate_funnel's hard gates. The
+    keep-best pick alone always keeps SOMETHING per near-dup cluster;
+    a curation pipeline's real rule is "keep the best member THAT
+    PASSES the gates, and drop the whole cluster when none does" —
+    this query emits exactly that decision surface (kept_id NULL =
+    explicit whole-cluster drop) plus the per-cluster pass ledger.
+    Same offline cluster map as dedup_keep_best (_jaccard_index);
+    the timed region adds only the gate booleans to the quality
+    projection and reuses ONE cluster-partitioned window for rank +
+    both counts. Gates are quality_gate_funnel's five defaults,
+    NULL = FAIL."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        gated_cluster_representatives,
+    )
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        mean_token_length,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    clusters = spark.read.parquet(
+        os.path.join(_jaccard_index(spark, sf_dir), "clusters")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
+    )
+    c = F.col("text")
+    toks = token_count(c)
+    mlen = mean_token_length(c)
+    passed = None
+    for g in (
+        toks >= 5,
+        toks <= 5000,
+        punct_ratio(c) < 0.3,
+        stopword_ratio(c) >= 0.02,
+        (mlen >= 2.0) & (mlen <= 12.0),
+    ):
+        g = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
+        passed = g if passed is None else (passed & g)
+    scored = ensure_min_partitions(docs.unionByName(twins)).select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        passed.alias("passed"),
+    )
+    return gated_cluster_representatives(clusters.join(scored, "doc_id"))
+
+
+def _keep_best_gated_oracle() -> str:
+    """Full re-derivation twin: the keep_best recursive-CTE cluster
+    derivation plus the funnel oracle's gate fragments, ranked by
+    (passed DESC, quality DESC, doc_id). n_pass cast to BIGINT
+    (DuckDB SUM would emit HUGEINT)."""
+    gates = rf"""
+        SELECT doc_id,
+               COALESCE(
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END) BETWEEN 5 AND 5000
+                   AND (CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                        / NULLIF(length(text), 0)) < 0.3
+                   AND (CAST(len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            x -> list_contains({_sw_list_sql('en')}, x))) AS DOUBLE)
+                        / NULLIF(len(string_split_regex(lower(trim(text)), '\s+')), 0))
+                       >= 0.02
+                   AND (CAST(list_sum(list_transform(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x))) AS DOUBLE)
+                        / NULLIF(len(string_split_regex(lower(trim(text)), '\s+')), 0))
+                       BETWEEN 2.0 AND 12.0,
+                   FALSE
+               ) AS passed
+        FROM base
+    """
+    base_sql = _keep_best_oracle()
+    head, _, _ = base_sql.rpartition("    SELECT cluster,")
+    return (
+        head
+        + f""",
+    g AS ({gates}),
+    ranked2 AS (
+        SELECT cl.cluster, cl.doc_id, q.quality, g.passed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster
+                   ORDER BY g.passed DESC, q.quality DESC, cl.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members,
+               SUM(CASE WHEN g.passed THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cl.cluster) AS n_pass
+        FROM clusters cl JOIN q USING (doc_id) JOIN g USING (doc_id)
+    )
+    SELECT cluster,
+           CASE WHEN passed THEN doc_id END AS kept_id,
+           CASE WHEN passed THEN quality END AS kept_quality,
+           n_members,
+           CAST(n_pass AS BIGINT) AS n_pass
+    FROM ranked2 WHERE rn = 1
+"""
+    )
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline composed end to end: language
     gate (en) → quality gate (≥ 0.4) → repetition gate (rep3 < 0.2) →
@@ -10141,14 +10250,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
-        "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
         "exact_substring_spans": _q_exact_substring_spans,  # r13 debut
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # r13 debut
+        "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
         "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
         "q22_idle_balances": _q_q22_idle_balances,  # last green: r10
@@ -10460,6 +10570,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _dedup_simhash_oracle(),
         "exact_substring_spans": _EXACT_SUBSTRING_ORACLE,
         "dedup_bloom_prefilter": _DEDUP_BLOOM_ORACLE,
+        "dedup_keep_best_gated": _keep_best_gated_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

@@ -286,6 +286,59 @@ def exact_substring_spans(
     )
 
 
+def gated_cluster_representatives(
+    members: DataFrame,
+    cluster_col: str = "cluster",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    passed_col: str = "passed",
+) -> DataFrame:
+    """Quality-GATE-aware near-dup representative selection: the
+    keep/drop fusion of the keep-best pick (highest ``quality_col``,
+    id tie-break) with hard quality gates — a cluster's
+    representative must PASS the gates, and a cluster none of whose
+    members pass is an explicit whole-cluster DROP (``kept_id``
+    NULL) rather than a silently-kept bad doc. The decision surface
+    a curation pipeline actually applies: near-dup sets where every
+    copy is boilerplate-flooded should yield nothing, not their
+    least-bad copy.
+
+    Input: one row per cluster member with a boolean ``passed_col``
+    (NULLs treated as FAIL upstream) and a numeric ``quality_col``.
+    Output per cluster: ``kept_id``/``kept_quality`` (NULL when no
+    member passes), ``n_members``, ``n_pass``.
+
+    Shape: ONE window partitioning (cluster) serves the rank, the
+    member count, and the pass count — ordering by
+    ``(passed DESC, quality DESC, id)`` makes row 1 the gated winner
+    exactly when one exists, so no second pass or join-back. Cluster
+    cardinality is near-dup-group-sized; the window never sees the
+    corpus, only the cluster map."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(passed_col).desc(), F.col(quality_col).desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(cluster_col)
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "n_pass", F.sum(F.col(passed_col).cast("long")).over(w_all)
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.when(F.col(passed_col), F.col(id_col)).alias("kept_id"),
+            F.when(F.col(passed_col), F.col(quality_col)).alias(
+                "kept_quality"
+            ),
+            "n_members",
+            "n_pass",
+        )
+    )
+
+
 def _bloom_probes(df: DataFrame, col: str, num_bits: int, num_hashes: int):
     """Per-row Bloom probe positions: ``num_hashes`` independent
     64-bit hashes (xxhash64 seeded by a literal salt column) mapped

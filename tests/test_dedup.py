@@ -324,6 +324,47 @@ def test_md5_band_buckets_match_hof_form(spark):
     assert got == want and len(got) == 30 * 4
 
 
+def test_gated_cluster_representatives(spark):
+    """Decision-surface pin: best PASSING member wins (not the best
+    overall), quality ties break on id, and a cluster with zero
+    passing members is an explicit drop (NULL kept_id) with its
+    ledger intact."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        gated_cluster_representatives,
+    )
+
+    rows = [
+        # cluster 1: the highest-quality member FAILS the gate —
+        # the best passing one (doc 11, 0.7) must win instead
+        (1, 10, 0.9, False),
+        (1, 11, 0.7, True),
+        (1, 12, 0.5, True),
+        # cluster 2: nobody passes -> whole-cluster drop
+        (2, 20, 0.8, False),
+        (2, 21, 0.6, False),
+        # cluster 3: quality tie among passers -> min doc_id
+        (3, 31, 0.4, True),
+        (3, 30, 0.4, True),
+        # cluster 4: singleton pass-through
+        (4, 40, 0.2, True),
+    ]
+    df = spark.createDataFrame(
+        rows, ["cluster", "doc_id", "quality", "passed"]
+    )
+    got = {
+        r["cluster"]: (
+            r["kept_id"], r["kept_quality"], r["n_members"], r["n_pass"]
+        )
+        for r in gated_cluster_representatives(df).collect()
+    }
+    assert got == {
+        1: (11, 0.7, 3, 2),
+        2: (None, None, 2, 0),
+        3: (30, 0.4, 2, 2),
+        4: (40, 0.2, 1, 1),
+    }
+
+
 def test_bloom_prefilter_exact_equivalence(spark):
     """bloom_prefilter_anti_join must return EXACTLY the plain
     left-anti join (the exactness-preserving contract the
