@@ -4995,6 +4995,54 @@ _VOCAB_ORACLE = r"""
 """
 
 
+def _q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing coverage curve (round-13 debut;
+    operators/text.py:vocab_coverage_curve): fraction of corpus token
+    occurrences covered by the top-k terms for k ∈ {100, 1000,
+    10000} — the "what vocab size covers X% of the corpus" table a
+    tokenizer budget decision reads. One explode → hash-agg term
+    table; top-max(k) via TakeOrderedAndProject (never a global
+    vocabulary sort); the rank window + per-k sums run over the
+    answer-sized top-10000 frame only."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        vocab_coverage_curve,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
+    return vocab_coverage_curve(docs).orderBy("vocab_k")
+
+
+_VOCAB_COVERAGE_ORACLE = r"""
+    WITH f AS (
+        SELECT tok, COUNT(*) AS freq
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE len(tok) > 0
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM f),
+    r AS (
+        SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rn
+        FROM f
+    )
+    SELECT ks.k AS vocab_k,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(r.freq) AS BIGINT) AS covered_tokens,
+           t.total_tokens,
+           ROUND(CAST(SUM(r.freq) AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE), 6) AS coverage
+    FROM r
+    CROSS JOIN tot t
+    JOIN (VALUES (100), (1000), (10000)) ks(k) ON r.rn <= ks.k
+    GROUP BY ks.k, t.total_tokens
+    ORDER BY vocab_k
+"""
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (docs 0-49): term frequencies
     per doc, document frequencies across the FULL corpus, rank over
@@ -10260,15 +10308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
         "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
         "exact_substring_spans": _q_exact_substring_spans,  # r13 debut
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # r13 debut
         "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # r13 debut
+        "vocab_coverage_curve": _q_vocab_coverage_curve,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
         "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
         "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
@@ -10582,6 +10631,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substring_spans": _EXACT_SUBSTRING_ORACLE,
         "dedup_bloom_prefilter": _DEDUP_BLOOM_ORACLE,
         "dedup_keep_best_gated": _keep_best_gated_oracle(),
+        "vocab_coverage_curve": _VOCAB_COVERAGE_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

@@ -611,6 +611,80 @@ def ngram_novelty(
     )
 
 
+def vocab_coverage_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer-sizing COVERAGE CURVE: for each candidate vocabulary
+    size ``k``, the fraction of all corpus token OCCURRENCES covered
+    by the ``k`` most frequent terms — the table that answers "what
+    vocab size covers 95% of the corpus" before committing to a
+    tokenizer budget (the Zipf head is steep: the curve typically
+    saturates orders of magnitude below the full vocabulary).
+
+    One row per ``k``: ``(vocab_k, n_terms, covered_tokens,
+    total_tokens, coverage)`` — ``n_terms`` < ``k`` when the corpus
+    vocabulary is smaller than the candidate size. Ties in term
+    frequency break on the term itself, so the ranking (and the
+    curve) is deterministic cross-engine.
+
+    Scale shape: term frequencies are ONE explode → map-side-combined
+    hash aggregate; the ranking never globally sorts the vocabulary —
+    ``orderBy().limit(max(ks))`` plans TakeOrderedAndProject
+    (distributed per-partition top-k, merge on the driver-side heap),
+    and the row_number window + per-k conditional sums then run over
+    that ANSWER-SIZED top-``max(ks)`` frame only (same posture as the
+    BPE driver loop). ``total_tokens`` is a second 1-row aggregate of
+    the frequency table, joined in as a 1-row scalar broadcast.
+    Empty-corpus input yields NULL-count rows (the SQL twin yields
+    none) — callers gate on non-empty corpora."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    freqs = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    max_k = max(ks)
+    topk = freqs.orderBy(F.col("freq").desc(), F.col("tok")).limit(max_k)
+    # answer-sized frame: single-partition window over <= max(ks) rows
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = topk.withColumn("_rn", F.row_number().over(w))
+    aggs = []
+    for k in ks:
+        aggs += [
+            F.sum(F.when(F.col("_rn") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nt{k}"),
+            F.coalesce(
+                F.sum(F.when(F.col("_rn") <= k, F.col("freq"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_cov{k}"),
+        ]
+    one = ranked.agg(*aggs).crossJoin(
+        freqs.agg(F.sum("freq").cast("long").alias("total_tokens"))
+    )
+    stack_args = ", ".join(f"{k}, _nt{k}, _cov{k}" for k in ks)
+    return one.selectExpr(
+        f"stack({len(ks)}, {stack_args})"
+        " AS (vocab_k, n_terms, covered_tokens)",
+        "total_tokens",
+    ).withColumn(
+        "coverage",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ),
+    )
+
+
 def corpus_datacard(
     df,
     group_cols: tuple[str, ...] = ("source", "lang"),

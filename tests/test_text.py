@@ -317,3 +317,29 @@ def test_corpus_datacard(spark):
     # quality: NULL doc and blank doc contribute NULL (skipped by avg)
     assert a["mean_quality"] is not None
     assert 0.0 < b["mean_quality"] <= 1.0
+
+
+def test_vocab_coverage_curve(spark):
+    """Known Zipf-toy corpus: a:3 b:2 c:1 (total 6). Coverage at
+    k=1/2/10 must be 3/6, 5/6, 6/6 with n_terms capped by the
+    actual vocabulary; frequency ties (none here) break on the term
+    per the deterministic ordering contract."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        vocab_coverage_curve,
+    )
+
+    df = spark.createDataFrame(
+        [("a a a b",), ("b c",)], ["text"]
+    )
+    got = {
+        r["vocab_k"]: (
+            r["n_terms"], r["covered_tokens"], r["total_tokens"],
+            r["coverage"],
+        )
+        for r in vocab_coverage_curve(df, ks=(1, 2, 10)).collect()
+    }
+    assert got == {
+        1: (1, 3, 6, 0.5),
+        2: (2, 5, 6, 0.833333),
+        10: (3, 6, 6, 1.0),
+    }
