@@ -20,6 +20,16 @@ Methodology — how to read the numbers (VERDICT r11 item 2):
   the noop sink, broadcast machinery, and the Arrow Python worker
   pool are all touched before the first timed region, so pass 1
   is not structurally slower than pass N.
+* Registry ORDER is part of the measurement context: a query that
+  runs immediately after a block of streaming drains absorbs the
+  state-store/checkpoint cleanup those drains leave settling
+  (measured round 13: text_dup_spans times ~1.5s isolated but
+  ~3.5-7s right behind four stream queries, decaying over the next
+  few queries). A window rotation can therefore move this tax
+  between queries — another reason per-query deltas across a
+  rotation are only meaningful when the neighborhood is unchanged;
+  confirm a suspected regression with an isolated-session timing
+  before chasing the plan.
 * Output files: every run lands the full payload in BENCH_LATEST.json
   (untracked scratch — safe for driver runs and sanity runs at any
   sf). The COMMITTED artifact BENCH_LOCAL.json is refreshed only by
@@ -106,6 +116,9 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed pass surfaces errors
             spark.catalog.clearCache()
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary and tbl.name.startswith("mem_"):
+                    spark.catalog.dropTempView(tbl.name)
             gc.collect()
 
     # Fixture-writing queries build on-disk state (CSV/JSONL exports,
@@ -130,6 +143,10 @@ def main() -> None:
         "stream_key_upsert", "stream_parquet_sink", "stream_outer_join",
         "stream_incremental_agg", "pq_ann_topk", "ivf_ann_topk",
         "ivf_pq_ann_topk", "dedup_minhash_pairs", "k8_targeted_delete",
+        # dedup_simhash_pairs lands its blake2b signature fixture on
+        # first touch (round 13 — same offline-index posture as the
+        # minhash signatures); the timed pass is banding + verify
+        "dedup_simhash_pairs",
         # dedup_clusters builds the shingle-table fixture AND the
         # near-dup index (verified pairs + cluster map) on first
         # touch; pipeline_funnel_stats lands the per-stage pipeline
@@ -191,6 +208,14 @@ def main() -> None:
             # operators that persist intermediates (minhash shingles) must
             # not pressure later queries' memory
             spark.catalog.clearCache()
+            # memory-sink tables (mem_<uuid>) accumulate their full
+            # result rows on the driver for the session's lifetime —
+            # once the noop write has consumed the result, drop them
+            # so 15+ stream queries x 3 passes don't ratchet driver
+            # heap pressure onto later queries
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary and tbl.name.startswith("mem_"):
+                    spark.catalog.dropTempView(tbl.name)
             # localCheckpoint blocks release only when the driver-side
             # DataFrame is garbage-collected (ContextCleaner) — collect
             # promptly so one query's barriers don't pressure the next's
