@@ -4995,6 +4995,62 @@ _VOCAB_ORACLE = r"""
 """
 
 
+def _q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate-flow matrix (round-13 debut;
+    operators/text.py:source_overlap_matrix): distinct 8-token
+    shingles shared per source pair + overlap coefficient — the
+    provenance-leakage diagnostic behind per-source dedup and mixture
+    decisions. Distinct (source, shingle) via one explode +
+    hash-distinct; pair expansion joins on the SHINGLE key with the
+    ≤16-sources-per-shingle flood cap applied BEFORE the join (the
+    cap is mirrored bit-for-bit in the twin); per-source totals
+    broadcast onto the matrix."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        source_overlap_matrix,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
+    return source_overlap_matrix(docs).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_ORACLE = rf"""
+    WITH t AS (
+        SELECT source,
+               string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               array_to_string(raw[i+1:i+8], ' ') AS g
+        FROM t, LATERAL unnest(
+            range(0, GREATEST(len(raw) - 8, 0) + 1)
+        ) AS u(i)
+    ),
+    totals AS (SELECT source, COUNT(*) AS total FROM sh GROUP BY source),
+    eligible AS (
+        SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 16
+    ),
+    capped AS (SELECT sh.* FROM sh JOIN eligible USING (g)),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_shingles
+        FROM capped a
+        JOIN capped b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.shared_shingles,
+           ROUND(CAST(p.shared_shingles AS DOUBLE)
+                 / CAST(LEAST(ta.total, tb.total) AS DOUBLE), 6)
+               AS overlap_coeff
+    FROM pairs p
+    JOIN totals ta ON ta.source = p.source_a
+    JOIN totals tb ON tb.source = p.source_b
+    ORDER BY source_a, source_b
+"""
+
+
 def _q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-sizing coverage curve (round-13 debut;
     operators/text.py:vocab_coverage_curve): fraction of corpus token
@@ -10307,7 +10363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q_q14_promo_revenue,  # last green: r10
         "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
         "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
-        "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
@@ -10315,8 +10370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # r13 debut
         "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # r13 debut
         "vocab_coverage_curve": _q_vocab_coverage_curve,  # r13 debut
+        "source_overlap_matrix": _q_source_overlap_matrix,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
         "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
@@ -10632,6 +10689,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom_prefilter": _DEDUP_BLOOM_ORACLE,
         "dedup_keep_best_gated": _keep_best_gated_oracle(),
         "vocab_coverage_curve": _VOCAB_COVERAGE_ORACLE,
+        "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

@@ -611,6 +611,95 @@ def ngram_novelty(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+    max_sources_per_shingle: int = 16,
+) -> DataFrame:
+    """Cross-source BOILERPLATE-FLOW matrix: for every source pair,
+    how many distinct ``n``-token shingles appear in BOTH — the
+    provenance-leakage diagnostic a corpus curator reads before
+    trusting per-source dedup or mixture weights (two "independent"
+    sources sharing thousands of 8-gram shingles are mirroring the
+    same upstream template, and near-dup rates between them will be
+    correlated, not independent). One row per unordered pair with
+    ``shared_shingles`` and the overlap COEFFICIENT
+    (shared / min(|A|, |B|) over each source's full distinct shingle
+    set — 1.0 means the smaller source's phrasing is entirely
+    contained in the larger's).
+
+    Scale shape: distinct (source, shingle) pairs via one explode +
+    hash-distinct; the pair expansion self-joins on the SHINGLE key,
+    so fan-out per shingle is C(s, 2) where s = sources carrying it —
+    bounded by ``max_sources_per_shingle`` (shingles above the cap
+    are dropped BEFORE the join; at web scale a shingle present in
+    thousands of sources is universal boilerplate whose pair
+    expansion would be quadratic in source count while adding no
+    pairwise signal — the cap must be mirrored by any twin or the
+    matrices diverge). Per-source totals are one aggregate,
+    broadcast onto the source-pair-sized matrix."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        word_ngrams,
+    )
+
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("_src"),
+            F.explode(word_ngrams(text_col, n=n)).alias("_g"),
+        )
+        .distinct()
+    )
+    totals = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_total"))
+    eligible = (
+        sh.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .filter(
+            (F.col("_ns") >= 2) & (F.col("_ns") <= max_sources_per_shingle)
+        )
+        .select("_g")
+    )
+    capped = sh.join(eligible, "_g")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a._g") == F.col("b._g"),
+                F.col("a._src") < F.col("b._src"),
+            ],
+        )
+        .groupBy(
+            F.col("a._src").alias("source_a"),
+            F.col("b._src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    ta = totals.select(
+        F.col("_src").alias("source_a"), F.col("_total").alias("_ta")
+    )
+    tb = totals.select(
+        F.col("_src").alias("source_b"), F.col("_total").alias("_tb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / F.least("_ta", "_tb").cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
 def vocab_coverage_curve(
     docs: DataFrame,
     text_col: str = "text",

@@ -343,3 +343,42 @@ def test_vocab_coverage_curve(spark):
         2: (2, 5, 6, 0.833333),
         10: (3, 6, 6, 1.0),
     }
+
+
+def test_source_overlap_matrix(spark):
+    """Hand-built provenance pin (n=3): shared distinct shingles per
+    source pair, overlap coefficient over FULL per-source totals, and
+    the sources-per-shingle flood cap dropping a shingle from the
+    pair expansion entirely."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "a b c d e"),   # {abc, bcd, cde}
+            ("B", "a b c x y"),   # {abc, bcx, cxy}
+            ("C", "p q r s"),     # {pqr, qrs} — disjoint
+            ("D", "a b c d q"),   # {abc, bcd, cdq}
+        ],
+        ["source", "text"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["shared_shingles"], r["overlap_coeff"]
+        )
+        for r in source_overlap_matrix(docs, n=3).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.333333),
+        ("A", "D"): (2, 0.666667),
+        ("B", "D"): (1, 0.333333),
+    }
+    # cap=2: 'a b c' lives in 3 sources -> dropped before the join
+    capped = {
+        (r["source_a"], r["source_b"]): r["shared_shingles"]
+        for r in source_overlap_matrix(
+            docs, n=3, max_sources_per_shingle=2
+        ).collect()
+    }
+    assert capped == {("A", "D"): 1}
