@@ -4995,6 +4995,70 @@ _VOCAB_ORACLE = r"""
 """
 
 
+def _q_contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup benchmark decontamination (round-13 debut;
+    operators/text.py:contamination_near_dup): training docs whose
+    word-3-gram Jaccard against a benchmark doc is ≥ 0.5 — the
+    paraphrased-leakage scan contamination_check's any-shared-shingle
+    test over-flags and exact matching misses. Corpus = documents ∪
+    planted twins; benchmark = original docs with id < 20, train =
+    everything else, so the +1M twins of the benchmark slice are the
+    guaranteed (train, bench) detections. The benchmark side
+    BROADCASTS (the asymmetry that makes exact Jaccard linear in
+    train size — no LSH needed); the twin re-derives the same exact
+    similarity quadratically over the small bench side."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_near_dup,
+    )
+
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    return contamination_near_dup(
+        corpus.filter(F.col("doc_id") >= 20),
+        corpus.filter(F.col("doc_id") < 20),
+        n=3,
+        threshold=0.5,
+    ).orderBy("train_id", "bench_id")
+
+
+# Same corpus CTE as the jaccard family; shingles mirror word_ngrams
+# (short docs -> one whole-text gram); the threshold compares the
+# UNROUNDED integer-ratio division, the output rounds to 6.
+_CONTAMINATION_NEAR_DUP_ORACLE = rf"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, concat(text, ' twin marker')
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+                   ELSE list_transform(
+                       range(0, len(raw) - 3 + 1),
+                       i -> array_to_string(raw[i+1:i+3], ' ')
+                   )
+               END) AS toks
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM base WHERE text IS NOT NULL
+        )
+    ),
+    be AS (SELECT doc_id, toks FROM t WHERE doc_id < 20),
+    tr AS (SELECT doc_id, toks FROM t WHERE doc_id >= 20)
+    SELECT train_id, bench_id, ROUND(raw_sim, 6) AS jaccard_sim FROM (
+        SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+               CAST(len(list_intersect(tr.toks, be.toks)) AS DOUBLE)
+               / (len(tr.toks) + len(be.toks)
+                  - len(list_intersect(tr.toks, be.toks))) AS raw_sim
+        FROM tr CROSS JOIN be
+    )
+    WHERE raw_sim >= 0.5
+    ORDER BY train_id, bench_id
+"""
+
+
 def _q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source boilerplate-flow matrix (round-13 debut;
     operators/text.py:source_overlap_matrix): distinct 8-token
@@ -10362,7 +10426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _q_q13_customer_distribution,  # last green: r10
         "q14_promo_revenue": _q_q14_promo_revenue,  # last green: r10
         "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
-        "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
@@ -10371,8 +10434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # r13 debut
         "vocab_coverage_curve": _q_vocab_coverage_curve,  # r13 debut
         "source_overlap_matrix": _q_source_overlap_matrix,  # r13 debut
+        "contamination_near_dup": _q_contamination_near_dup,  # r13 debut
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
         "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
@@ -10690,6 +10755,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best_gated": _keep_best_gated_oracle(),
         "vocab_coverage_curve": _VOCAB_COVERAGE_ORACLE,
         "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
+        "contamination_near_dup": _CONTAMINATION_NEAR_DUP_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

@@ -611,6 +611,66 @@ def ngram_novelty(
     )
 
 
+def contamination_near_dup(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination — the fuzzy sequel to
+    :func:`contamination_check` (which flags ANY shared shingle):
+    training docs whose word-``n``-gram set Jaccard against some
+    benchmark doc reaches ``threshold`` — the lightly-paraphrased /
+    reformatted leakage an any-shared-shingle test over-flags and a
+    whole-doc exact match misses. One row per contaminated
+    (train, benchmark) pair with the EXACT similarity.
+
+    Scale shape — no LSH needed, by asymmetry: benchmark suites are
+    tiny (10^3-10^5 docs) next to a training corpus, so the
+    benchmark shingle table is a BROADCAST; candidate generation is
+    the train shingle stream hash-joining that broadcast on the
+    shingle key (linear in train size, output bounded by shared
+    occurrences), the intersection count is one (train, bench)
+    aggregate, and set sizes decorate via one more broadcast. Exact
+    Jaccard — not banded — so recall is 1.0 by construction; the
+    self-join LSH family (dedup_jaccard_pairs) is for the symmetric
+    corpus-vs-itself case where neither side broadcasts."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        word_ngrams,
+    )
+
+    def shingled(df: DataFrame, alias: str) -> DataFrame:
+        return df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias(alias),
+            F.explode(word_ngrams(text_col, n=n)).alias("_g"),
+        )
+
+    tr = shingled(train, "train_id")
+    be = shingled(benchmark, "bench_id")
+    tr_sizes = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("_ta"))
+    be_sizes = be.groupBy("bench_id").agg(F.count(F.lit(1)).alias("_tb"))
+    inter = (
+        tr.join(F.broadcast(be), "_g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_ta") + F.col("_tb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.join(tr_sizes, "train_id")
+        .join(F.broadcast(be_sizes), "bench_id")
+        .filter(jac >= F.lit(threshold))
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(jac, 6).alias("jaccard_sim"),
+        )
+    )
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     source_col: str = "source",

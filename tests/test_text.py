@@ -382,3 +382,37 @@ def test_source_overlap_matrix(spark):
         ).collect()
     }
     assert capped == {("A", "D"): 1}
+
+
+def test_contamination_near_dup(spark):
+    """Near-dup decontamination pin: a lightly-edited train copy of a
+    benchmark doc is flagged with its exact Jaccard; an unrelated doc
+    and a one-shared-shingle doc (the case contamination_check WOULD
+    flag) stay below the threshold."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_near_dup,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # one word changed -> high jaccard, must be flagged
+            (10, "the quick brown fox leaps over the lazy dog today"),
+            # shares exactly one 3-gram ("the quick brown") -> tiny
+            # jaccard, must NOT be flagged at 0.5
+            (11, "the quick brown bear sleeps in a very deep cave"),
+            (12, "completely unrelated text about parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["train_id"], r["bench_id"]): r["jaccard_sim"]
+        for r in contamination_near_dup(train, bench, threshold=0.4).collect()
+    }
+    assert set(got) == {(10, 1)}
+    # 8 shingles each; the changed word breaks the 3 grams covering
+    # it: 5 shared -> 5 / (8 + 8 - 5)
+    assert got[(10, 1)] == pytest.approx(5 / 11, abs=1e-6)
