@@ -704,6 +704,11 @@ def source_overlap_matrix(
         word_ngrams,
     )
 
+    # materialize the distinct (source, shingle) frame ONCE: four
+    # consumers read it (per-source totals, the flood-cap aggregate,
+    # and both legs of the pair self-join) — without the barrier each
+    # would re-run the corpus explode+distinct (the same multi-scan
+    # re-derivation the round-12 lsh_candidate_pairs trim removed)
     sh = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
@@ -711,6 +716,7 @@ def source_overlap_matrix(
             F.explode(word_ngrams(text_col, n=n)).alias("_g"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     totals = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_total"))
     eligible = (

@@ -509,3 +509,107 @@ def test_t_closeness_tvd_bounds_and_identity(spark, rows):
     )
     got1 = t_closeness_report(one, ["grp"], "s").collect()
     assert len(got1) == 1 and abs(got1[0]["tvd"]) < 1e-9
+
+
+_WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "xi"])
+_WORD_DOCS = st.lists(
+    st.lists(_WORD, min_size=0, max_size=20), min_size=1, max_size=8
+)
+
+
+@given(docs=_WORD_DOCS)
+@_SETTINGS
+def test_exact_substring_spans_matches_bruteforce(spark, docs):
+    """exact_substring_spans == a pure-Python reference on random
+    small-alphabet corpora (tiny vocabulary forces dense cross-doc
+    and within-doc shingle collisions — the merge/canonical logic's
+    hard cases). Docs are single-space word joins so both tokenizers
+    agree by construction; tokenizer edge semantics are pinned by the
+    example tests."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    n = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+
+    occ: dict = {}
+    for d, text in rows:
+        tk = text.split()
+        for i in range(max(len(tk) - n + 1, 0)):
+            occ.setdefault(" ".join(tk[i : i + n]), []).append((d, i))
+    removable: set = set()
+    for positions in occ.values():
+        if len(positions) >= 2:
+            keep = min(positions)
+            removable.update(p for p in positions if p != keep)
+    by_doc: dict = {}
+    for d, p in removable:
+        by_doc.setdefault(d, []).append(p)
+    expected = set()
+    for d, ps in by_doc.items():
+        ps.sort()
+        start, prev_end = None, None
+        for p in ps:
+            if start is None:
+                start, prev_end = p, p + n - 1
+            elif p <= prev_end + 1:
+                prev_end = max(prev_end, p + n - 1)
+            else:
+                expected.add((d, start, prev_end, prev_end - start + 1))
+                start, prev_end = p, p + n - 1
+        if start is not None:
+            expected.add((d, start, prev_end, prev_end - start + 1))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in exact_substring_spans(df, n=n).collect()
+    }
+    assert got == expected
+
+
+_MEMBERS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # cluster
+        st.floats(0.0, 1.0, allow_nan=False),   # quality
+        st.booleans(),                          # passed
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(members=_MEMBERS)
+@_SETTINGS
+def test_gated_representatives_match_reference(spark, members):
+    """gated_cluster_representatives == a pure-Python reference on
+    random memberships: best PASSING member by (quality desc, id),
+    NULL kept when no member passes, exact ledgers. Random qualities
+    exercise float ties and the NULLS-after-passers ordering."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        gated_cluster_representatives,
+    )
+
+    rows = [
+        (c, i, round(q, 6), p) for i, (c, q, p) in enumerate(members)
+    ]
+    expected = {}
+    for c in {r[0] for r in rows}:
+        mem = [r for r in rows if r[0] == c]
+        passing = sorted(
+            (r for r in mem if r[3]), key=lambda r: (-r[2], r[1])
+        )
+        kept = (passing[0][1], passing[0][2]) if passing else (None, None)
+        expected[c] = (kept[0], kept[1], len(mem), sum(r[3] for r in mem))
+
+    df = spark.createDataFrame(
+        rows, "cluster int, doc_id int, quality double, passed boolean"
+    )
+    got = {
+        r["cluster"]: (
+            r["kept_id"], r["kept_quality"], r["n_members"], r["n_pass"]
+        )
+        for r in gated_cluster_representatives(df).collect()
+    }
+    assert got == expected
