@@ -2446,6 +2446,82 @@ _S1_ORACLE = f"""
     GROUP BY zone
 """
 
+_MIXED_FOLDER_FIXTURE = "/tmp/mape_spark_fixtures/mixed_folder"
+
+
+def _q_s4_folder_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — mixed CSV/parquet dated-folder loop, driver-green at last
+    (round 13; previously the one §2 row with only local e2e
+    evidence): a LITERAL two-dated-folder fixture (stale 2024-05-01
+    decoy + newest 2024-06-01 holding one CSV and one parquet) is
+    discovered via latest_partition and opened file-by-file through
+    sources/readers.py:read_input_folder — the reference's per-file
+    anonymizer loop (reference/anonymize_datasets.py:159-213: lazy
+    frames, one output per input, formats never unioned). The query
+    summarizes each discovered file (filename, fmt, n_rows, sum of
+    its first numeric column); if folder discovery regressed to the
+    stale folder the counts change and the oracle — which reads the
+    newest folder's files by PATH — mismatches. Fixture content is
+    literal (sf-independent, both sides read the same bytes — the
+    s1/s3 oracle class)."""
+    import os
+    from functools import reduce
+
+    from pyspark.sql import types as T
+    from mape_calculation_and_anonymization_spark.sources.readers import (
+        read_input_folder,
+    )
+
+    newest = os.path.join(_MIXED_FOLDER_FIXTURE, "2024-06-01")
+    if not os.path.exists(os.path.join(newest, "metrics.csv")):
+        stale = os.path.join(_MIXED_FOLDER_FIXTURE, "2024-05-01")
+        os.makedirs(stale, exist_ok=True)
+        os.makedirs(newest, exist_ok=True)
+        with open(os.path.join(stale, "metrics.csv"), "w") as fh:
+            fh.write("zone,value\nstale,1\n")
+        with open(os.path.join(newest, "metrics.csv"), "w") as fh:
+            fh.write(
+                "zone,value\n"
+                + "".join(f"z{i % 3},{i}\n" for i in range(12))
+            )
+        spark.createDataFrame(
+            [(i, f"name{i}") for i in range(7)], ["id", "name"]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(newest, "dims.parquet")
+        )
+    parts = []
+    for meta, df in read_input_folder(spark, _MIXED_FOLDER_FIXTURE):
+        num_col = next(
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(num_col).cast("long").alias("numeric_sum"),
+            ).select(
+                F.lit(meta.filename).alias("filename"),
+                F.lit(meta.fmt).alias("fmt"),
+                "n_rows",
+                "numeric_sum",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("filename")
+
+
+_S4_ORACLE = f"""
+    SELECT 'dims.parquet' AS filename, 'parquet' AS fmt,
+           COUNT(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS numeric_sum
+    FROM read_parquet('{_MIXED_FOLDER_FIXTURE}/2024-06-01/dims.parquet/*.parquet')
+    UNION ALL
+    SELECT 'metrics.csv', 'csv',
+           COUNT(*), CAST(SUM(value) AS BIGINT)
+    FROM read_csv_auto('{_MIXED_FOLDER_FIXTURE}/2024-06-01/metrics.csv')
+    ORDER BY filename
+"""
+
+
 _JSONL_FIXTURE = "/tmp/mape_spark_fixtures/events_sample.jsonl"
 
 
@@ -10425,7 +10501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": _q_q11_important_parts,  # last green: r10
         "q13_customer_distribution": _q_q13_customer_distribution,  # last green: r10
         "q14_promo_revenue": _q_q14_promo_revenue,  # last green: r10
-        "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
         # round-13 debuts (displace tail fill entries; the displaced
         # r10-greens stay forced at round 14, where they were due):
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # oracle-backed since r13
@@ -10435,8 +10510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,  # r13 debut
         "source_overlap_matrix": _q_source_overlap_matrix,  # r13 debut
         "contamination_near_dup": _q_contamination_near_dup,  # r13 debut
+        "s4_folder_loop": _q_s4_folder_loop,  # r13 debut (S4 driver-green)
         # ---- below the driver's 50-row window ----
         # r10-greens that did not fit: round 14's forced must-includes.
+        "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
         "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
@@ -10756,6 +10833,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": _VOCAB_COVERAGE_ORACLE,
         "source_overlap_matrix": _SOURCE_OVERLAP_ORACLE,
         "contamination_near_dup": _CONTAMINATION_NEAR_DUP_ORACLE,
+        "s4_folder_loop": _S4_ORACLE,
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # x5_uid_pseudonym (blake2b), multimodal_features (PIL-gated).
     }

@@ -46,6 +46,7 @@ def test_oracle_sf_contract():
         "s1_csv_scan": entrymod._CSV_FIXTURE,
         "s3_latest_partition": entrymod._PARTITIONED_FIXTURE,
         "s5_jsonl_scan": entrymod._JSONL_FIXTURE,
+        "s4_folder_loop": entrymod._MIXED_FOLDER_FIXTURE,
         "k2_excel_sheets": entrymod._k2_workbook_path(entrymod._ORACLE_SF_DIR),
         "semantic_dedup": entrymod._semantic_dedup_cells(
             entrymod._ORACLE_SF_DIR
