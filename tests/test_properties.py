@@ -613,3 +613,117 @@ def test_gated_representatives_match_reference(spark, members):
         for r in gated_cluster_representatives(df).collect()
     }
     assert got == expected
+
+
+@given(
+    bench_docs=st.lists(
+        st.lists(_WORD, min_size=0, max_size=12), min_size=1, max_size=3
+    ),
+    train_docs=st.lists(
+        st.lists(_WORD, min_size=0, max_size=12), min_size=1, max_size=6
+    ),
+)
+@_SETTINGS
+def test_contamination_near_dup_matches_bruteforce(
+    spark, bench_docs, train_docs
+):
+    """contamination_near_dup == quadratic exact 3-gram Jaccard on
+    random small-alphabet corpora (dense collisions; whole-text
+    fallback grams for sub-3-token docs exercised by the size-0..2
+    word lists)."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_near_dup,
+    )
+
+    n, thr = 3, 0.4
+    bench = [(i, " ".join(w)) for i, w in enumerate(bench_docs)]
+    train = [(100 + i, " ".join(w)) for i, w in enumerate(train_docs)]
+
+    def grams(text):
+        tk = text.split()
+        if not text.strip():
+            # split(trim('')) -> [''] -> whole-text fallback gram ''
+            return {""}
+        if len(tk) < n:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    expected = {}
+    for td, tt in train:
+        for bd, bt in bench:
+            a, b = grams(tt), grams(bt)
+            inter = len(a & b)
+            j = inter / (len(a) + len(b) - inter)
+            if j >= thr:
+                expected[(td, bd)] = round(j, 6)
+
+    got = {
+        (r["train_id"], r["bench_id"]): r["jaccard_sim"]
+        for r in contamination_near_dup(
+            spark.createDataFrame(train, ["doc_id", "text"]),
+            spark.createDataFrame(bench, ["doc_id", "text"]),
+            n=n,
+            threshold=thr,
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(_WORD, min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_source_overlap_matrix_matches_bruteforce(spark, docs):
+    """source_overlap_matrix == set-arithmetic reference on random
+    corpora (n=3, cap inert at 3 sources): shared distinct shingles
+    per pair, coefficient over full per-source sets."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        source_overlap_matrix,
+    )
+
+    n = 3
+    rows = [(s, " ".join(w)) for s, w in docs]
+
+    def grams(text):
+        tk = text.split()
+        if not text.strip():
+            return {""}
+        if len(tk) < n:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    by_src: dict = {}
+    for s, t in rows:
+        by_src.setdefault(s, set()).update(grams(t))
+    srcs = sorted(by_src)
+    # eligibility: shingle in >= 2 sources (cap 16 inert here)
+    src_count: dict = {}
+    for s in srcs:
+        for g in by_src[s]:
+            src_count[g] = src_count.get(g, 0) + 1
+    eligible = {g for g, c in src_count.items() if 2 <= c <= 16}
+    expected = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(by_src[a] & by_src[b] & eligible)
+            if shared:
+                expected[(a, b)] = (
+                    shared,
+                    round(shared / min(len(by_src[a]), len(by_src[b])), 6),
+                )
+
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["shared_shingles"], r["overlap_coeff"]
+        )
+        for r in source_overlap_matrix(df, n=n).collect()
+    }
+    assert got == expected
