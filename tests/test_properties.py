@@ -727,3 +727,42 @@ def test_source_overlap_matrix_matches_bruteforce(spark, docs):
         for r in source_overlap_matrix(df, n=n).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(_WORD, min_size=1, max_size=15), min_size=1, max_size=8
+    )
+)
+@_SETTINGS
+def test_vocab_coverage_matches_bruteforce(spark, docs):
+    """vocab_coverage_curve == a sorted-counter reference, including
+    the deterministic (freq desc, term asc) tie-break a 5-word
+    alphabet exercises constantly."""
+    from collections import Counter
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        vocab_coverage_curve,
+    )
+
+    ks = (1, 3, 10)
+    counts = Counter(w for words in docs for w in words)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    expected = {}
+    for k in ks:
+        head = ranked[:k]
+        cov = sum(c for _, c in head)
+        expected[k] = (len(head), cov, total, round(cov / total, 6))
+
+    df = spark.createDataFrame(
+        [(" ".join(words),) for words in docs], ["text"]
+    )
+    got = {
+        r["vocab_k"]: (
+            r["n_terms"], r["covered_tokens"], r["total_tokens"],
+            r["coverage"],
+        )
+        for r in vocab_coverage_curve(df, ks=ks).collect()
+    }
+    assert got == expected
