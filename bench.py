@@ -147,6 +147,10 @@ def main() -> None:
         # first touch (round 13 — same offline-index posture as the
         # minhash signatures); the timed pass is banding + verify
         "dedup_simhash_pairs",
+        # x5_uid_pseudonym lands its (uid, pseudonym) mapping fixture
+        # on first touch (round 14 Class-B oracle — the oracle-side
+        # artifact); its timed pass recomputes every digest live
+        "x5_uid_pseudonym",
         # dedup_clusters builds the shingle-table fixture AND the
         # near-dup index (verified pairs + cluster map) on first
         # touch; pipeline_funnel_stats lands the per-stage pipeline

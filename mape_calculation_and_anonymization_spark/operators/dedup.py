@@ -411,6 +411,19 @@ def bloom_prefilter_anti_join(
     row an id if the frame can carry duplicates). False-positive
     rate pins live in tests/test_dedup.py::test_bloom_prefilter_*.
     """
+    # ADVICE r13: both caveats above were docstring-only — fail fast
+    # instead. The probe rollup groups on all increment columns (so a
+    # duplicate increment row would silently collapse), and the probe
+    # machinery claims four internal column names.
+    reserved = {"_word", "_mask", "_bits", "_hit", "_maybe"}
+    clash = reserved.intersection(increment.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter_anti_join: increment carries reserved "
+            f"internal column name(s) {sorted(clash)}; rename them "
+            f"before calling (the probe rollup would collapse or "
+            f"mis-join on them)"
+        )
     bitmap = bloom_bitmap(store, fp_col, num_bits, num_hashes)
     probed = (
         _bloom_probes(increment, fp_col, num_bits, num_hashes)

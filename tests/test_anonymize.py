@@ -156,3 +156,34 @@ def test_cdm_lowercases_columns(spark, tmp_path):
     df = spark.createDataFrame([Row(CustomerCode="A", Amount=1.0)])
     out = cdm_anonymization(df, key_dir=str(tmp_path / "key"))
     assert out.columns == ["customercode", "amount"]
+
+
+def test_x5_pseudonym_fixture_matches_live(spark):
+    """Round-14 Class-B pin: the landed (uid, pseudonym) fixture the
+    x5_uid_pseudonym oracle reads must be value-equal to a fresh
+    Arrow-UDF derivation (same epistemic status as
+    test_simhash_precomputed_sigs_equivalent — determinism of the
+    digest makes read-back == recompute; a drift here would turn the
+    driver row red before this test even runs). Also pins the planted
+    NULL uid's null passthrough and the 10-hex shape."""
+    import os
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    live = e._q_x5_uid_pseudonym(spark, sf_dir)  # builds fixture on first touch
+    landed = spark.read.parquet(
+        os.path.join(e._x5_pseudonym_fixture_root(sf_dir), "map")
+    )
+    live_rows = {
+        r["c_custkey"]: r["pseudonym"] for r in live.collect()
+    }
+    landed_rows = {
+        r["c_custkey"]: r["pseudonym"] for r in landed.collect()
+    }
+    assert live_rows == landed_rows
+    assert landed_rows[None] is None  # planted NULL uid passes through
+    non_null = [v for v in landed_rows.values() if v is not None]
+    assert non_null and all(
+        len(v) == 10 and set(v) <= set("0123456789abcdef") for v in non_null
+    )

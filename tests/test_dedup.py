@@ -395,6 +395,25 @@ def test_bloom_prefilter_exact_equivalence(spark):
         assert got == expected, f"num_bits={num_bits}"
 
 
+def test_bloom_prefilter_reserved_columns_fail_fast(spark):
+    """ADVICE r13: an increment frame carrying one of the probe
+    machinery's internal column names (_word/_mask/_bits/_hit/_maybe)
+    must raise immediately instead of silently collapsing or
+    mis-joining rows."""
+    import pytest
+
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        bloom_prefilter_anti_join,
+    )
+
+    store = spark.range(0, 10).selectExpr("md5(cast(id as string)) AS fp")
+    inc = spark.range(0, 10).selectExpr(
+        "md5(cast(id as string)) AS fp", "id AS _mask"
+    )
+    with pytest.raises(ValueError, match="_mask"):
+        bloom_prefilter_anti_join(inc, store, "fp")
+
+
 def test_bloom_prefilter_no_false_negatives_and_split(spark):
     """Every store member must test maybe (no false negatives — the
     property that makes the pre-filter safe), and at a sanely sized

@@ -69,6 +69,9 @@ def test_oracle_sf_contract():
         "bpe_token_stats": entrymod._bpe_merges_glob(
             entrymod._ORACLE_SF_DIR
         ),
+        "x5_uid_pseudonym": entrymod._x5_pseudonym_fixture_root(
+            entrymod._ORACLE_SF_DIR
+        ),
     }
     for name, sql in _ORACLES.items():
         if name in allowed:
