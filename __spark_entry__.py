@@ -3811,12 +3811,11 @@ def _q_dedup_keep_best_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated_cluster_representatives(clusters.join(scored, "doc_id"))
 
 
-def _keep_best_gated_oracle() -> str:
-    """Full re-derivation twin: the keep_best recursive-CTE cluster
-    derivation plus the funnel oracle's gate fragments, ranked by
-    (passed DESC, quality DESC, doc_id). n_pass cast to BIGINT
-    (DuckDB SUM would emit HUGEINT)."""
-    gates = rf"""
+def _quality_gates_sql() -> str:
+    """Per-doc hard-gate projection (quality_gate_funnel's five
+    defaults, NULL = FAIL) over the doc+twin ``base`` CTE — shared by
+    the keep-best-gated and curation-fates oracles."""
+    return rf"""
         SELECT doc_id,
                COALESCE(
                    (CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3838,10 +3837,17 @@ def _keep_best_gated_oracle() -> str:
                ) AS passed
         FROM base
     """
+
+
+def _keep_best_gated_oracle() -> str:
+    """Full re-derivation twin: the keep_best recursive-CTE cluster
+    derivation plus the funnel oracle's gate fragments, ranked by
+    (passed DESC, quality DESC, doc_id). n_pass cast to BIGINT
+    (DuckDB SUM would emit HUGEINT)."""
     return (
         _keep_best_cte_prefix(_keep_best_quality_sql())
         + f""",
-    g AS ({gates}),
+    g AS ({_quality_gates_sql()}),
     ranked2 AS (
         SELECT cl.cluster, cl.doc_id, q.quality, g.passed,
                ROW_NUMBER() OVER (
@@ -5225,6 +5231,300 @@ _CONTAMINATION_NEAR_DUP_ORACLE = rf"""
     WHERE raw_sim >= 0.5
     ORDER BY train_id, bench_id
 """
+
+
+def _q_decontamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as REMOVAL (round-14 debut; VERDICT r13 item
+    4a — operators/text.py:decontaminate_corpus): the operator a
+    pipeline actually runs after the flagging passes. Same corpus
+    split as contamination_near_dup (corpus = documents ∪ planted
+    twins; benchmark = original docs with id < 20, train =
+    everything else): train docs at word-3-gram Jaccard ≥ 0.5
+    against a benchmark doc are DROPPED whole (the +1M twins of the
+    benchmark slice, guaranteed); every other train doc has each
+    token position covered by a benchmark-matching 3-gram CUT
+    (islands-merged remove-span plan against the benchmark shingle
+    set — the exact_substring_spans machinery pointed at a foreign
+    set); untouched docs pass through. One row per train doc with
+    the full decision surface plus ``clean_md5`` — the md5 of the
+    space-joined surviving tokens, a value-level pin that both
+    engines reconstructed the SAME cleaned text. The benchmark side
+    broadcasts twice (Jaccard probe + strict-gram set); the twin
+    re-derives drops, covered indices, island counts, and the
+    cleaned-text digest in SQL."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        decontaminate_corpus,
+    )
+
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    return decontaminate_corpus(
+        corpus.filter(F.col("doc_id") >= 20),
+        corpus.filter(F.col("doc_id") < 20),
+        n=3,
+        drop_threshold=0.5,
+    ).orderBy("doc_id")
+
+
+# Twin notes: same corpus/tokenization CTEs as the jaccard family;
+# the doc-level drop probe uses word_ngrams SETS (short docs → one
+# whole-text gram), the span pass strict 3-token positional grams —
+# deliberately different on short docs, mirroring the operator.
+# DuckDB lambda indexes are 1-based (Spark's are 0-based): the i-1
+# shifts below are that conversion. list_contains(rm_list, i-1)
+# filters removed token positions; rm_list[i-1] is the PREVIOUS
+# element (1-based access at index i-1) for the island-gap count.
+_DECONTAMINATION_REMOVAL_ORACLE = rf"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' twin marker'
+        FROM documents
+    ),
+    raw0 AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM base WHERE text IS NOT NULL
+    ),
+    sets AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(CASE
+                   WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+                   ELSE list_transform(
+                       range(0, len(raw) - 3 + 1),
+                       i -> array_to_string(raw[i+1:i+3], ' ')
+                   )
+               END) AS toks
+        FROM raw0
+    ),
+    dropped AS MATERIALIZED (
+        SELECT DISTINCT tr.doc_id
+        FROM (SELECT * FROM sets WHERE doc_id >= 20) tr
+        JOIN (SELECT * FROM sets WHERE doc_id < 20) be
+          ON CAST(len(list_intersect(tr.toks, be.toks)) AS DOUBLE)
+             / (len(tr.toks) + len(be.toks)
+                - len(list_intersect(tr.toks, be.toks))) >= 0.5
+    ),
+    bench_grams AS MATERIALIZED (
+        SELECT DISTINCT unnest(list_transform(
+            range(0, len(raw) - 3 + 1),
+            i -> array_to_string(raw[i+1:i+3], ' ')
+        )) AS g
+        FROM raw0 WHERE doc_id < 20 AND len(raw) >= 3
+    ),
+    tr_raw AS MATERIALIZED (
+        SELECT doc_id, raw FROM raw0 WHERE doc_id >= 20
+    ),
+    pos AS (
+        SELECT doc_id, raw,
+               unnest(range(0, greatest(len(raw) - 3 + 1, 0))) AS p
+        FROM tr_raw
+    ),
+    cont AS MATERIALIZED (
+        SELECT doc_id, p FROM pos
+        WHERE array_to_string(raw[p+1:p+3], ' ') IN (SELECT g FROM bench_grams)
+    ),
+    covered AS MATERIALIZED (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(range(p, p + 3)) AS idx FROM cont
+        )
+    ),
+    rm AS MATERIALIZED (
+        SELECT doc_id, list_sort(list(idx)) AS rm_list
+        FROM covered GROUP BY doc_id
+    ),
+    survivors AS MATERIALIZED (
+        SELECT t.doc_id, t.raw, COALESCE(r.rm_list, []) AS rm_list
+        FROM tr_raw t LEFT JOIN rm r USING (doc_id)
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               CASE WHEN len(rm_list) > 0 THEN 'cut' ELSE 'kept' END AS action,
+               CAST(CASE WHEN len(rm_list) = 0 THEN 0
+                    ELSE len(list_filter(rm_list,
+                             (x, i) -> i > 1 AND x - rm_list[i-1] > 1)) + 1
+               END AS INT) AS n_spans_cut,
+               CAST(len(rm_list) AS INT) AS tokens_removed,
+               CAST(len(list_filter(raw,
+                        (x, i) -> NOT list_contains(rm_list, i - 1)))
+                    AS INT) AS n_tokens_clean,
+               md5(array_to_string(
+                   list_filter(raw, (x, i) -> NOT list_contains(rm_list, i - 1)),
+                   ' ')) AS clean_md5
+        FROM survivors
+    ),
+    drops AS (
+        SELECT t.doc_id, 'dropped' AS action, 0 AS n_spans_cut,
+               CAST(len(t.raw) AS INT) AS tokens_removed,
+               0 AS n_tokens_clean, CAST(NULL AS VARCHAR) AS clean_md5
+        FROM tr_raw t JOIN dropped d USING (doc_id)
+    )
+    SELECT * FROM cleaned
+    UNION ALL
+    SELECT * FROM drops
+    ORDER BY doc_id
+"""
+
+
+def _q_curation_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline, per-doc fate attribution
+    (round-14 debut; VERDICT r13 item 4b): the composition check the
+    funnel-stats query can't give — every input train doc accounted
+    for EXACTLY once with the stage that removed it. Chains the
+    already-verified stages in declared priority order over the
+    twins corpus (train = doc_id ≥ 20, benchmark = originals < 20):
+
+      1. quality gate (quality_gate_funnel's five hard gates,
+         NULL = FAIL)            → ``low_quality``
+      2. exact dedup among gate passers (keep MIN doc_id per
+         identical text — the training_pipeline ``uniq`` rule)
+                                 → ``exact_dup``
+      3. near-dup keep-best among remaining, per _jaccard_index
+         cluster (rank by quality DESC, doc_id — the keep_best
+         rule restricted to stage-2 survivors)
+                                 → ``near_dup_loser``
+      4. benchmark decontamination (word-3-gram Jaccard ≥ 0.5, the
+         contamination_near_dup probe)
+                                 → ``contaminated``
+      5. the rest               → ``kept``
+
+    ONE frame, no per-stage branch unions (each union branch would
+    re-derive the whole upstream subtree — the lesson
+    training_pipeline's stage materialization encodes): all stage
+    decisions are computed as columns (a conditional-MIN window over
+    text for stage 2, a cluster window ordered survivors-first for
+    stage 3, one broadcast contamination semi-probe for stage 4) and
+    a single CASE folds them into the fate — two shuffles (text,
+    cluster) + the cluster-map join, linear at any corpus size. The
+    twin re-derives all five stages from raw text (clusters via the
+    keep_best recursive-CTE prefix, gates/quality via the shared
+    fragments, contamination via the jaccard set CTE)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from mape_calculation_and_anonymization_spark.operators.rebalance import (
+        ensure_min_partitions,
+    )
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        contamination_near_dup,
+        mean_token_length,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    bench = corpus.filter(F.col("doc_id") < 20)
+    train = ensure_min_partitions(
+        corpus.filter((F.col("doc_id") >= 20) & F.col("text").isNotNull())
+    )
+    clusters = spark.read.parquet(
+        os.path.join(_jaccard_index(spark, sf_dir), "clusters")
+    )
+    contaminated = (
+        contamination_near_dup(train, bench, n=3, threshold=0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_cont", F.lit(True))
+    )
+    c = F.col("text")
+    toks = token_count(c)
+    mlen = mean_token_length(c)
+    passed = None
+    for g in (
+        toks >= 5,
+        toks <= 5000,
+        punct_ratio(c) < 0.3,
+        stopword_ratio(c) >= 0.02,
+        (mlen >= 2.0) & (mlen <= 12.0),
+    ):
+        g = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
+        passed = g if passed is None else (passed & g)
+    scored = train.select(
+        "doc_id",
+        "text",
+        F.round(quality_score("text"), 6).alias("quality"),
+        passed.alias("passed"),
+    )
+    w_text = Window.partitionBy("text")
+    d1 = (
+        scored.join(clusters, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn(
+            "keep_exact",
+            F.min(F.when(F.col("passed"), F.col("doc_id"))).over(w_text),
+        )
+    )
+    s2 = F.col("passed") & (F.col("doc_id") == F.col("keep_exact"))
+    w_cluster = Window.partitionBy("cluster").orderBy(
+        s2.desc(), F.col("quality").desc(), F.col("doc_id")
+    )
+    d2 = d1.withColumn("rn", F.row_number().over(w_cluster))
+    return d2.select(
+        "doc_id",
+        F.when(~F.col("passed"), F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("keep_exact"), F.lit("exact_dup"))
+        .when(F.col("rn") != 1, F.lit("near_dup_loser"))
+        .when(F.col("_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+        .alias("fate"),
+        "quality",
+    ).orderBy("doc_id")
+
+
+def _curation_fates_oracle() -> str:
+    """Full five-stage re-derivation twin for curation_fates (see the
+    query docstring): clusters + quality via _keep_best_cte_prefix,
+    gates via _quality_gates_sql, contamination via the jaccard set
+    CTE ``t``, exact-dup via the conditional-MIN window."""
+    return (
+        _keep_best_cte_prefix(_keep_best_quality_sql())
+        + f""",
+    g AS ({_quality_gates_sql()}),
+    cont AS (
+        SELECT DISTINCT tr.doc_id
+        FROM (SELECT doc_id, toks FROM t WHERE doc_id >= 20) tr
+        JOIN (SELECT doc_id, toks FROM t WHERE doc_id < 20) be
+          ON CAST(len(list_intersect(tr.toks, be.toks)) AS DOUBLE)
+             / (len(tr.toks) + len(be.toks)
+                - len(list_intersect(tr.toks, be.toks))) >= 0.5
+    ),
+    train AS (
+        SELECT b.doc_id, b.text, q.quality, g.passed, cl.cluster
+        FROM base b
+        JOIN q USING (doc_id)
+        JOIN g USING (doc_id)
+        JOIN clusters cl USING (doc_id)
+        WHERE b.doc_id >= 20 AND b.text IS NOT NULL
+    ),
+    d1 AS (
+        SELECT *,
+               MIN(CASE WHEN passed THEN doc_id END)
+                   OVER (PARTITION BY text) AS keep_exact
+        FROM train
+    ),
+    d2 AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY (passed AND doc_id = keep_exact) DESC,
+                            quality DESC, doc_id
+               ) AS rn
+        FROM d1
+    )
+    SELECT doc_id,
+           CASE WHEN NOT passed THEN 'low_quality'
+                WHEN doc_id <> keep_exact THEN 'exact_dup'
+                WHEN rn <> 1 THEN 'near_dup_loser'
+                WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+                ELSE 'kept'
+           END AS fate,
+           quality
+    FROM d2
+    ORDER BY doc_id
+"""
+    )
 
 
 def _q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10546,6 +10846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each debut displaces one tail entry of the r11 fill, which
         # stays forced at r15 where the r11 cohort was already due.
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # Class-B debut (r14)
+        "decontamination_removal": _q_decontamination_removal,  # r14 debut
+        "curation_fates": _q_curation_fates,  # r14 debut
         "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
         "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
         "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
@@ -10593,10 +10895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_ann_topk,  # last green: r11
         "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,  # last green: r11
         "median_length_filter": _q_median_length_filter,  # last green: r11
+        # ---- below the driver's 50-row window ----
+        # displaced by r14 debuts; forced r15 (the r11 cohort's due round)
         "multimodal_frames": _q_multimodal_frames,  # last green: r11
         "multimodal_metadata": _q_multimodal_metadata,  # last green: r11
-        # ---- below the driver's 50-row window ----
-        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r11 (displaced by x5 debut; forced r15)
+        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r11
         # oracle-backed entries oldest-green first (they rotate in next).
         "o1_top_revenue": _q_o1_top_revenue,  # last green: r11
         "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r11
@@ -10918,6 +11221,8 @@ def oracle_sql() -> dict[str, str]:
         "s4_folder_loop": _S4_ORACLE,
         # round-14 debuts
         "x5_uid_pseudonym": _x5_pseudonym_oracle(),
+        "decontamination_removal": _DECONTAMINATION_REMOVAL_ORACLE,
+        "curation_fates": _curation_fates_oracle(),
         # rows-only (non-SQL-expressible, pinned by unit tests instead):
         # multimodal_features (PIL-gated).
     }

@@ -896,3 +896,152 @@ def corpus_datacard(
             F.round(F.avg("_q"), 6).alias("mean_quality"),
         )
     )
+
+
+def decontaminate_corpus(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Decontamination as REMOVAL (round 14; VERDICT r13 item 4a) —
+    the operator a pipeline actually runs after the flagging passes:
+    emit the cleaned training corpus, not just the contamination
+    report. Fuses :func:`contamination_near_dup` (doc-level drops)
+    with the span-cut machinery of
+    ``dedup.exact_substring_spans`` (position islands), applied
+    against the BENCHMARK shingle set instead of the corpus's own
+    duplicated shingles:
+
+      * a train doc whose word-``n``-gram Jaccard against some
+        benchmark doc reaches ``drop_threshold`` is DROPPED whole
+        (paraphrased leakage — no span cut can save it);
+      * every other train doc has each token position covered by a
+        benchmark-matching ``n``-gram CUT (the Lee-et-al-style
+        remove-span plan, but exact-match against the benchmark set
+        — recall 1.0 on verbatim leakage by construction);
+      * untouched docs pass through as ``kept``.
+
+    One row per input train doc — the full decision surface:
+    ``(id, action ∈ dropped|cut|kept, n_spans_cut, tokens_removed,
+    n_tokens_clean, clean_md5)`` with ``clean_md5 = md5`` of the
+    space-joined surviving (lowercased) tokens — a portable
+    value-level pin of the cleaned text without hauling full text
+    through a compare; NULL for dropped docs.
+
+    Scale shape: the benchmark side BROADCASTS twice (the Jaccard
+    probe and the distinct strict-``n``-gram set — benchmark suites
+    are dimension-sized next to a 100 TB corpus); the span pass is
+    one positional-shingle stream hash-joining that broadcast
+    (linear in train tokens, output bounded by matches), the covered
+    index rollup groups on the DOCUMENT key over matched positions
+    only, and the island count / token filter are per-row array ops
+    (zip_with over the sorted removed-index array — no window, no
+    second shuffle). Spans merge implicitly: covered indices are
+    deduplicated per doc, so overlapping matches collapse before
+    counting islands.
+
+    Note the two passes deliberately differ on short docs: the
+    Jaccard probe uses :func:`dedup.word_ngrams` (docs shorter than
+    ``n`` tokens contribute their whole text as one gram — short
+    benchmark docs can still trigger drops), while the span pass
+    uses strict ``n``-token positional grams (a cut shorter than the
+    shingle would be meaningless).
+    """
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        word_ngrams,  # noqa: F401  (doc-level probe via contamination_near_dup)
+    )
+
+    dropped_ids = (
+        contamination_near_dup(
+            train, benchmark, id_col, text_col, n, drop_threshold
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = train.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    strict_grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_set = (
+        benchmark.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("_toks"))
+        .select(F.explode(strict_grams).alias("_g"))
+        .distinct()
+    )
+    cont_pos = (
+        base.select(
+            F.col(id_col), F.posexplode(strict_grams).alias("pos", "_g")
+        )
+        .join(F.broadcast(bench_set), "_g")
+        .select(id_col, "pos")
+    )
+    covered = cont_pos.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("_idx"),
+    ).distinct()
+    removed = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_idx")).alias("_rm")
+    )
+    # ONE output pass, no per-action branch unions: a
+    # cleaned ∪ dropped union would re-derive the contamination probe
+    # and re-scan the corpus once per branch (the re-derivation tax
+    # training_pipeline's stage materialization exists to avoid) —
+    # instead both decision sets join in as flags and a CASE folds
+    # them into the action.
+    flagged = (
+        base.join(
+            dropped_ids.withColumn("_dropped", F.lit(True)),
+            id_col,
+            "left",
+        )
+        .join(removed, id_col, "left")
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    clean = F.filter(
+        F.col("_toks"), lambda x, i: ~F.array_contains(rm, i)
+    )
+    # island count without a window: pairwise gaps over the sorted
+    # removed-index array (zip of tail vs head), +1 for the first span
+    gaps = F.zip_with(
+        F.slice(rm, 2, F.greatest(F.size(rm) - 1, F.lit(0))),
+        F.slice(rm, 1, F.greatest(F.size(rm) - 1, F.lit(0))),
+        lambda a, b: (a - b) > 1,
+    )
+    n_spans = F.when(F.size(rm) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(gaps, lambda x: x)) + F.lit(1)
+    )
+    dropped = F.coalesce(F.col("_dropped"), F.lit(False))
+    return flagged.select(
+        F.col(id_col),
+        F.when(dropped, F.lit("dropped"))
+        .when(F.size(rm) > 0, F.lit("cut"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+        F.when(dropped, F.lit(0))
+        .otherwise(n_spans)
+        .cast("int")
+        .alias("n_spans_cut"),
+        F.when(dropped, F.size("_toks"))
+        .otherwise(F.size(rm))
+        .cast("int")
+        .alias("tokens_removed"),
+        F.when(dropped, F.lit(0))
+        .otherwise(F.size(clean))
+        .cast("int")
+        .alias("n_tokens_clean"),
+        F.when(dropped, F.lit(None).cast("string"))
+        .otherwise(F.md5(F.concat_ws(" ", clean)))
+        .alias("clean_md5"),
+    )

@@ -766,3 +766,38 @@ def test_vocab_coverage_matches_bruteforce(spark, docs):
         for r in vocab_coverage_curve(df, ks=ks).collect()
     }
     assert got == expected
+
+
+def test_curation_fates_partition_and_bench_twins(spark):
+    """curation_fates (round-14 debut) composition invariants at
+    sf0.001: every non-null-text train doc appears EXACTLY once with
+    one of the five fates; every gate-passing twin of a benchmark doc
+    (doc_id 1_000_000..1_000_019 — near-dup of a doc the benchmark
+    slice holds) is removed as contaminated (stage 4 catches what
+    stages 1-3 let through); at least one doc survives to 'kept'."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = e._q_curation_fates(spark, sf_dir).collect()
+    fates = {r["doc_id"]: r["fate"] for r in rows}
+    assert len(rows) == len(fates)  # exactly-once attribution
+    assert set(fates.values()) <= {
+        "low_quality", "exact_dup", "near_dup_loser", "contaminated",
+        "kept",
+    }
+    n_train = (
+        e._docs_with_planted_twins(spark, sf_dir)
+        .filter("doc_id >= 20 AND text IS NOT NULL")
+        .count()
+    )
+    assert len(fates) == n_train  # no doc dropped from the surface
+    bench_twins = {
+        d: f for d, f in fates.items() if 1_000_000 <= d < 1_000_020
+    }
+    assert bench_twins, "benchmark twins missing from the train slice"
+    for d, f in bench_twins.items():
+        # a benchmark twin never survives: gates may reject it first,
+        # but if it reaches stage 4 the contamination probe must fire
+        assert f != "kept", f"benchmark twin {d} leaked through as kept"
+    assert "contaminated" in set(bench_twins.values())
+    assert any(f == "kept" for f in fates.values())

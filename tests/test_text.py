@@ -416,3 +416,104 @@ def test_contamination_near_dup(spark):
     # 8 shingles each; the changed word breaks the 3 grams covering
     # it: 5 shared -> 5 / (8 + 8 - 5)
     assert got[(10, 1)] == pytest.approx(5 / 11, abs=1e-6)
+
+
+def test_decontaminate_corpus_decision_surface(spark):
+    """Round-14 pin for decontaminate_corpus: a near-dup of a
+    benchmark doc is dropped whole; a doc sharing one benchmark
+    3-gram gets exactly that span cut (islands-merged when matches
+    overlap); a clean doc passes through with its original tokens'
+    md5. Hand-computed expectations."""
+    import hashlib
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        decontaminate_corpus,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, "a quick brown fox appears"),
+            (101, "exam question is what is two plus two"),
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # one benchmark 3-gram ("quick brown fox") at tokens 1-3
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely clean document with novel words only"),
+            # two overlapping matches at 0 and 3 -> ONE merged span
+            (3, "quick brown fox quick brown fox again and again"),
+            # near-dup of bench 101 -> dropped whole
+            (4, "the exam question is what is two plus two answer"),
+            (5, None),  # null text contributes nothing
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate_corpus(
+            train, bench, n=3, drop_threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (
+        got[1]["action"],
+        got[1]["n_spans_cut"],
+        got[1]["tokens_removed"],
+        got[1]["n_tokens_clean"],
+    ) == ("cut", 1, 3, 6)
+    assert got[1]["clean_md5"] == hashlib.md5(
+        b"the jumps over the lazy dog"
+    ).hexdigest()
+    assert (
+        got[2]["action"],
+        got[2]["tokens_removed"],
+        got[2]["clean_md5"],
+    ) == (
+        "kept",
+        0,
+        hashlib.md5(
+            b"completely clean document with novel words only"
+        ).hexdigest(),
+    )
+    # overlapping covered ranges 0-2 and 3-5 merge into one span
+    assert (
+        got[3]["action"],
+        got[3]["n_spans_cut"],
+        got[3]["tokens_removed"],
+        got[3]["n_tokens_clean"],
+    ) == ("cut", 1, 6, 3)
+    assert (
+        got[4]["action"],
+        got[4]["tokens_removed"],
+        got[4]["n_tokens_clean"],
+        got[4]["clean_md5"],
+    ) == ("dropped", 10, 0, None)
+    # conservation: removed + clean == original token count for
+    # every surviving doc
+    for d, n_tok in ((1, 9), (2, 7), (3, 9)):
+        assert got[d]["tokens_removed"] + got[d]["n_tokens_clean"] == n_tok
+
+
+def test_decontaminate_corpus_two_spans(spark):
+    """Two non-adjacent benchmark matches produce TWO spans; adjacent
+    coverage (gap == 1 token between covered ranges is still a break
+    only when the gap exceeds one index) merges."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        decontaminate_corpus,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    # matches at pos 0 (alpha beta gamma -> covers 0-2) and pos 5
+    # (delta epsilon zeta -> covers 5-7): gap at indices 3-4 -> 2 spans
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma filler words delta epsilon zeta tail")],
+        ["doc_id", "text"],
+    )
+    r = decontaminate_corpus(train, bench, n=3, drop_threshold=0.9).collect()[0]
+    assert (r["action"], r["n_spans_cut"], r["tokens_removed"]) == ("cut", 2, 6)
+    assert r["n_tokens_clean"] == 3  # filler words tail
