@@ -56,7 +56,183 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# ---------------------------------------------------------------------------
+# Per-query timing history + drift discrimination (VERDICT r13 item 2).
+#
+# The problem this solves: the committed BENCH_LOCAL.json is one
+# median-of-3 snapshot, and two snapshots on different machine-load
+# baselines differ by a roughly UNIFORM per-query ratio (±15% headline
+# band, measured across r9-r13) — so a single-number comparison cannot
+# distinguish a real 15% regression from ambient load (r13's 1.15×
+# drift was exactly the ambiguous case). The discrimination that works
+# is RELATIVE: load scales every query together, a regression moves ONE
+# query against its siblings. So:
+#   1. BENCH_HISTORY.jsonl keeps every --refresh-local run (append-only
+#      JSONL: ts, commit, sf, runs, total, per-query medians; seeded
+#      from the git history of BENCH_LOCAL.json back to round 9).
+#   2. drift_report() first estimates the CURRENT run's session-load
+#      ratio as the median over queries of current/history-median —
+#      the uniform component — then flags only queries whose
+#      load-NORMALIZED time exceeds their own history median by BOTH
+#      a ratio floor (default 1.3×) and `iqr_mult` × their history
+#      IQR (default 2, absolute-scaled) — the departure-from-siblings
+#      signature of a real regression.
+# The report is informational output (printed + BENCH_DRIFT.json), not
+# a pytest gate: failing CI on ambient machine load would be flaky by
+# construction. tests/test_bench_drift.py pins the LOGIC (uniform load
+# shift flags nothing; a single-query jump flags exactly that query).
+# ---------------------------------------------------------------------------
+
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+)
+
+
+def load_history(path: str = HISTORY_PATH) -> list[dict]:
+    """Append-only history records, oldest first; missing file → []."""
+    out = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    except OSError:
+        pass
+    return out
+
+
+def append_history(payload: dict, commit: str, path: str = HISTORY_PATH) -> None:
+    rec = {
+        "ts": int(time.time()),
+        "commit": commit,
+        "sf": payload["sf"],
+        "runs": payload["runs"],
+        "total": payload["value"],
+        "queries": payload["queries"],
+    }
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+def _median(vals: list[float]) -> float:
+    import statistics
+
+    return statistics.median(vals)
+
+
+def _iqr(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    if n < 4:
+        return max(s) - min(s) if n > 1 else 0.0
+    # simple quartile positions — stable across python versions
+    q1 = s[n // 4]
+    q3 = s[(3 * n) // 4]
+    return q3 - q1
+
+
+def drift_report(
+    current: dict[str, float],
+    history: list[dict],
+    min_history: int = 3,
+    ratio_floor: float = 1.3,
+    iqr_mult: float = 2.0,
+    abs_floor: float = 0.15,
+) -> dict:
+    """Load-vs-regression discrimination for one bench run against the
+    per-query history (see the module-section comment for the model).
+
+    Returns {"session_ratio", "n_compared", "flags": [per-query dicts,
+    worst first], "insufficient_history": [names]}. A query is flagged
+    when its load-normalized time exceeds its history median by the
+    ratio floor AND by ``iqr_mult`` × its history IQR AND by an
+    absolute floor (sub-0.15 s excursions are scheduler noise even
+    when their ratio is large)."""
+    hist_by_q: dict[str, list[float]] = {}
+    for rec in history:
+        for q, v in rec.get("queries", {}).items():
+            hist_by_q.setdefault(q, []).append(float(v))
+    comparable = {
+        q: v
+        for q, v in current.items()
+        if len(hist_by_q.get(q, ())) >= min_history
+    }
+    insufficient = sorted(set(current) - set(comparable))
+    if not comparable:
+        return {
+            "session_ratio": None,
+            "n_compared": 0,
+            "flags": [],
+            "insufficient_history": insufficient,
+        }
+    ratios = [
+        v / _median(hist_by_q[q]) for q, v in comparable.items()
+        if _median(hist_by_q[q]) > 0
+    ]
+    session_ratio = _median(ratios) if ratios else 1.0
+    flags = []
+    for q, v in comparable.items():
+        med = _median(hist_by_q[q])
+        if med <= 0:
+            continue
+        norm = v / session_ratio
+        iqr = _iqr(hist_by_q[q])
+        excess = norm - med
+        if (
+            norm / med >= ratio_floor
+            and excess >= iqr_mult * iqr
+            and excess >= abs_floor
+        ):
+            flags.append(
+                {
+                    "query": q,
+                    "current": round(v, 3),
+                    "normalized": round(norm, 3),
+                    "history_median": round(med, 3),
+                    "history_iqr": round(iqr, 3),
+                    "normalized_ratio": round(norm / med, 3),
+                    "n_history": len(hist_by_q[q]),
+                }
+            )
+    flags.sort(key=lambda f: -f["normalized_ratio"])
+    return {
+        "session_ratio": round(session_ratio, 4),
+        "n_compared": len(comparable),
+        "flags": flags,
+        "insufficient_history": insufficient,
+    }
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short=12", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
+    if "--drift-report" in sys.argv:
+        # offline: re-judge the last landed run (BENCH_LATEST.json, or a
+        # path given after the flag) against the history — no Spark.
+        idx = sys.argv.index("--drift-report")
+        arg = sys.argv[idx + 1] if len(sys.argv) > idx + 1 else None
+        repo = os.path.dirname(os.path.abspath(__file__))
+        path = arg or os.path.join(repo, "BENCH_LATEST.json")
+        with open(path) as fh:
+            payload = json.load(fh)
+        report = drift_report(payload["queries"], load_history())
+        print(json.dumps(report, indent=1))
+        return
+
     from mape_calculation_and_anonymization_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -291,6 +467,27 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: stdout already carried the result
+    # drift verdict vs BENCH_HISTORY.jsonl — computed BEFORE this run
+    # is appended, so the run is judged against its past, not itself.
+    # sf0.1 only: the history is an sf0.1 artifact like BENCH_LOCAL.
+    if abs(sf - 0.1) <= 1e-9:
+        report = drift_report(timings, load_history())
+        try:
+            with open(os.path.join(repo, "BENCH_DRIFT.json"), "w") as fh:
+                json.dump(report, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
+        print("BENCH_DRIFT " + json.dumps(
+            {
+                "session_ratio": report["session_ratio"],
+                "n_compared": report["n_compared"],
+                "n_flags": len(report["flags"]),
+                "flags": [f["query"] for f in report["flags"]][:10],
+            }
+        ), file=sys.stderr)
+        if "--refresh-local" in sys.argv:
+            append_history(payload, _git_head())
 
 
 if __name__ == "__main__":

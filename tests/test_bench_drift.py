@@ -1,0 +1,135 @@
+"""Bench-history drift discrimination (VERDICT r13 item 2).
+
+Pins the LOGIC of bench.drift_report — pure functions, no Spark. The
+real report over live timings is informational output (BENCH_DRIFT.json
++ a stderr line per sf0.1 bench run), never a pytest gate: failing CI
+on ambient machine load would be flaky by construction.
+"""
+
+import json
+
+import bench
+
+
+def _history(n_runs, queries, jitter=None):
+    """Synthetic history: n_runs records over the given base timings,
+    with optional per-run multiplicative jitter (deterministic)."""
+    recs = []
+    for i in range(n_runs):
+        mult = jitter[i] if jitter else 1.0
+        recs.append(
+            {
+                "ts": 1000 + i,
+                "commit": f"c{i}",
+                "sf": 0.1,
+                "runs": 3,
+                "total": sum(queries.values()) * mult,
+                "queries": {q: v * mult for q, v in queries.items()},
+            }
+        )
+    return recs
+
+
+BASE = {
+    "q_fast": 0.3,
+    "q_mid": 1.0,
+    "q_slow": 3.0,
+    "q_heavy": 5.0,
+    "q_tiny": 0.05,
+}
+
+
+def test_uniform_load_shift_flags_nothing():
+    """A hot machine scales every query by the same ratio — the
+    session-ratio normalization must absorb it completely, even at
+    1.5× (well past the ±15% band)."""
+    hist = _history(6, BASE, jitter=[1.0, 0.95, 1.05, 1.0, 0.9, 1.1])
+    current = {q: v * 1.5 for q, v in BASE.items()}
+    rep = bench.drift_report(current, hist)
+    assert rep["flags"] == []
+    assert 1.4 <= rep["session_ratio"] <= 1.6
+    assert rep["n_compared"] == len(BASE)
+
+
+def test_single_query_regression_flagged_exactly():
+    """One query jumping 2× against flat siblings is the regression
+    signature — exactly that query is flagged, with the load
+    component (1.1× uniform) factored out first."""
+    hist = _history(6, BASE, jitter=[1.0, 0.95, 1.05, 1.0, 0.9, 1.1])
+    current = {q: v * 1.1 for q, v in BASE.items()}
+    current["q_slow"] = BASE["q_slow"] * 2.2  # 2× beyond the load shift
+    rep = bench.drift_report(current, hist)
+    assert [f["query"] for f in rep["flags"]] == ["q_slow"]
+    f = rep["flags"][0]
+    assert f["normalized_ratio"] > 1.8
+    assert f["n_history"] == 6
+
+
+def test_tiny_absolute_excursions_not_flagged():
+    """A 0.05 s query tripling is scheduler noise, not a regression —
+    the absolute floor keeps it out even though its ratio is large."""
+    hist = _history(6, BASE)
+    current = dict(BASE)
+    current["q_tiny"] = 0.14  # ~3× but +0.09s absolute
+    rep = bench.drift_report(current, hist)
+    assert rep["flags"] == []
+
+
+def test_insufficient_history_reported_not_flagged():
+    """A query with fewer than min_history samples (a fresh debut) is
+    reported separately, never judged."""
+    hist = _history(2, BASE)
+    current = dict(BASE, q_new=9.9)
+    rep = bench.drift_report(current, hist)
+    assert rep["n_compared"] == 0
+    assert set(rep["insufficient_history"]) == set(current)
+    hist = _history(4, BASE)
+    rep = bench.drift_report(current, hist)
+    assert rep["insufficient_history"] == ["q_new"]
+    assert rep["n_compared"] == len(BASE)
+
+
+def test_variance_aware_iqr_gate():
+    """A query whose own history is NOISY needs a larger excursion to
+    flag: 1.4× on a stable query flags, the same 1.4× on a query whose
+    history IQR spans that range does not."""
+    hist = []
+    # q_a rock-stable at 2.0; q_b swings 0.6..1.6 across runs; three
+    # flat siblings anchor the session-load estimate
+    for i, b in enumerate([0.6, 1.6, 0.8, 1.4, 1.0, 1.2]):
+        hist.append(
+            {
+                "ts": i,
+                "commit": f"c{i}",
+                "sf": 0.1,
+                "runs": 3,
+                "total": 0,
+                "queries": {
+                    "q_a": 2.0, "q_b": b,
+                    "s1": 1.0, "s2": 1.0, "s3": 1.0,
+                },
+            }
+        )
+    rep = bench.drift_report(
+        {"q_a": 2.8, "q_b": 1.5, "s1": 1.0, "s2": 1.0, "s3": 1.0}, hist
+    )
+    # q_a: 1.4x on zero-IQR history -> flagged; q_b: 1.36x vs its
+    # median but well inside 2x its own 0.6s IQR -> absorbed
+    assert [f["query"] for f in rep["flags"]] == ["q_a"]
+
+
+def test_history_file_format_and_order():
+    """The committed BENCH_HISTORY.jsonl parses line-by-line, is
+    chronologically ordered, and every record carries the fields the
+    report consumes (sf pinned to the BENCH_LOCAL artifact's 0.1)."""
+    recs = bench.load_history()
+    assert len(recs) >= 30  # seeded from the git history of BENCH_LOCAL
+    assert all(
+        {"ts", "commit", "sf", "total", "queries"} <= set(r) for r in recs
+    )
+    assert all(abs(r["sf"] - 0.1) < 1e-9 for r in recs)
+    assert [r["ts"] for r in recs] == sorted(r["ts"] for r in recs)
+    # and the file is valid JSONL byte-for-byte
+    with open(bench.HISTORY_PATH) as fh:
+        for line in fh:
+            json.loads(line)
