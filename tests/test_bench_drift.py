@@ -133,3 +133,40 @@ def test_history_file_format_and_order():
     with open(bench.HISTORY_PATH) as fh:
         for line in fh:
             json.loads(line)
+
+
+def test_check_stress_envelope_logic():
+    """Pure envelope check: inside passes, outside names the operator,
+    a missing operator is itself a violation (silent drop-out must
+    not read as a pass)."""
+    env = {"op_a": 4.0, "op_b": 16.0}
+    ok = {"op_a": {"ratio": 3.9}, "op_b": {"ratio": 15.0}}
+    assert bench.check_stress_envelope(ok, env) == []
+    bad = {"op_a": {"ratio": 4.5}, "op_b": {"ratio": 15.0}}
+    v = bench.check_stress_envelope(bad, env)
+    assert len(v) == 1 and v[0].startswith("op_a:")
+    v = bench.check_stress_envelope({"op_a": {"ratio": 1.0}}, env)
+    assert len(v) == 1 and "missing" in v[0]
+
+
+def test_stress_corpus_deterministic_and_dup_dense(spark):
+    """stress_corpus is a pure function of (sf_dir, factor): two
+    builds are row-identical; ids are disjoint across replicas; every
+    replica perturbs the text (no exact collapse) while replicating
+    every interior shingle."""
+    sf_dir = "/root/testdata/sf0.001"
+    a = bench.stress_corpus(spark, sf_dir, 3)
+    b = bench.stress_corpus(spark, sf_dir, 3)
+    rows_a = sorted(
+        (r["doc_id"], r["text"]) for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["doc_id"], r["text"]) for r in b.collect()
+    )
+    assert rows_a == rows_b
+    base_n = bench.stress_corpus(spark, sf_dir, 1).count()
+    assert len(rows_a) == 3 * base_n
+    ids = [d for d, _ in rows_a]
+    assert len(set(ids)) == len(ids)  # disjoint ids across replicas
+    texts = [t for _, t in rows_a if t is not None]
+    assert len(set(texts)) == len(texts)  # perturbed, no exact dups
