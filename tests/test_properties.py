@@ -801,3 +801,93 @@ def test_curation_fates_partition_and_bench_twins(spark):
         assert f != "kept", f"benchmark twin {d} leaked through as kept"
     assert "contaminated" in set(bench_twins.values())
     assert any(f == "kept" for f in fates.values())
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+_WORD_DOC = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(
+    " ".join
+)
+
+
+@given(
+    train=st.lists(_WORD_DOC, min_size=1, max_size=8),
+    bench=st.lists(_WORD_DOC, min_size=1, max_size=3),
+)
+@_SETTINGS
+def test_decontaminate_corpus_matches_python_reference(spark, train, bench):
+    """decontaminate_corpus == a direct pure-Python rendition of its
+    contract (word_ngrams Jaccard drop; strict positional-gram span
+    cover; islands count; cleaned-token md5) on random small-alphabet
+    corpora — the overlap-rich shapes that exercise every fate.
+    Tokenization mirrored via re.split on the trimmed lowered text
+    (Spark's split(trim(lower(..)), '\\s+') yields [''] for empty
+    text, unlike str.split)."""
+    import hashlib
+    import re
+
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        decontaminate_corpus,
+    )
+
+    n, thr = 3, 0.5
+
+    def toks(t):
+        return re.split(r"\s+", t.strip().lower())
+
+    def ngr_set(ts):
+        if len(ts) < n:
+            return {" ".join(ts)}
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+    bench_rows = [(100 + i, t) for i, t in enumerate(bench)]
+    train_rows = [(10 + i, t) for i, t in enumerate(train)]
+    bench_sets = [ngr_set(toks(t)) for _, t in bench_rows]
+    bench_strict = set()
+    for _, t in bench_rows:
+        ts = toks(t)
+        for i in range(len(ts) - n + 1):
+            bench_strict.add(" ".join(ts[i : i + n]))
+    expected = {}
+    for d, t in train_rows:
+        ts = toks(t)
+        tset = ngr_set(ts)
+        dropped = any(
+            len(tset & bs) / len(tset | bs) >= thr for bs in bench_sets
+        )
+        if dropped:
+            expected[d] = ("dropped", 0, len(ts), 0, None)
+            continue
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if " ".join(ts[p : p + n]) in bench_strict:
+                covered.update(range(p, p + n))
+        rm = sorted(covered)
+        spans = 0
+        for j, x in enumerate(rm):
+            if j == 0 or x - rm[j - 1] > 1:
+                spans += 1
+        clean = [ts[i] for i in range(len(ts)) if i not in covered]
+        expected[d] = (
+            "cut" if rm else "kept",
+            spans,
+            len(rm),
+            len(clean),
+            hashlib.md5(" ".join(clean).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["action"],
+            r["n_spans_cut"],
+            r["tokens_removed"],
+            r["n_tokens_clean"],
+            r["clean_md5"],
+        )
+        for r in decontaminate_corpus(
+            spark.createDataFrame(train_rows, ["doc_id", "text"]),
+            spark.createDataFrame(bench_rows, ["doc_id", "text"]),
+            n=n,
+            drop_threshold=thr,
+        ).collect()
+    }
+    assert got == expected
