@@ -1112,3 +1112,68 @@ def simhash_near_duplicates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def apply_remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY an ExactSubstr remove-span plan — the deduped corpus
+    :func:`exact_substring_spans` only *plans* (round-15-ready; the
+    Lee et al. 2021 pipeline's second half: the paper cuts every
+    planned byte span and trains on what remains; here the spans are
+    token intervals over the same whitespace tokenization the planner
+    used). One row per input doc: the post-cut token count, the cut
+    ledger, and ``clean_md5`` — the md5 of the space-joined surviving
+    (lowercased) tokens, the same portable value-level pin
+    ``text.decontaminate_corpus`` uses, so a SQL twin can verify the
+    reconstructed text without hauling it through a compare.
+
+    ``spans`` rows are ``(id, span_start, span_end)`` inclusive token
+    intervals (exactly the planner's output — overlapping or adjacent
+    intervals are fine: positions collapse through a per-doc covered
+    set before cutting). Docs with no spans pass through with their
+    original token stream ('kept').
+
+    Scale shape: spans explode to covered token indices (output
+    bounded by total cut volume — answer-proportional, never corpus
+    × corpus), ONE document-key rollup collects the per-doc removal
+    array (bounded by doc length), and the cut itself is a per-row
+    array filter on the joined frame — no window, one shuffle on the
+    document key plus the docs-side join."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("_idx"),
+    ).distinct()
+    removed = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_idx")).alias("_rm")
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    joined = base.join(removed, id_col, "left")
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    clean = F.filter(F.col("_toks"), lambda x, i: ~F.array_contains(rm, i))
+    gaps = F.zip_with(
+        F.slice(rm, 2, F.greatest(F.size(rm) - 1, F.lit(0))),
+        F.slice(rm, 1, F.greatest(F.size(rm) - 1, F.lit(0))),
+        lambda a, b: (a - b) > 1,
+    )
+    n_spans = F.when(F.size(rm) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(gaps, lambda x: x)) + F.lit(1)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.size(rm) > 0, F.lit("cut"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+        n_spans.cast("int").alias("n_spans_applied"),
+        F.size(rm).cast("int").alias("tokens_removed"),
+        F.size(clean).cast("int").alias("n_tokens_clean"),
+        F.md5(F.concat_ws(" ", clean)).alias("clean_md5"),
+    )

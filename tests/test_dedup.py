@@ -631,3 +631,99 @@ def test_duplicated_span_stats_whitespace_normalization(spark):
         for r in duplicated_span_stats(df, n=2).collect()
     }
     assert got == {1: (2, 1), 2: (2, 1)}  # 'foo bar' shared
+
+
+def test_apply_remove_spans_basic(spark):
+    """apply_remove_spans cuts exactly the planned inclusive token
+    intervals, collapses overlaps, counts islands, and passes
+    span-free docs through with their original (lowercased) token
+    md5."""
+    import hashlib
+
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        apply_remove_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "clean doc stays whole"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = spark.createDataFrame(
+        # overlapping 2-4 and 3-6 merge into one cut; 8-9 is a second
+        [(1, 2, 4), (1, 3, 6), (1, 8, 9)],
+        ["doc_id", "span_start", "span_end"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in apply_remove_spans(docs, spans).collect()
+    }
+    assert (
+        got[1]["action"],
+        got[1]["n_spans_applied"],
+        got[1]["tokens_removed"],
+        got[1]["n_tokens_clean"],
+    ) == ("cut", 2, 7, 3)
+    assert got[1]["clean_md5"] == hashlib.md5(b"a b h").hexdigest()
+    assert (
+        got[2]["action"],
+        got[2]["tokens_removed"],
+        got[2]["clean_md5"],
+    ) == ("kept", 0, hashlib.md5(b"clean doc stays whole").hexdigest())
+
+
+def test_apply_remove_spans_closes_exactsubstr_loop(spark):
+    """Planner → applier end to end (the Lee et al. pipeline): after
+    applying exact_substring_spans' plan, re-planning on the CUT
+    token streams finds no removable duplicate span whose shingle
+    survives in two places — i.e. the canonical occurrence is the
+    only intact copy of every formerly-duplicated 5-gram (modulo the
+    documented boundary fuzz, which only ever removes EXTRA tokens,
+    never preserves a duplicate)."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        apply_remove_spans,
+        exact_substring_spans,
+    )
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"{shared} trailing words here"),
+            (3, "totally unrelated content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = exact_substring_spans(docs, n=5)
+    cleaned = apply_remove_spans(docs, spans)
+    rows = {r["doc_id"]: r.asDict() for r in cleaned.collect()}
+    # doc 1 holds the canonical (min (doc_id, pos)) occurrences? No:
+    # canonical is lexicographic min over (doc_id, pos) per shingle —
+    # doc 1's copy starts at pos 1, doc 2's at pos 0; (1, x) < (2, y)
+    # always, so doc 1 keeps the shared run and doc 2 loses it.
+    assert rows[1]["action"] == "kept"
+    assert rows[2]["action"] == "cut"
+    assert rows[2]["tokens_removed"] >= 7  # the whole shared run
+    assert rows[3]["action"] == "kept"
+    # no duplicated 5-gram survives in two intact copies: rebuild
+    # texts from the surviving token count logic by re-planning over
+    # the cut streams — zero removable spans expected
+    from pyspark.sql import functions as F
+
+    rebuilt = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, " ".join(
+                t for i, t in enumerate(
+                    f"{shared} trailing words here".split()
+                )
+                # doc 2's cut covers the shared run's positions
+                if i > rows[2]["tokens_removed"] - 1
+            )),
+            (3, "totally unrelated content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert exact_substring_spans(rebuilt, n=5).count() == 0
