@@ -426,3 +426,103 @@ def semantic_dedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+def semantic_dedup_gated(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    passed_col: str = "passed",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """GATE-aware SemDeDup (round-15-ready) — :func:`semantic_dedup`
+    with the keep rule :func:`dedup.gated_cluster_representatives`
+    applies to Jaccard clusters, transplanted to semantic ε-balls: a
+    curation pipeline's real rule is "keep the best member THAT
+    PASSES the quality gates, and drop the whole duplicate group when
+    none does". The caller supplies the gate verdict as a boolean
+    column (NULL = FAIL) — gates are text-side properties, and this
+    operator stays embedding-generic.
+
+    Keep rule, exactly: the pairwise domination order becomes
+    ``(passed DESC, centroid_sim ASC, id ASC)`` — among semantic
+    duplicates a PASSING member always precedes a failing one, and
+    among passing members SemDeDup's keep-the-LOWEST-centroid-
+    similarity rule still picks the diverse-tail representative. A
+    vector survives iff no duplicate partner precedes it AND it
+    passes the gates itself — so an all-failing duplicate group emits
+    no survivor (the explicit whole-group drop), exactly like the
+    Jaccard-cluster gated selection. Output: one row per vector,
+    ``(id, cluster, centroid_sim, passed, kept)``.
+
+    Scale shape identical to semantic_dedup: one Arrow matmul for
+    routing, the quadratic compare confined to cells, pair cosine =
+    unit-dot; the gate boolean rides the routing frame, adding
+    nothing to the shuffle."""
+    from .rebalance import ensure_min_partitions
+
+    route = assign_to_centroids_udf(centroids)
+    gate = F.coalesce(F.col(passed_col), F.lit(False))  # NULL gate = FAIL
+    scored = (
+        ensure_min_partitions(
+            corpus.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                gate.alias("_p"),
+            )
+        )
+        .select("_id", "_p", route(F.col("_v")).alias("_r"))
+        .select(
+            "_id",
+            "_p",
+            F.col("_r.cluster").alias("cluster"),
+            F.col("_r.centroid_sim").alias("centroid_sim"),
+            F.col("_r.unit").alias("_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # domination key: passing members first (0 < 1 on the negated
+    # gate), then SemDeDup's (centroid_sim, id) diverse-tail order
+    def key(p, cs, i):
+        return F.struct((~p).cast("int"), cs, i)
+
+    l = scored.select(
+        "cluster",
+        F.col("_id").alias("_id_a"),
+        F.col("_u").alias("_ua"),
+        key(F.col("_p"), F.col("centroid_sim"), F.col("_id")).alias("_ka"),
+    )
+    r = scored.select(
+        "cluster",
+        F.col("_id").alias("_id_b"),
+        F.col("_u").alias("_ub"),
+        key(F.col("_p"), F.col("centroid_sim"), F.col("_id")).alias("_kb"),
+    )
+    dominated = (
+        l.join(
+            r,
+            on=[
+                l["cluster"] == r["cluster"],
+                l["_ka"] < r["_kb"],
+            ],
+        )
+        .filter(
+            F.round(dot(F.col("_ua"), F.col("_ub")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_id_b").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            dominated, scored["_id"] == dominated["_dropped"], "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.col("_p").alias("passed"),
+            (F.col("_dropped").isNull() & F.col("_p")).alias("kept"),
+        )
+    )

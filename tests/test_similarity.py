@@ -480,3 +480,84 @@ def test_pq_oracle_margins(spark):
     for qi, qid in enumerate(ids[qm]):
         s = np.sort(dist[qi][ids != qid])
         assert s[80] - s[79] > 1e-9, float(s[80] - s[79])
+
+
+def test_semantic_dedup_gated_keep_rule(spark):
+    """semantic_dedup_gated (round-15-ready): among semantic
+    duplicates, a PASSING member always beats a failing one; among
+    passing duplicates the diverse-tail (lowest centroid_sim, then
+    id) rule holds; an all-failing duplicate group emits NO survivor;
+    NULL gate = FAIL; singletons keep iff they pass."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_gated,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(twins)
+    _, centroids = build_ivf_index(emb, n_clusters=8)
+
+    # gates: originals FAIL, twins PASS -> every pair must keep the
+    # TWIN (the opposite of what ungated SemDeDup usually picks when
+    # the original precedes in (centroid_sim, id) order)
+    gated = corpus.withColumn("passed", F.col("vec_id") >= 1_000_000)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_gated(
+            gated, centroids, threshold=0.98
+        ).collect()
+    }
+    n_base = emb.count()
+    kept = {v for v, r in out.items() if r["kept"]}
+    assert kept == {r for r in out if r >= 1_000_000}
+    assert len(kept) == n_base
+
+    # all-failing groups drop whole: nobody passes -> zero survivors
+    none_pass = corpus.withColumn("passed", F.lit(False))
+    assert not [
+        r
+        for r in semantic_dedup_gated(
+            none_pass, centroids, threshold=0.98
+        ).collect()
+        if r["kept"]
+    ]
+
+    # NULL gate = FAIL (same as False)
+    null_gate = corpus.withColumn(
+        "passed", F.lit(None).cast("boolean")
+    )
+    assert not [
+        r
+        for r in semantic_dedup_gated(
+            null_gate, centroids, threshold=0.98
+        ).collect()
+        if r["kept"]
+    ]
+
+    # all-passing degenerates to ungated SemDeDup's keep set exactly
+    all_pass = corpus.withColumn("passed", F.lit(True))
+    kept_gated = {
+        r["vec_id"]
+        for r in semantic_dedup_gated(
+            all_pass, centroids, threshold=0.98
+        ).collect()
+        if r["kept"]
+    }
+    kept_plain = {
+        r["vec_id"]
+        for r in semantic_dedup(corpus, centroids, threshold=0.98).collect()
+        if r["kept"]
+    }
+    assert kept_gated == kept_plain
