@@ -647,6 +647,15 @@ def contamination_near_dup(
             F.explode(word_ngrams(text_col, n=n)).alias("_g"),
         )
 
+    # The train shingle stream feeds BOTH the size aggregate and the
+    # intersection join, so the tokenize+explode runs twice — and
+    # MEASUREMENT says leave it: a localCheckpoint barrier here (the
+    # source_overlap_matrix r13 trim) was tried in r14 and LOST
+    # (2.7→3.1 s decontamination, 2.75→3.9 s curation_fates at sf0.1)
+    # because this stream is the NON-distinct corpus×shingles explosion
+    # — far larger than overlap's distinct (source, shingle) frame —
+    # and writing it to checkpoint storage costs more than re-running
+    # the codegen'd explode off the parquet scan.
     tr = shingled(train, "train_id")
     be = shingled(benchmark, "bench_id")
     tr_sizes = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("_ta"))
