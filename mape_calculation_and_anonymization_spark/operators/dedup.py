@@ -1177,3 +1177,148 @@ def apply_remove_spans(
         F.size(clean).cast("int").alias("n_tokens_clean"),
         F.md5(F.concat_ws(" ", clean)).alias("clean_md5"),
     )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    standing_docs: DataFrame,
+    standing_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+    shingle_mode: str = "char",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """INCREMENTAL near-dup — the daily-drop path (round-15-ready):
+    verified pairs TOUCHING the new drop only. The standing corpus's
+    signatures are the offline index (``standing_sigs`` =
+    :func:`minhash_signatures` output, the artifact
+    dedup_minhash_pairs already lands); the new drop is signed fresh,
+    both signature sets bucket together, and the pair expansion joins
+    the NEW side against ALL buckets — so (new, new) and
+    (new, standing) candidates appear while standing × standing pairs
+    (already known from the index build) are never re-expanded. At
+    100 TB standing + 100 GB drops this is the difference between a
+    corpus-quadratic nightly job and one proportional to
+    drop × bucket-density.
+
+    Exactness: minhash signatures are per-doc deterministic, so the
+    buckets here equal the full-corpus pipeline's buckets exactly,
+    and with the flood cap applied over the UNION (mirroring the full
+    pipeline) the output equals ``minhash_near_duplicates(standing ∪
+    new)`` restricted to new-touching pairs — pinned by
+    test_minhash_incremental_equals_full_restriction. Verification
+    shingles the new drop plus ONLY the candidate standing docs
+    (answer-sized semi-join, the precomputed_sigs discipline).
+
+    Output: (id_a, id_b, jaccard_sim, pair_type ∈ new_new |
+    new_standing), id_a < id_b.
+    """
+    shingler = char_shingles if shingle_mode == "char" else word_ngrams
+    new_sh = (
+        ensure_min_partitions(new_docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingler(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
+    try:
+        new_sigs = minhash_signatures(
+            new_sh, "_id", F.col("sh"), num_hashes, seed
+        )
+        sigs_all = (
+            standing_sigs.select("_id", "sig").withColumn(
+                "_new", F.lit(False)
+            )
+        ).unionByName(new_sigs.select("_id", "sig").withColumn("_new", F.lit(True)))
+        rows_per_band = max(1, num_hashes // bands)
+        band_hash = F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(
+                            F.col("sig"),
+                            j * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    )
+                    for j in range(bands)
+                ]
+            )
+        )
+        buckets = sigs_all.select(
+            "_id", "_new", band_hash.alias("band", "bh")
+        ).localCheckpoint(eager=True)  # flood-cap + both join legs read it
+        if max_bucket_size:
+            blocked = (
+                buckets.groupBy("band", "bh")
+                .count()
+                .filter(F.col("count") > max_bucket_size)
+                .drop("count")
+            )
+            buckets = buckets.join(
+                blocked, on=["band", "bh"], how="left_anti"
+            )
+        a = buckets.filter(F.col("_new")).select(
+            "band", "bh", F.col("_id").alias("_ia")
+        )
+        b = buckets.select(
+            "band", "bh", F.col("_id").alias("_ib"), F.col("_new").alias("_nb")
+        )
+        cands = (
+            a.join(b, on=["band", "bh"])
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+                # symmetric: a-side is always new, so the pair is
+                # new_new iff the OTHER side is new too
+                F.col("_nb").alias("_other_new"),
+            )
+            .groupBy("id_a", "id_b")
+            # a (new, new) pair surfaces from both directions — one
+            # with _other_new true; MAX-fold makes the type stable
+            .agg(F.max("_other_new").alias("_both_new"))
+            .localCheckpoint(eager=True)  # answer-sized; feeds 2 joins
+        )
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        standing_cand_sh = (
+            standing_docs.join(cand_ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("_id"),
+                shingler(text_col, shingle_k).alias("sh"),
+            )
+        )
+        new_cand_sh = new_sh.join(
+            cand_ids.withColumnRenamed(id_col, "_id"), "_id", "left_semi"
+        )
+        all_sh = new_cand_sh.unionByName(standing_cand_sh).localCheckpoint(
+            eager=True
+        )  # candidates only — answer-sized, not drop-sized
+        av = all_sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        bv = all_sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        verified = (
+            cands.join(av, "id_a")
+            .join(bv, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+                F.when(F.col("_both_new"), F.lit("new_new"))
+                .otherwise(F.lit("new_standing"))
+                .alias("pair_type"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
+        return verified.localCheckpoint(eager=True)
+    finally:
+        new_sh.unpersist()

@@ -727,3 +727,56 @@ def test_apply_remove_spans_closes_exactsubstr_loop(spark):
         ["doc_id", "text"],
     )
     assert exact_substring_spans(rebuilt, n=5).count() == 0
+
+
+def test_minhash_incremental_equals_full_restriction(spark):
+    """minhash_incremental_pairs (round-15-ready) == the full-corpus
+    pipeline restricted to pairs touching the new drop — same
+    signatures, same buckets, same flood cap, same exact verify; only
+    the standing x standing expansion is skipped. pair_type labels
+    check out against the split."""
+    docs = _corpus(n=60)
+    # split: standing = first 40, new drop = rest, PLUS a near-dup of
+    # a standing doc planted in the drop so new_standing is non-empty
+    standing = docs[:40]
+    drop = docs[40:] + [(9001, docs[5][1] + " tail")]
+    full = standing + drop
+    df_standing = spark.createDataFrame(standing, ["doc_id", "text"])
+    df_drop = spark.createDataFrame(drop, ["doc_id", "text"])
+    df_full = spark.createDataFrame(full, ["doc_id", "text"])
+
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    standing_sigs = minhash_signatures(
+        df_standing.select(
+            F.col("doc_id").alias("_id"),
+            char_shingles("text", 5).alias("sh"),
+        ),
+        "_id",
+        F.col("sh"),
+        32,
+        42,
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (round(r["jaccard_sim"], 9), r["pair_type"])
+        for r in minhash_incremental_pairs(
+            df_drop, df_standing, standing_sigs, threshold=0.6
+        ).collect()
+    }
+    new_ids = {d for d, _ in drop}
+    expected = {
+        (r["id_a"], r["id_b"]): round(r["jaccard_sim"], 9)
+        for r in minhash_near_duplicates(df_full, threshold=0.6).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert {k: v[0] for k, v in got.items()} == expected
+    assert expected, "planted drop near-dup missing from ground truth"
+    for (ia, ib), (_, ptype) in got.items():
+        both_new = ia in new_ids and ib in new_ids
+        assert ptype == ("new_new" if both_new else "new_standing")
+    # the planted (standing doc 5, drop doc 9001) pair is the
+    # guaranteed new_standing detection
+    assert any(t == "new_standing" for _, t in got.values())
