@@ -494,3 +494,36 @@ def test_round12_debut_plan_shapes(spark):
     # no product
     md5p = e._q_dedup_simhash_md5_pairs(spark, SF)
     assert "CartesianProduct" not in physical_plan(md5p)
+
+
+def test_round14_debut_plan_shapes(spark):
+    """Scale pins for the round-14 debuts: bounded exchange counts, no
+    cartesian products, broadcast contamination probes — so a refactor
+    can't silently reintroduce the branch-per-action unions (the first
+    decontamination draft paid 18 exchanges; the CASE fold pays 9) or
+    a corpus×corpus product."""
+    dec = e._q_decontamination_removal(spark, SF)
+    p = physical_plan(dec)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # one output pass: contamination probe (4 exchanges: two shingle
+    # size aggregates, intersection rollup, dropped-distinct) +
+    # covered rollup + final doc-key joins; the benchmark side rides
+    # broadcasts
+    assert count_exchanges(dec) <= 10, count_exchanges(dec)
+    assert p.count("BroadcastExchange") >= 2  # bench set + drop flags
+
+    fates = e._q_curation_fates(spark, SF)
+    p2 = physical_plan(fates)
+    assert "CartesianProduct" not in p2
+    # one frame: text window + cluster window + cluster-map join +
+    # broadcast contamination probe — no stage-branch re-derivation
+    assert count_exchanges(fates) <= 8, count_exchanges(fates)
+
+    x5 = e._q_x5_uid_pseudonym(spark, SF)
+    p3 = physical_plan(x5)
+    assert "CartesianProduct" not in p3
+    # live recompute: scan + union + Arrow digest pass + final sort —
+    # exactly one exchange (the orderBy's range partitioning)
+    assert count_exchanges(x5) <= 1, count_exchanges(x5)
+    assert "ArrowEvalPython" in p3 or "BatchEvalPython" in p3
