@@ -36,7 +36,14 @@ Methodology — how to read the numbers (VERDICT r11 item 2):
   an explicit `python bench.py --refresh-local`, which refuses any
   sf other than 0.1 — so a driver-context run or an sf0.01 sanity
   check can never dirty the committed copy again (the r10/r11
-  footgun).
+  footgun). A --refresh-local also APPENDS to the committed
+  BENCH_HISTORY.jsonl; every sf0.1 run writes BENCH_DRIFT.json (the
+  load-normalized drift report — the r14 noise-vs-regression
+  discriminator) and prints its verdict to stderr.
+* `--drift-report [path]` re-judges a landed payload offline (no
+  Spark). `--scale-stress` runs the 10×-dup-dense-corpus growth
+  check and exits non-zero on an envelope violation (see the
+  scale-stress section below).
 """
 
 from __future__ import annotations
