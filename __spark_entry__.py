@@ -5347,9 +5347,12 @@ _DECONTAMINATION_REMOVAL_ORACLE = rf"""
                CAST(len(list_filter(raw,
                         (x, i) -> NOT list_contains(rm_list, i - 1)))
                     AS INT) AS n_tokens_clean,
-               md5(array_to_string(
+               -- COALESCE: DuckDB array_to_string([]) is NULL where
+               -- Spark concat_ws gives '' — a fully-covered survivor
+               -- must hash the empty string on both sides
+               md5(COALESCE(array_to_string(
                    list_filter(raw, (x, i) -> NOT list_contains(rm_list, i - 1)),
-                   ' ')) AS clean_md5
+                   ' '), '')) AS clean_md5
         FROM survivors
     ),
     drops AS (
@@ -8089,6 +8092,97 @@ _EXACT_SUBSTRING_ORACLE = rf"""
                AS span_tokens
     FROM grp
     GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-15-READY (built + parity-tested in r14, NOT yet registered —
+# the r14 evidence chain froze at 181 entries; these debut in r15's
+# window with a 2-line registration each). Parity evidence now:
+# tests/test_r15_ready.py runs the exact driver compare
+# (oracle_utils.compare_query) on each pair at sf0.001.
+# ---------------------------------------------------------------------------
+
+
+def _q_exactsubstr_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup EXECUTED (round-15-ready): the planner's
+    remove-span plan (exact_substring_spans, the r13 debut) applied
+    by operators/dedup.py:apply_remove_spans — the Lee et al. 2021
+    pipeline closed end to end: one row per document with the
+    post-cut ledger and the md5 of the surviving tokens (the
+    cross-engine pin that both sides reconstructed the SAME deduped
+    text). The loop-closure property (re-planning over the cut corpus
+    finds zero removable spans) is pinned in
+    tests/test_dedup.py::test_apply_remove_spans_closes_exactsubstr_loop."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        apply_remove_spans,
+        exact_substring_spans,
+    )
+
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    spans = exact_substring_spans(docs, "doc_id", "text", n=_DUP_SPAN_N)
+    return apply_remove_spans(docs, spans).orderBy("doc_id")
+
+
+# Twin: the planner oracle's CTE chain (canonical rn=1 + removable),
+# then the cut re-derived exactly like the decontamination twin —
+# covered indices, sorted removal list, 1-based-lambda island count,
+# list_filter cut, md5 of the rejoined tokens.
+_EXACTSUBSTR_CUT_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS raw
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(raw[i+1:i+{_DUP_SPAN_N}], ' ') AS shingle
+        FROM t, LATERAL unnest(
+            range(0, GREATEST(len(raw) - {_DUP_SPAN_N} + 1, 0))
+        ) AS u(i)
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY shingle) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shingle ORDER BY doc_id, pos
+               ) AS rn
+        FROM sh
+    ),
+    removable AS (
+        SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_DUP_SPAN_N})) AS idx
+            FROM removable
+        )
+    ),
+    rm AS (
+        SELECT doc_id, list_sort(list(idx)) AS rm_list
+        FROM covered GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT t.doc_id, t.raw, COALESCE(r.rm_list, []) AS rm_list
+        FROM t LEFT JOIN rm r USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN len(rm_list) > 0 THEN 'cut' ELSE 'kept' END AS action,
+           CAST(CASE WHEN len(rm_list) = 0 THEN 0
+                ELSE len(list_filter(rm_list,
+                         (x, i) -> i > 1 AND x - rm_list[i-1] > 1)) + 1
+           END AS INT) AS n_spans_applied,
+           CAST(len(rm_list) AS INT) AS tokens_removed,
+           CAST(len(list_filter(raw,
+                    (x, i) -> NOT list_contains(rm_list, i - 1)))
+                AS INT) AS n_tokens_clean,
+           md5(COALESCE(array_to_string(
+               list_filter(raw, (x, i) -> NOT list_contains(rm_list, i - 1)),
+               ' '), '')) AS clean_md5
+    FROM joined
+    ORDER BY doc_id
 """
 
 
