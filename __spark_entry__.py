@@ -3775,12 +3775,6 @@ def _q_dedup_keep_best_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mape_calculation_and_anonymization_spark.operators.dedup import (
         gated_cluster_representatives,
     )
-    from mape_calculation_and_anonymization_spark.operators.text import (
-        mean_token_length,
-        punct_ratio,
-        stopword_ratio,
-        token_count,
-    )
 
     clusters = spark.read.parquet(
         os.path.join(_jaccard_index(spark, sf_dir), "clusters")
@@ -3790,19 +3784,7 @@ def _q_dedup_keep_best_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
     )
-    c = F.col("text")
-    toks = token_count(c)
-    mlen = mean_token_length(c)
-    passed = None
-    for g in (
-        toks >= 5,
-        toks <= 5000,
-        punct_ratio(c) < 0.3,
-        stopword_ratio(c) >= 0.02,
-        (mlen >= 2.0) & (mlen <= 12.0),
-    ):
-        g = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
-        passed = g if passed is None else (passed & g)
+    passed = _hard_gates_passed()  # the shared five-gate fragment
     scored = ensure_min_partitions(docs.unionByName(twins)).select(
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),
@@ -5410,11 +5392,7 @@ def _q_curation_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mape_calculation_and_anonymization_spark.operators.text import (
         contamination_near_dup,
-        mean_token_length,
-        punct_ratio,
         quality_score,
-        stopword_ratio,
-        token_count,
     )
 
     corpus = _docs_with_planted_twins(spark, sf_dir)
@@ -5431,19 +5409,7 @@ def _q_curation_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_cont", F.lit(True))
     )
-    c = F.col("text")
-    toks = token_count(c)
-    mlen = mean_token_length(c)
-    passed = None
-    for g in (
-        toks >= 5,
-        toks <= 5000,
-        punct_ratio(c) < 0.3,
-        stopword_ratio(c) >= 0.02,
-        (mlen >= 2.0) & (mlen <= 12.0),
-    ):
-        g = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
-        passed = g if passed is None else (passed & g)
+    passed = _hard_gates_passed()  # the shared five-gate fragment
     scored = train.select(
         "doc_id",
         "text",
@@ -8183,6 +8149,152 @@ _EXACTSUBSTR_CUT_ORACLE = rf"""
                ' '), '')) AS clean_md5
     FROM joined
     ORDER BY doc_id
+"""
+
+
+def _hard_gates_passed() -> "F.Column":
+    """quality_gate_funnel's five hard gates over ``text`` as one
+    boolean Column (NULL = FAIL) — the Spark-side twin of
+    _quality_gates_sql, shared by dedup_keep_best_gated,
+    curation_fates, and the gated-SemDeDup query."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        mean_token_length,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    c = F.col("text")
+    toks = token_count(c)
+    mlen = mean_token_length(c)
+    passed = None
+    for g in (
+        toks >= 5,
+        toks <= 5000,
+        punct_ratio(c) < 0.3,
+        stopword_ratio(c) >= 0.02,
+        (mlen >= 2.0) & (mlen <= 12.0),
+    ):
+        g = F.coalesce(g, F.lit(False))  # NULL gate = FAIL
+        passed = g if passed is None else (passed & g)
+    return passed
+
+
+def _q_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-aware SemDeDup (round-15-ready;
+    operators/similarity.py:semantic_dedup_gated): the re-ingest
+    story — the ×1.01 twins arrive as KNOWN-BAD copies (gate False),
+    originals carry their real text gates (documents.text joined on
+    vec_id, the five hard gates) — so the keep rule must pick the
+    PASSING original even where ungated SemDeDup's
+    (centroid_sim, id) order would have kept the twin, and an
+    original that fails its own gates drops with its twin (explicit
+    whole-group drop). Same k=48 coarse-index fixture as
+    semantic_dedup; the twin re-derives routing from the landed
+    centroid parquet, gates from documents, and the
+    (passed DESC, centroid_sim, id) domination in SQL."""
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup_gated,
+    )
+
+    _, centroids = _ivf_index_cached(spark, sf_dir, n_clusters=48)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    doc_gates = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"), "text")
+        .select("vec_id", _hard_gates_passed().alias("passed"))
+    )
+    orig = emb.join(doc_gates, "vec_id", "left").select(
+        "vec_id",
+        "embedding",
+        F.coalesce("passed", F.lit(False)).alias("passed"),
+    )
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+        F.lit(False).alias("passed"),
+    )
+    return semantic_dedup_gated(
+        orig.unionByName(twins), centroids, threshold=0.98
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_gated_oracle(sf_dir: str = None) -> str:
+    """Twin for semantic_dedup_gated: _semantic_dedup_oracle's
+    routing CTEs off the landed k=48 centroid parquet, the gate
+    fragment over documents, and the gated domination order —
+    passing members first, then SemDeDup's (centroid_sim, id)."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    cells = _semantic_dedup_cells(d)
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    g AS ({_quality_gates_sql()}),
+    cents AS (
+        SELECT cluster,
+               centroid AS c,
+               list_dot_product(centroid, centroid) AS cn2,
+               sqrt(list_dot_product(centroid, centroid)) AS cn
+        FROM read_parquet('{cells}')
+    ),
+    emb0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    corpus AS (
+        SELECT e.vec_id, e.v,
+               COALESCE(g.passed, FALSE) AS passed
+        FROM emb0 e LEFT JOIN g ON g.doc_id = e.vec_id
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(v, x -> x * 1.01) AS v,
+               FALSE AS passed
+        FROM emb0
+    ),
+    scored AS (
+        SELECT vec_id, v, passed,
+               sqrt(list_dot_product(v, v)) AS vn
+        FROM corpus
+    ),
+    routed AS (
+        SELECT s.vec_id, s.v, s.vn, s.passed, c.cluster, c.cn,
+               list_dot_product(s.v, c.c) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY c.cn2 - 2.0 * list_dot_product(s.v, c.c),
+                            c.cluster
+               ) AS rn
+        FROM scored s CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, cluster, passed,
+               CASE WHEN passed THEN 0 ELSE 1 END AS np,
+               CASE WHEN vn = 0 OR cn = 0 THEN NULL
+                    ELSE ROUND(d / (vn * cn), 6) END AS centroid_sim,
+               list_transform(
+                   v, x -> x / (CASE WHEN vn = 0 THEN 1.0 ELSE vn END)
+               ) AS u
+        FROM routed WHERE rn = 1
+    ),
+    dominated AS (
+        SELECT DISTINCT b.vec_id
+        FROM best a JOIN best b
+          ON a.cluster = b.cluster
+         AND (a.np < b.np
+              OR (a.np = b.np AND a.centroid_sim < b.centroid_sim)
+              OR (a.np = b.np AND a.centroid_sim = b.centroid_sim
+                  AND a.vec_id < b.vec_id))
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.98
+    )
+    SELECT b.vec_id, b.cluster, b.centroid_sim, b.passed,
+           (d.vec_id IS NULL AND b.passed) AS kept
+    FROM best b LEFT JOIN dominated d ON b.vec_id = d.vec_id
+    ORDER BY b.vec_id
 """
 
 

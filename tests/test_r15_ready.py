@@ -39,3 +39,32 @@ def test_exactsubstr_cut_conservation(spark):
         # re.split-vs-str.split parity only diverges on empty text,
         # which this fixture does not contain
         assert r["tokens_removed"] + r["n_tokens_clean"] == docs[r["doc_id"]]
+
+
+def test_semantic_dedup_gated_parity(spark):
+    ok, msg = compare_query(
+        spark,
+        SF,
+        e._q_semantic_dedup_gated,
+        e._semantic_dedup_gated_oracle(SF),
+    )
+    assert ok, msg
+
+
+def test_semantic_dedup_gated_keep_semantics(spark):
+    """Pipeline-level pins at sf0.001: every gate-passing original
+    survives (its known-bad twin can never dominate it), every twin
+    drops, and originals failing their own gates drop with their twin
+    (whole-group drop) — so kept == the passing originals exactly."""
+    rows = {r["vec_id"]: r for r in e._q_semantic_dedup_gated(spark, SF).collect()}
+    originals = {v: r for v, r in rows.items() if v < 1_000_000}
+    twins = {v: r for v, r in rows.items() if v >= 1_000_000}
+    assert originals and twins
+    assert not any(r["kept"] for r in twins.values())
+    for v, r in originals.items():
+        assert r["kept"] == r["passed"], v
+    assert any(r["kept"] for r in originals.values())
+    assert any(not r["passed"] for r in originals.values()), (
+        "fixture should contain at least one gate-failing doc or the "
+        "whole-group-drop branch is untested"
+    )
