@@ -1143,6 +1143,109 @@ def _dedup_minhash_oracle(sf_dir: str = None) -> str:
 """
 
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup (round-15-ready;
+    operators/dedup.py:minhash_incremental_pairs): the daily-drop
+    path over the family's corpus split — standing = documents, new
+    drop = the planted twins. The standing signatures come from the
+    SAME landed fixture dedup_minhash_pairs reads (filtered to the
+    standing ids — the fixture's per-doc signatures are value-equal
+    to fresh derivation, so slicing it IS the standing index); the
+    drop signs fresh, and only new-touching pairs expand. Exactness
+    vs the full pipeline is pinned by
+    test_minhash_incremental_equals_full_restriction; the twin
+    re-derives banding from the landed signatures (slice-equality,
+    the registered minhash oracle's convention) restricted to
+    new-touching pairs, then verifies word-3-gram Jaccard from raw
+    text."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    corpus = _docs_with_planted_twins(spark, sf_dir)
+    standing_sigs = _minhash_sigs_cached(spark, sf_dir).filter(
+        F.col("_id") < 1_000_000
+    )
+    return minhash_incremental_pairs(
+        corpus.filter(F.col("doc_id") >= 1_000_000),
+        corpus.filter(F.col("doc_id") < 1_000_000),
+        standing_sigs,
+        shingle_k=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.6,
+        seed=42,
+        shingle_mode="word",
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_incremental_oracle(sf_dir: str = None) -> str:
+    """Twin for minhash_incremental: the registered minhash oracle's
+    banding (slice-equality over the landed signature fixture, flood
+    cap mirrored over the FULL union — the same cap the incremental
+    operator applies) with candidates restricted to new-touching
+    pairs, plus the pair_type label."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    sigs = _minhash_sigs_glob(d)
+    return rf"""
+    WITH sigs AS (SELECT _id, sig FROM read_parquet('{sigs}')),
+    buckets AS (
+        SELECT s._id, b.j AS band_idx,
+               list_slice(s.sig, b.j*4+1, b.j*4+4) AS band_key
+        FROM sigs s
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) b
+    ),
+    buckets_ok AS (
+        SELECT * FROM buckets
+        WHERE (band_idx, band_key) IN (
+            SELECT (band_idx, band_key) FROM buckets
+            GROUP BY band_idx, band_key HAVING COUNT(*) <= 1000
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a._id AS id_a, b._id AS id_b
+        FROM buckets_ok a
+        JOIN buckets_ok b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a._id < b._id
+        WHERE a._id >= 1000000 OR b._id >= 1000000
+    ),
+    base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' twin marker'
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(raw) - 3, 0) + 1),
+                   i -> array_to_string(raw[i+1:i+3], ' ')
+               )) AS toks
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM base
+        )
+    )
+    SELECT id_a, id_b, jaccard_sim,
+           CASE WHEN id_a >= 1000000 AND id_b >= 1000000
+                THEN 'new_new' ELSE 'new_standing'
+           END AS pair_type
+    FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / (len(list_distinct(ta.toks)) + len(list_distinct(tb.toks))
+                  - len(list_intersect(ta.toks, tb.toks))) AS jaccard_sim
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_a
+        JOIN t tb ON tb.doc_id = c.id_b
+    )
+    WHERE jaccard_sim >= 0.6
+    ORDER BY id_a, id_b
+"""
+
+
 def _simhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """blake2b SimHash signature frame (``_id``, ``sim``) as a disk
     fixture keyed by the documents source fingerprint — the same

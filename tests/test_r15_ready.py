@@ -68,3 +68,34 @@ def test_semantic_dedup_gated_keep_semantics(spark):
         "fixture should contain at least one gate-failing doc or the "
         "whole-group-drop branch is untested"
     )
+
+
+def test_minhash_incremental_parity(spark):
+    ok, msg = compare_query(
+        spark,
+        SF,
+        e._q_minhash_incremental,
+        e._minhash_incremental_oracle(SF),
+    )
+    assert ok, msg
+
+
+def test_minhash_incremental_answer_shape(spark):
+    """Every planted twin pairs with its original as new_standing
+    (jaccard well above 0.6 for multi-gram docs), and the answer is
+    exactly the registered full-pipeline query's pairs restricted to
+    twin-touching ones."""
+    rows = e._q_minhash_incremental(spark, SF).collect()
+    assert rows
+    got = {(r["id_a"], r["id_b"]): r["pair_type"] for r in rows}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in e._q_dedup_minhash_pairs(spark, SF).collect()
+        if r["id_a"] >= 1_000_000 or r["id_b"] >= 1_000_000
+    }
+    assert set(got) == full
+    for (ia, ib), t in got.items():
+        assert t == (
+            "new_new" if ia >= 1_000_000 and ib >= 1_000_000
+            else "new_standing"
+        )
