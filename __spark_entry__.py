@@ -11118,23 +11118,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 14): the driver's correctness harness
+    # Ordering policy (round 15): the driver's correctness harness
     # checks the FIRST 50 entries; the rotation-hygiene rule — no
     # oracle-backed query more than THREE rounds without a green
     # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
     # plan emitted by `python preflight.py --plan-window`) — dictates
     # this round's window:
-    # (a) the 27 forced must-includes: the r10-green cohort that did
-    #     not fit in round 13's window (named by the designed
-    #     red-at-judge-time test; VERDICT r13 "Next round" #1).
-    # (b) the r11-green cohort fills the remaining ~23 slots, oldest
+    # (a) the 30 forced must-includes: the r11-green cohort due this
+    #     round, incl. the three debuts displaced in round 14 (named
+    #     by the designed red-at-judge-time test; VERDICT r14 #1).
+    # (b) the r12-green cohort fills the remaining slots, oldest
     #     first (plan-window emission). The planning rule learned in
     #     r9 still holds: fill free slots with the OLDEST-green
     #     cohort, never the just-verified one.
-    # (c) round-14 debuts — new or changed oracle-backed queries
-    #     enter the window on debut; each displaces one tail entry
-    #     of the r11 fill (the displaced entry stays forced at r15,
-    #     where the r11 cohort is due anyway).
+    # (c) round-15 debuts — the three r14-pre-verified operators
+    #     (VERDICT r14 item 2) enter the window on debut; each
+    #     displaces one tail entry of the r12 fill (the displaced
+    #     entries stay ≤3 rounds stale and rotate in at r16).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
     # 200 oracle-backed capacity — the math lives in
@@ -11149,67 +11149,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test; applyInPandasWithState (stream_stateful_wape) covers the
     # custom-stateful slot in this environment.
     return {
-        # round-14 debuts lead the window (plan-window priority 0:
-        # oracle-backed with no green driver row yet). x5_uid_pseudonym
-        # is the r13→r14 Class-B upgrade (rows-only → fixture oracle);
-        # each debut displaces one tail entry of the r11 fill, which
-        # stays forced at r15 where the r11 cohort was already due.
-        "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # Class-B debut (r14)
-        "decontamination_removal": _q_decontamination_removal,  # r14 debut
-        "curation_fates": _q_curation_fates,  # r14 debut
-        "q15_top_supplier": _q_q15_top_supplier,  # last green: r10
-        "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r10
-        "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r10
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r10
-        "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r10
-        "q20_excess_parts": _q_q20_excess_parts,  # last green: r10
-        "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r10
-        "q22_idle_balances": _q_q22_idle_balances,  # last green: r10
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # last green: r10
-        "q4_priority_check": _q_q4_priority_check,  # last green: r10
-        "q6_forecast_revenue": _q_q6_forecast_revenue,  # last green: r10
-        "q7_volume_shipping": _q_q7_volume_shipping,  # last green: r10
-        "q8_market_share": _q_q8_market_share,  # last green: r10
-        "q9_product_profit": _q_q9_product_profit,  # last green: r10
-        "quality_gate_funnel": _q_quality_gate_funnel,  # last green: r10
-        "shuffle_manifest": _q_shuffle_manifest,  # last green: r10
-        "source_mixture_weights": _q_source_mixture_weights,  # last green: r10
-        "tcloseness_audit": _q_tcloseness_audit,  # last green: r10
-        "token_budget_by_source": _q_token_budget_by_source,  # last green: r10
-        "touch_attribution": _q_touch_attribution,  # last green: r10
-        "vocab_top_terms": _q_vocab_top_terms,  # last green: r10
-        "weekday_seasonality": _q_weekday_seasonality,  # last green: r10
-        "weighted_sample_docs": _q_weighted_sample_docs,  # last green: r10
-        "winsorized_stats": _q_winsorized_stats,  # last green: r10
-        "x3_perturb_values": _q_x3_perturb_values,  # last green: r10
-        "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r10
-        "zone_unpivot": _q_zone_unpivot,  # last green: r10
-        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r11
-        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r11
-        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r11
-        "argmax_user_events": _q_argmax_user_events,  # last green: r11
-        "asof_join_rates": _q_asof_join_rates,  # last green: r11
-        "bigram_top_terms": _q_bigram_top_terms,  # last green: r11
-        "bm25_search": _q_bm25_search,  # last green: r11
-        "cdc_latest_events": _q_cdc_latest_events,  # last green: r11
-        "decile_revenue_share": _q_decile_revenue_share,  # last green: r11
-        "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r11
-        "doc_length_histogram": _q_doc_length_histogram,  # last green: r11
-        "dq_expectations": _q_dq_expectations,  # last green: r11
-        "drift_psi_events": _q_drift_psi_events,  # last green: r11
-        "events_variant_props": _q_events_variant_props,  # last green: r11
-        "f4_unmatched_uids": _q_f4_unmatched_uids,  # last green: r11
-        "funnel_conversion": _q_funnel_conversion,  # last green: r11
-        "grouping_sets_revenue": _q_grouping_sets_revenue,  # last green: r11
-        "ivf_ann_topk": _q_ivf_ann_topk,  # last green: r11
-        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,  # last green: r11
-        "median_length_filter": _q_median_length_filter,  # last green: r11
-        # ---- below the driver's 50-row window ----
-        # displaced by r14 debuts; forced r15 (the r11 cohort's due round)
+        # round-15 debuts lead the window (plan-window priority 0:
+        # oracle-backed with no green driver row yet) — the three
+        # r15-ready operators pre-verified in r14 (tests/test_r15_ready.py),
+        # registered in VERDICT r14 item 2's priority order. Each
+        # displaces one tail entry of the r12 fill, which stays ≤3
+        # rounds stale (r12 green, due r16).
+        "minhash_incremental": _q_minhash_incremental,  # r15 debut (pre-verified r14)
+        "exactsubstr_cut": _q_exactsubstr_cut,  # r15 debut (pre-verified r14)
+        "semantic_dedup_gated": _q_semantic_dedup_gated,  # r15 debut (pre-verified r14)
+        # the 30 forced must-includes: the r11-green cohort due this
+        # round (plan-window emission; test_rotation_hygiene is the
+        # executable spec), incl. the three debuts displaced in r14.
         "multimodal_frames": _q_multimodal_frames,  # last green: r11
         "multimodal_metadata": _q_multimodal_metadata,  # last green: r11
         "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r11
-        # oracle-backed entries oldest-green first (they rotate in next).
         "o1_top_revenue": _q_o1_top_revenue,  # last green: r11
         "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r11
         "triangle_count": _q_triangle_count,  # last green: r11  # stays ahead of pagerank (shared _COOC_SHARED memo attribution)
@@ -11237,6 +11191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": _q_text_pii_redaction,  # last green: r11
         "text_repetition": _q_text_repetition,  # last green: r11
         "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r11
+        # r12-green fill, oldest first (17 of 20; the last 3 were
+        # displaced by the debuts and rotate in at r16).
         "ann_recall_eval": _q_ann_recall_eval,  # last green: r12
         "anomaly_counts": _q_anomaly_counts,  # last green: r12
         "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r12
@@ -11254,6 +11210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
         "drift_ks_events": _q_drift_ks_events,  # last green: r12
         "event_transitions": _q_event_transitions,  # last green: r12
+        # ---- below the driver's 50-row window ----
+        # oracle-backed entries oldest-green first (they rotate in next).
         "events_json_props": _q_events_json_props,  # last green: r12
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
         "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r12
@@ -11337,17 +11295,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,  # last green: r13
         "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r13
         "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r13
+        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r14
+        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r14
+        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r14
+        "argmax_user_events": _q_argmax_user_events,  # last green: r14
+        "asof_join_rates": _q_asof_join_rates,  # last green: r14
+        "bigram_top_terms": _q_bigram_top_terms,  # last green: r14
+        "bm25_search": _q_bm25_search,  # last green: r14
+        "cdc_latest_events": _q_cdc_latest_events,  # last green: r14
+        "curation_fates": _q_curation_fates,  # last green: r14
+        "decile_revenue_share": _q_decile_revenue_share,  # last green: r14
+        "decontamination_removal": _q_decontamination_removal,  # last green: r14
+        "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r14
+        "doc_length_histogram": _q_doc_length_histogram,  # last green: r14
+        "dq_expectations": _q_dq_expectations,  # last green: r14
+        "drift_psi_events": _q_drift_psi_events,  # last green: r14
+        "events_variant_props": _q_events_variant_props,  # last green: r14
+        "f4_unmatched_uids": _q_f4_unmatched_uids,  # last green: r14
+        "funnel_conversion": _q_funnel_conversion,  # last green: r14
+        "grouping_sets_revenue": _q_grouping_sets_revenue,  # last green: r14
+        "ivf_ann_topk": _q_ivf_ann_topk,  # last green: r14
+        "k1_parquet_roundtrip": _q_k1_parquet_roundtrip,  # last green: r14
+        "median_length_filter": _q_median_length_filter,  # last green: r14
+        "q15_top_supplier": _q_q15_top_supplier,  # last green: r14
+        "q16_supplier_variety": _q_q16_supplier_variety,  # last green: r14
+        "q18_large_volume_customers": _q_q18_large_volume_customers,  # last green: r14
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # last green: r14
+        "q1_pricing_summary": _q_q1_pricing_summary,  # last green: r14
+        "q20_excess_parts": _q_q20_excess_parts,  # last green: r14
+        "q21_waiting_suppliers": _q_q21_waiting_suppliers,  # last green: r14
+        "q22_idle_balances": _q_q22_idle_balances,  # last green: r14
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # last green: r14
+        "q4_priority_check": _q_q4_priority_check,  # last green: r14
+        "q6_forecast_revenue": _q_q6_forecast_revenue,  # last green: r14
+        "q7_volume_shipping": _q_q7_volume_shipping,  # last green: r14
+        "q8_market_share": _q_q8_market_share,  # last green: r14
+        "q9_product_profit": _q_q9_product_profit,  # last green: r14
+        "quality_gate_funnel": _q_quality_gate_funnel,  # last green: r14
+        "shuffle_manifest": _q_shuffle_manifest,  # last green: r14
+        "source_mixture_weights": _q_source_mixture_weights,  # last green: r14
+        "tcloseness_audit": _q_tcloseness_audit,  # last green: r14
+        "token_budget_by_source": _q_token_budget_by_source,  # last green: r14
+        "touch_attribution": _q_touch_attribution,  # last green: r14
+        "vocab_top_terms": _q_vocab_top_terms,  # last green: r14
+        "weekday_seasonality": _q_weekday_seasonality,  # last green: r14
+        "weighted_sample_docs": _q_weighted_sample_docs,  # last green: r14
+        "winsorized_stats": _q_winsorized_stats,  # last green: r14
+        "x3_perturb_values": _q_x3_perturb_values,  # last green: r14
+        "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r14
+        "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # last green: r14
+        "zone_unpivot": _q_zone_unpivot,  # last green: r14
         # rows-only by design (no portable-SQL oracle); driver records
-        # err=no_oracle rows, pinned by unit tests instead.
-        # (x5_uid_pseudonym left this list in r14 — Class-B fixture
-        # oracle, see _q_x5_uid_pseudonym — leaving ONE rows-only
-        # entry: the PIL-gated image featurizer.)
+        # err=no_oracle rows, pinned by unit tests instead. ONE entry:
+        # the PIL-gated image featurizer.
         "multimodal_features": _q_multimodal_features,  # rows-only
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_incremental": _minhash_incremental_oracle(),
+        "exactsubstr_cut": _EXACTSUBSTR_CUT_ORACLE,
+        "semantic_dedup_gated": _semantic_dedup_gated_oracle(),
         "mape_hourly_portfolio": _HOURLY_PORTFOLIO_ORACLE,
         "mape_hourly_zone": _HOURLY_ZONE_ORACLE,
         "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,
@@ -11558,4 +11567,6 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["bpe_vocab_merges"] = _bpe_training_oracle_sql()
     out["dedup_simhash_pairs"] = _dedup_simhash_oracle(sf_dir)
     out["x5_uid_pseudonym"] = _x5_pseudonym_oracle(sf_dir)
+    out["minhash_incremental"] = _minhash_incremental_oracle(sf_dir)
+    out["semantic_dedup_gated"] = _semantic_dedup_gated_oracle(sf_dir)
     return out

@@ -63,6 +63,12 @@ def test_oracle_sf_contract():
         "dedup_minhash_pairs": entrymod._minhash_sigs_glob(
             entrymod._ORACLE_SF_DIR
         ),
+        "minhash_incremental": entrymod._minhash_sigs_glob(
+            entrymod._ORACLE_SF_DIR
+        ),
+        "semantic_dedup_gated": entrymod._semantic_dedup_cells(
+            entrymod._ORACLE_SF_DIR
+        ),
         "dedup_simhash_pairs": entrymod._simhash_sigs_glob(
             entrymod._ORACLE_SF_DIR
         ),
