@@ -131,11 +131,18 @@ def _median(vals: list[float]) -> float:
 def _iqr(vals: list[float]) -> float:
     s = sorted(vals)
     n = len(s)
-    if n < 4:
-        return max(s) - min(s) if n > 1 else 0.0
-    # simple quartile positions — stable across python versions
-    q1 = s[n // 4]
-    q3 = s[(3 * n) // 4]
+    if n < 2:
+        return 0.0
+    if n == 2:
+        return s[1] - s[0]
+    # interpolated quartiles (ADVICE r14): the old n<4 branch used
+    # max-min, which at min_history=3 made the iqr_mult=2 gate span
+    # the full sample range — freshly-debuted queries were effectively
+    # unflaggable until several history rows accumulated. Inclusive
+    # percentile interpolation is meaningful from n=3 up.
+    import statistics
+
+    q1, _, q3 = statistics.quantiles(s, n=4, method="inclusive")
     return q3 - q1
 
 
@@ -169,6 +176,8 @@ def drift_report(
     if not comparable:
         return {
             "session_ratio": None,
+            "session_band": None,
+            "session_ratio_alert": False,
             "n_compared": 0,
             "flags": [],
             "insufficient_history": insufficient,
@@ -178,6 +187,25 @@ def drift_report(
         if _median(hist_by_q[q]) > 0
     ]
     session_ratio = _median(ratios) if ratios else 1.0
+    # Session-ratio alert (ADVICE r14): a change that regresses MOST
+    # of the suite uniformly is absorbed into session_ratio by design
+    # (per-query flags only catch single-query departures), so surface
+    # the ratio itself against the historical headline band — the max
+    # run-total / median-run-total spread the machine has shown. An
+    # alert is "suspicious, adjudicate by isolated re-timing", not a
+    # verdict: genuine ambient load trips it too.
+    hist_totals = [
+        float(rec["total"]) for rec in history if rec.get("total")
+    ]
+    session_band = None
+    session_ratio_alert = False
+    if len(hist_totals) >= min_history:
+        med_total = _median(hist_totals)
+        if med_total > 0:
+            session_band = max(t / med_total for t in hist_totals)
+            session_ratio_alert = session_ratio > max(
+                session_band * 1.1, 1.25
+            )
     flags = []
     for q, v in comparable.items():
         med = _median(hist_by_q[q])
@@ -205,6 +233,8 @@ def drift_report(
     flags.sort(key=lambda f: -f["normalized_ratio"])
     return {
         "session_ratio": round(session_ratio, 4),
+        "session_band": round(session_band, 4) if session_band else None,
+        "session_ratio_alert": session_ratio_alert,
         "n_compared": len(comparable),
         "flags": flags,
         "insufficient_history": insufficient,
@@ -649,6 +679,7 @@ def main() -> None:
         print("BENCH_DRIFT " + json.dumps(
             {
                 "session_ratio": report["session_ratio"],
+                "session_ratio_alert": report["session_ratio_alert"],
                 "n_compared": report["n_compared"],
                 "n_flags": len(report["flags"]),
                 "flags": [f["query"] for f in report["flags"]][:10],

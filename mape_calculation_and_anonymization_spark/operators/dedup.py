@@ -1125,8 +1125,12 @@ def apply_remove_spans(
     Lee et al. 2021 pipeline's second half: the paper cuts every
     planned byte span and trains on what remains; here the spans are
     token intervals over the same whitespace tokenization the planner
-    used). One row per input doc: the post-cut token count, the cut
-    ledger, and ``clean_md5`` — the md5 of the space-joined surviving
+    used). One row per input doc WITH non-NULL text — NULL-text docs
+    are excluded up front (they carry no tokens to cut; a caller
+    auditing row conservation over a corpus containing NULL texts
+    must count them separately — same exclusion as
+    :func:`text.decontaminate_corpus`): the post-cut token count, the
+    cut ledger, and ``clean_md5`` — the md5 of the space-joined surviving
     (lowercased) tokens, the same portable value-level pin
     ``text.decontaminate_corpus`` uses, so a SQL twin can verify the
     reconstructed text without hauling it through a compare.
@@ -1217,6 +1221,15 @@ def minhash_incremental_pairs(
 
     Output: (id_a, id_b, jaccard_sim, pair_type ∈ new_new |
     new_standing), id_a < id_b.
+
+    Banding convention (ADVICE r14, adjudicated no-action): buckets
+    key on the 32-bit ``F.hash`` of each signature slice while the
+    DuckDB twin bands by exact slice equality, so a band-hash
+    collision between distinct band keys (~2^-32 per colliding band
+    pair) could admit a Spark-side candidate the oracle lacks — the
+    same pre-existing convention as the full pipeline
+    (:func:`minhash_near_duplicates`). If it ever flakes, band by the
+    slice value itself (array grouping) on the Spark side.
     """
     shingler = char_shingles if shingle_mode == "char" else word_ngrams
     new_sh = (

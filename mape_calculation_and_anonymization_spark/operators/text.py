@@ -933,7 +933,11 @@ def decontaminate_corpus(
         — recall 1.0 on verbatim leakage by construction);
       * untouched docs pass through as ``kept``.
 
-    One row per input train doc — the full decision surface:
+    One row per input train doc WITH non-NULL text (NULL-text docs
+    carry no tokens and are excluded up front — a caller auditing row
+    conservation over a corpus containing NULL texts must count them
+    separately; same exclusion as ``dedup.apply_remove_spans``) — the
+    full decision surface:
     ``(id, action ∈ dropped|cut|kept, n_spans_cut, tokens_removed,
     n_tokens_clean, clean_md5)`` with ``clean_md5 = md5`` of the
     space-joined surviving (lowercased) tokens — a portable

@@ -187,3 +187,20 @@ def test_x5_pseudonym_fixture_matches_live(spark):
     assert non_null and all(
         len(v) == 10 and set(v) <= set("0123456789abcdef") for v in non_null
     )
+    # Committed golden pins (ADVICE r14): the Class-B oracle reads a
+    # fixture LANDED by the same code path it certifies, so on a cold
+    # rebuild a drifted blake2b derivation would self-certify through
+    # the driver compare. These literals were committed independently
+    # (stdlib blake2b(str(uid), digest_size=5) at round 15) — a cold
+    # rebuild with drifted digest logic now fails HERE even though the
+    # driver row would stay green. uid→pseudonym is sf-independent, so
+    # one golden table covers every scale factor.
+    golden = {
+        1: "36c76eba33",
+        2: "cf2d85ea1d",
+        3: "e4ffcdac53",
+        4: "1450aa501b",
+        5: "a72043e53f",
+    }
+    for uid, hexd in golden.items():
+        assert landed_rows[uid] == hexd, (uid, landed_rows[uid])

@@ -118,6 +118,33 @@ def test_variance_aware_iqr_gate():
     assert [f["query"] for f in rep["flags"]] == ["q_a"]
 
 
+def test_uniform_regression_surfaces_session_alert():
+    """ADVICE r14: a suite-wide regression is absorbed into
+    session_ratio by design, so the report must at least SURFACE an
+    out-of-band session_ratio as suspicious. History band ±10% →
+    a uniform 1.5× run alerts (no per-query flags), a 1.05× run
+    stays quiet."""
+    hist = _history(6, BASE, jitter=[1.0, 0.95, 1.05, 1.0, 0.9, 1.1])
+    rep = bench.drift_report({q: v * 1.5 for q, v in BASE.items()}, hist)
+    assert rep["flags"] == []
+    assert rep["session_ratio_alert"] is True
+    assert rep["session_band"] is not None
+    rep = bench.drift_report({q: v * 1.05 for q, v in BASE.items()}, hist)
+    assert rep["session_ratio_alert"] is False
+
+
+def test_iqr_gate_meaningful_at_min_history():
+    """ADVICE r14: at min_history=3 the old max-min IQR made the
+    variance gate span the whole sample range; interpolated quartiles
+    let a clear 1.6× single-query excursion flag even on a 3-deep,
+    mildly-jittered history."""
+    hist = _history(3, BASE, jitter=[0.95, 1.0, 1.05])
+    current = dict(BASE)
+    current["q_slow"] = BASE["q_slow"] * 1.6
+    rep = bench.drift_report(current, hist)
+    assert [f["query"] for f in rep["flags"]] == ["q_slow"]
+
+
 def test_history_file_format_and_order():
     """The committed BENCH_HISTORY.jsonl parses line-by-line, is
     chronologically ordered, and every record carries the fields the
