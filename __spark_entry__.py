@@ -4411,6 +4411,180 @@ _X5_IDEMPOTENT_ORACLE = """
 """
 
 
+def _q_anonymization_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END anonymization pipeline, per-row fate ledger
+    (round-15 debut; VERDICT r14 item 5): the `curation_fates`
+    pattern applied to the reference's OWN pipeline
+    (reference/anonymize_datasets.py:112-135,169-173) — one CDM-shaped
+    frame through the REAL composed operators (perturb_values →
+    anonymize_labels → uid_anonymization → lowercase → stamp_metadata,
+    the exact `cdm_anonymization` + stamp chain `anonymize_files`
+    runs per file), with every row's outcome attributed:
+
+      * ``label_fate`` — which branch of the X4 truth table fired,
+        derived mechanically from (orig, out): ``exact`` (full
+        ``ANON_CLIENT {i}`` replacement), ``substring`` (changed but
+        not fully replaced — the Q1 word-boundary substitution, incl.
+        the first-label shadow over later exact entries),
+        ``null_passthrough``;
+      * ``uid_fate`` — ``pseudonymized`` | ``null_passthrough`` (the
+        conscious null fix over the reference's 'nan' coercion);
+      * ``amount`` — the ×1.0125 perturbed value;
+      * ``process_time``/``timezone`` — the stamp (injected fixed
+        clock, the x6 discipline).
+
+    The input plants all branches deterministically from customer:
+    custkey%11==0 → NULL label, custkey%3==0 → ``segment DIVISION``
+    (so ``AUTOMOBILE DIVISION`` exists in the universe, is shadowed
+    by sorted-first ``AUTOMOBILE``'s substring branch, and comes out
+    part-replaced), custkey%13==0 → NULL uid. The per-operator rows
+    (x3/x4/x5/x6) check each stage piecewise; this row checks the
+    COMPOSITION — column probing across stages, lowercase rename, and
+    stage ordering — in one driver compare.
+
+    Scale shape: one label-universe collect (dimension by definition),
+    one distinct + key-table write for the uid path (bounded by
+    distinct uids), and projections for everything else — no new
+    shuffle beyond the parts' own. The oracle re-derives the truth
+    table in SQL and reads pseudonyms from the landed x5 fixture
+    (Class-B, golden-pinned in tests/test_anonymize.py), which this
+    query lands marker-gated exactly like x5_uid_pseudonym."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from mape_calculation_and_anonymization_spark.operators.anonymize import (
+        cdm_anonymization,
+        stamp_metadata,
+    )
+
+    # land the pseudonym fixture for the oracle (marker-gated)
+    root = _x5_pseudonym_fixture_root(sf_dir)
+    if not _fixture_ready(root):
+        _x5_pseudonym_map(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(root, "map")
+        )
+        _mark_fixture_ready(root)
+
+    cust = load_table(spark, sf_dir, "customer")
+    frame = cust.select(
+        F.col("c_custkey").alias("row_id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.col("c_mktsegment"), F.lit(" DIVISION")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("CustomerCode"),
+        F.col("c_acctbal").alias("Amount"),
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("uid"),
+    ).withColumn("orig_label", F.col("CustomerCode"))
+
+    key_dir = tempfile.mkdtemp(prefix="anon_fates_")
+    try:
+        out = stamp_metadata(
+            cdm_anonymization(frame, key_dir=key_dir),
+            "America/New_York",
+            now=datetime(2024, 6, 1, 12, 0, 0),
+        )
+        # the uid path's key-table write is the only materialized
+        # state; force it before the key_dir is removed
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(key_dir, ignore_errors=True)
+    return out.select(
+        "row_id",
+        F.col("customercode").alias("label_out"),
+        F.when(F.col("orig_label").isNull(), F.lit("null_passthrough"))
+        .when(
+            F.col("customercode").rlike("^ANON_CLIENT [0-9]+$"),
+            F.lit("exact"),
+        )
+        .when(
+            F.col("customercode") != F.col("orig_label"), F.lit("substring")
+        )
+        .otherwise(F.lit("passthrough"))
+        .alias("label_fate"),
+        F.col("uid").alias("pseudonym"),
+        F.when(F.col("uid").isNull(), F.lit("null_passthrough"))
+        .otherwise(F.lit("pseudonymized"))
+        .alias("uid_fate"),
+        F.round(F.col("amount"), 6).alias("amount"),
+        "process_time",
+        "timezone",
+    ).orderBy("row_id")
+
+
+def _anonymization_fates_oracle(sf_dir: str = None) -> str:
+    """Twin for anonymization_fates: the X4 truth table re-derived in
+    SQL over the planted label column (strict-reference precedence —
+    exact first label, then its word-boundary substring with GLOBAL
+    case-insensitive replacement, then the remaining exact entries),
+    pseudonyms from the landed x5 fixture, perturbation and stamp as
+    literals. Fates derive from (orig, out) with the same mechanical
+    rules as the Spark side."""
+    import os
+
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    glob = os.path.join(_x5_pseudonym_fixture_root(d), "map", "*.parquet")
+    return f"""
+    WITH src AS (
+        SELECT c_custkey AS row_id,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    WHEN c_custkey % 3 = 0 THEN c_mktsegment || ' DIVISION'
+                    ELSE c_mktsegment END AS orig_label,
+               c_acctbal AS amount0
+        FROM customer
+    ),
+    u AS (
+        SELECT lbl, CAST(ROW_NUMBER() OVER (ORDER BY lbl) AS INT) AS i
+        FROM (SELECT DISTINCT orig_label AS lbl FROM src
+              WHERE orig_label IS NOT NULL)
+    ),
+    f AS (SELECT lbl AS l0 FROM u WHERE i = 1),
+    lab AS (
+        SELECT s.row_id, s.orig_label, s.amount0,
+               CASE
+                 WHEN s.orig_label IS NULL THEN NULL
+                 WHEN s.orig_label = f.l0 THEN 'ANON_CLIENT 1'
+                 WHEN regexp_matches(s.orig_label,
+                                     '\\b' || f.l0 || '\\b', 'i')
+                   THEN regexp_replace(s.orig_label,
+                                       '\\b' || f.l0 || '\\b',
+                                       'ANON_CLIENT 1', 'gi')
+                 WHEN e.i IS NOT NULL
+                   THEN 'ANON_CLIENT ' || CAST(e.i AS VARCHAR)
+                 ELSE s.orig_label
+               END AS label_out
+        FROM src s
+        CROSS JOIN f
+        LEFT JOIN u e ON e.lbl = s.orig_label
+    )
+    SELECT l.row_id,
+           l.label_out,
+           CASE WHEN l.orig_label IS NULL THEN 'null_passthrough'
+                WHEN regexp_matches(l.label_out, '^ANON_CLIENT [0-9]+$')
+                  THEN 'exact'
+                WHEN l.label_out <> l.orig_label THEN 'substring'
+                ELSE 'passthrough' END AS label_fate,
+           CASE WHEN l.row_id % 13 = 0 THEN NULL
+                ELSE m.pseudonym END AS pseudonym,
+           CASE WHEN l.row_id % 13 = 0 THEN 'null_passthrough'
+                ELSE 'pseudonymized' END AS uid_fate,
+           ROUND(l.amount0 * 1.0125, 6) AS amount,
+           '2024-06-01T12:00:00' AS process_time,
+           'America/New_York' AS timezone
+    FROM lab l
+    LEFT JOIN read_parquet('{glob}') m ON m.c_custkey = l.row_id
+    ORDER BY l.row_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth — the join/agg shapes SURVEY.md §2.3/§2.4 lists as
 # "not present" in the reference but that a complete engine must ship:
@@ -11158,6 +11332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,  # r15 debut (pre-verified r14)
         "exactsubstr_cut": _q_exactsubstr_cut,  # r15 debut (pre-verified r14)
         "semantic_dedup_gated": _q_semantic_dedup_gated,  # r15 debut (pre-verified r14)
+        "anonymization_fates": _q_anonymization_fates,  # r15 debut (VERDICT r14 item 5)
         # the 30 forced must-includes: the r11-green cohort due this
         # round (plan-window emission; test_rotation_hygiene is the
         # executable spec), incl. the three debuts displaced in r14.
@@ -11209,9 +11384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r12
         "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
         "drift_ks_events": _q_drift_ks_events,  # last green: r12
-        "event_transitions": _q_event_transitions,  # last green: r12
         # ---- below the driver's 50-row window ----
         # oracle-backed entries oldest-green first (they rotate in next).
+        "event_transitions": _q_event_transitions,  # last green: r12 (displaced by anonymization_fates; due r16)
         "events_json_props": _q_events_json_props,  # last green: r12
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
         "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r12
@@ -11357,6 +11532,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": _minhash_incremental_oracle(),
         "exactsubstr_cut": _EXACTSUBSTR_CUT_ORACLE,
         "semantic_dedup_gated": _semantic_dedup_gated_oracle(),
+        "anonymization_fates": _anonymization_fates_oracle(),
         "mape_hourly_portfolio": _HOURLY_PORTFOLIO_ORACLE,
         "mape_hourly_zone": _HOURLY_ZONE_ORACLE,
         "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,
@@ -11569,4 +11745,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["x5_uid_pseudonym"] = _x5_pseudonym_oracle(sf_dir)
     out["minhash_incremental"] = _minhash_incremental_oracle(sf_dir)
     out["semantic_dedup_gated"] = _semantic_dedup_gated_oracle(sf_dir)
+    out["anonymization_fates"] = _anonymization_fates_oracle(sf_dir)
     return out

@@ -204,3 +204,38 @@ def test_x5_pseudonym_fixture_matches_live(spark):
     }
     for uid, hexd in golden.items():
         assert landed_rows[uid] == hexd, (uid, landed_rows[uid])
+
+
+def test_anonymization_fates_branch_coverage(spark):
+    """Round-15 debut (VERDICT r14 item 5): the end-to-end pipeline
+    ledger must exercise EVERY planted branch — exact replacement,
+    the Q1 first-label substring shadow (part-replaced output), NULL
+    label passthrough, pseudonymized and NULL uids — and conserve
+    rows (one ledger row per input customer)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = e._q_anonymization_fates(spark, sf_dir).collect()
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n_cust  # total per-row accounting
+    label_fates = {r["label_fate"] for r in rows}
+    assert label_fates == {"exact", "substring", "null_passthrough"}
+    uid_fates = {r["uid_fate"] for r in rows}
+    assert uid_fates == {"pseudonymized", "null_passthrough"}
+    for r in rows:
+        if r["label_fate"] == "substring":
+            # the Q1 shadow: first-sorted label substituted inside a
+            # longer label that HAS its own (unreached) exact entry
+            assert r["label_out"].startswith("ANON_CLIENT 1 ")
+        if r["label_fate"] == "null_passthrough":
+            assert r["label_out"] is None
+        if r["uid_fate"] == "pseudonymized":
+            assert len(r["pseudonym"]) == 10
+        else:
+            assert r["pseudonym"] is None
+        assert r["process_time"] == "2024-06-01T12:00:00"
+        assert r["timezone"] == "America/New_York"

@@ -78,6 +78,9 @@ def test_oracle_sf_contract():
         "x5_uid_pseudonym": entrymod._x5_pseudonym_fixture_root(
             entrymod._ORACLE_SF_DIR
         ),
+        "anonymization_fates": entrymod._x5_pseudonym_fixture_root(
+            entrymod._ORACLE_SF_DIR
+        ),
     }
     for name, sql in _ORACLES.items():
         if name in allowed:
