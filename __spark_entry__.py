@@ -1246,6 +1246,86 @@ def _minhash_incremental_oracle(sf_dir: str = None) -> str:
 """
 
 
+def _stream_neardup_fixture_root(sf_dir: str) -> str:
+    return (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"stream_neardup_{_source_token(sf_dir, 'documents')}"
+    )
+
+
+def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest (round-15 debut;
+    streaming/neardup.py:streaming_minhash_ingest): the twins corpus
+    arrives as TWO micro-batches (standing documents first, the
+    planted twin drop second — a two-file source with
+    maxFilesPerTrigger=1), each batch banding against the standing
+    signature index via foreachBatch and folding itself in afterward.
+    The accumulated pair ledger equals the FULL batch pipeline's
+    verified pair set (dedup_minhash_pairs' exact output minus the
+    batch-boundary pair_type column) — each pair emits exactly once,
+    in the batch where its later member lands — so the oracle is the
+    registered minhash twin verbatim. Batch-split invariance is
+    additionally pinned by tests/test_streaming_neardup.py."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from mape_calculation_and_anonymization_spark.streaming.neardup import (
+        streaming_minhash_ingest,
+    )
+
+    root = _stream_neardup_fixture_root(sf_dir)
+    if not _fixture_ready(root):
+        corpus = _docs_with_planted_twins(spark, sf_dir).select(
+            "doc_id", "text"
+        )
+        for i, half in enumerate(
+            [
+                corpus.filter(F.col("doc_id") < 1_000_000),
+                corpus.filter(F.col("doc_id") >= 1_000_000),
+            ]
+        ):
+            tmp = os.path.join(root, f"_b{i}")
+            half.coalesce(1).write.parquet(tmp)
+            part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(root, f"batch_{i}.parquet"))
+            shutil.rmtree(tmp)
+        _mark_fixture_ready(root)
+    _minhash_sigs_cached(spark, sf_dir)  # land the oracle's sig fixture
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    state_dir = tempfile.mkdtemp(prefix="stream_neardup_state_")
+    try:
+        pairs = streaming_minhash_ingest(
+            stream,
+            state_dir,
+            shingle_k=3,
+            num_hashes=32,
+            bands=8,
+            threshold=0.6,
+            seed=42,
+            shingle_mode="word",
+        )
+        out = pairs.orderBy("id_a", "id_b").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 def _simhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """blake2b SimHash signature frame (``_id``, ``sim``) as a disk
     fixture keyed by the documents source fingerprint — the same
@@ -11333,6 +11413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_cut": _q_exactsubstr_cut,  # r15 debut (pre-verified r14)
         "semantic_dedup_gated": _q_semantic_dedup_gated,  # r15 debut (pre-verified r14)
         "anonymization_fates": _q_anonymization_fates,  # r15 debut (VERDICT r14 item 5)
+        "stream_minhash_pairs": _q_stream_minhash_pairs,  # r15 debut (streaming near-dup ingest)
         # the 30 forced must-includes: the r11-green cohort due this
         # round (plan-window emission; test_rotation_hygiene is the
         # executable spec), incl. the three debuts displaced in r14.
@@ -11383,9 +11464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r12
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r12
         "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
-        "drift_ks_events": _q_drift_ks_events,  # last green: r12
         # ---- below the driver's 50-row window ----
         # oracle-backed entries oldest-green first (they rotate in next).
+        "drift_ks_events": _q_drift_ks_events,  # last green: r12 (displaced by stream_minhash_pairs; due r16)
         "event_transitions": _q_event_transitions,  # last green: r12 (displaced by anonymization_fates; due r16)
         "events_json_props": _q_events_json_props,  # last green: r12
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
@@ -11533,6 +11614,9 @@ def oracle_sql() -> dict[str, str]:
         "exactsubstr_cut": _EXACTSUBSTR_CUT_ORACLE,
         "semantic_dedup_gated": _semantic_dedup_gated_oracle(),
         "anonymization_fates": _anonymization_fates_oracle(),
+        # streaming ledger == the registered full-pipeline twin (see
+        # _q_stream_minhash_pairs: union over batches = batch pipeline)
+        "stream_minhash_pairs": _dedup_minhash_oracle(),
         "mape_hourly_portfolio": _HOURLY_PORTFOLIO_ORACLE,
         "mape_hourly_zone": _HOURLY_ZONE_ORACLE,
         "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,
@@ -11746,4 +11830,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["minhash_incremental"] = _minhash_incremental_oracle(sf_dir)
     out["semantic_dedup_gated"] = _semantic_dedup_gated_oracle(sf_dir)
     out["anonymization_fates"] = _anonymization_fates_oracle(sf_dir)
+    out["stream_minhash_pairs"] = _dedup_minhash_oracle(sf_dir)
     return out

@@ -1,0 +1,180 @@
+"""Streaming near-duplicate ingest (SURVEY.md §2.10 extension surface).
+
+The continuous-ingestion face of the batch incremental MinHash path
+(``operators/dedup.py:minhash_incremental_pairs``): each arriving
+micro-batch of documents is signed fresh, banded against the STANDING
+signature index, verified by exact Jaccard against only the candidate
+standing documents, and then folded into the index — the
+``foreachBatch`` upsert pattern (the streaming equivalent of the
+reference's cross-run key-table upsert, applied to a near-dup index
+instead of a pseudonym table).
+
+Why ``foreachBatch`` and not a stateful operator: LSH banding needs a
+bucket JOIN between the batch and the standing index — a relational
+shape, not a per-key state transition — and the standing index is a
+persistent artifact other jobs read (the offline index
+``dedup_minhash_pairs`` searches). ``foreachBatch`` gives exactly
+that: per-batch batch-DataFrame semantics against an external store.
+
+Scale shape per batch: sign the BATCH only (the standing corpus is
+never re-signed — the 100 TB steady-state argument of the batch
+incremental operator), band-join batch×standing buckets, shingle only
+the answer-sized candidate set for verification, append batch
+signatures to the index. State grows by one signature row per doc —
+O(corpus) disk, never O(corpus) recompute. The docs store kept here
+doubles as the text lake the verifier fetches candidate text from; a
+production deployment points that read at the real lake instead.
+
+Exactly-once: the pairs/sigs appends are idempotent only per
+AvailableNow drain (fresh state dir per run). A long-lived production
+stream would write both stores through a transactional table format;
+the micro-batch protocol (compute pairs BEFORE folding the batch into
+the index) is identical.
+
+Determinism: signatures are per-doc deterministic and the pair
+(a, b) is emitted exactly once — in the batch where the LATER of the
+two docs arrives — so the UNION of per-batch outputs equals the full
+batch pipeline's pair set regardless of how the corpus splits into
+micro-batches (pinned by tests/test_streaming_neardup.py), provided
+no band bucket crosses ``max_bucket_size`` mid-stream (the flood cap
+is evaluated per batch over batch ∪ standing; a bucket that ends
+over-cap was necessarily over-cap for some suffix of batches — at the
+fixture scales the cap never binds: max observed bucket is 6 vs the
+1000 cap).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import (
+    char_shingles,
+    minhash_incremental_pairs,
+    minhash_signatures,
+    word_ngrams,
+)
+
+
+def streaming_minhash_ingest(
+    docs_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+    shingle_mode: str = "char",
+    max_bucket_size: int = 1000,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain ``docs_stream`` (Trigger.AvailableNow) through the
+    incremental near-dup ingest and return the accumulated verified
+    pairs ``(id_a, id_b, jaccard_sim)``, id_a < id_b, each pair
+    exactly once. ``state_dir`` holds the three stores (``sigs`` —
+    the standing signature index, ``docs`` — the candidate-text
+    lake, ``pairs`` — the output ledger); pass an existing populated
+    state dir to resume ingest against yesterday's index."""
+    spark = docs_stream.sparkSession
+    docs_dir = os.path.join(state_dir, "docs")
+    sigs_dir = os.path.join(state_dir, "sigs")
+    pairs_dir = os.path.join(state_dir, "pairs")
+    os.makedirs(state_dir, exist_ok=True)
+    shingler = char_shingles if shingle_mode == "char" else word_ngrams
+
+    id_type = docs_stream.schema[id_col].dataType
+    empty_docs_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+    empty_sigs_schema = T.StructType(
+        [
+            T.StructField("_id", id_type),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        batch = (
+            batch_df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .localCheckpoint(eager=True)  # read once; feeds 3 jobs
+        )
+        if os.path.isdir(sigs_dir):
+            standing_docs = bspark.read.parquet(docs_dir)
+            standing_sigs = bspark.read.parquet(sigs_dir)
+        else:  # first batch: empty standing index
+            standing_docs = bspark.createDataFrame([], empty_docs_schema)
+            standing_sigs = bspark.createDataFrame([], empty_sigs_schema)
+        pairs = minhash_incremental_pairs(
+            batch,
+            standing_docs,
+            standing_sigs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            seed=seed,
+            shingle_mode=shingle_mode,
+            max_bucket_size=max_bucket_size,
+        )
+        # pair_type (new_new vs new_standing) is a batch-boundary
+        # artifact, not a corpus property — excluded so the output is
+        # invariant to how the stream chunks into micro-batches.
+        pairs.select("id_a", "id_b", "jaccard_sim").write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        # fold the batch into the standing index AFTER the pair pass
+        # (this batch must not band against itself twice)
+        batch_sh = batch.select(
+            F.col(id_col).alias("_id"),
+            shingler(text_col, shingle_k).alias("sh"),
+        )
+        sigs = minhash_signatures(
+            batch_sh, "_id", F.col("sh"), num_hashes, seed
+        )
+        sigs.write.mode("append").parquet(sigs_dir)
+        batch.write.mode("append").parquet(docs_dir)
+
+    ckpt_root = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else state_dir
+    )
+    ckpt = os.path.join(
+        ckpt_root, "mape_spark_ckpt", f"neardup_{uuid.uuid4().hex[:10]}"
+    )
+    query = (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        if query.isActive:
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(pairs_dir):  # empty stream: no pairs ever
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("jaccard_sim", T.DoubleType()),
+                ]
+            ),
+        )
+    return spark.read.parquet(pairs_dir)

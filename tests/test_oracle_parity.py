@@ -66,6 +66,9 @@ def test_oracle_sf_contract():
         "minhash_incremental": entrymod._minhash_sigs_glob(
             entrymod._ORACLE_SF_DIR
         ),
+        "stream_minhash_pairs": entrymod._minhash_sigs_glob(
+            entrymod._ORACLE_SF_DIR
+        ),
         "semantic_dedup_gated": entrymod._semantic_dedup_cells(
             entrymod._ORACLE_SF_DIR
         ),
