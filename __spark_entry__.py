@@ -2022,6 +2022,66 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(assigned, centroids, queries, k=3, nprobe=8)
 
 
+def _ivf_standing_index_cached(spark: SparkSession, sf_dir: str):
+    """IVF index built over the STANDING nine-tenths of the
+    embeddings (vec_id % 10 != 7) — the day-0 artifact
+    ivf_incremental_topk adds the held-out drop to. Same fixture
+    discipline as _ivf_index_cached."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    root = (
+        f"/tmp/mape_spark_fixtures/{_fixture_sf_tag(sf_dir)}/"
+        f"ivf_standing_{_source_token(sf_dir, 'embeddings')}_k8"
+    )
+    if not _fixture_ready(root):
+        standing = load_table(spark, sf_dir, "embeddings").filter(
+            F.pmod(F.col("vec_id"), F.lit(10)) != 7
+        )
+        assigned, centroids = build_ivf_index(standing, n_clusters=8)
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(root, "assigned")
+        )
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "cells")
+        )
+        _mark_fixture_ready(root)
+    return (
+        spark.read.parquet(os.path.join(root, "assigned")),
+        spark.read.parquet(os.path.join(root, "cells")),
+    )
+
+
+def _q_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF ANN (round-15 debut; operators/ivf.py:ivf_add)
+    — the embeddings-side daily-drop path, completing the pair with
+    minhash_incremental: the standing index is a day-0 fixture built
+    over nine-tenths of the corpus (vec_id % 10 != 7), the held-out
+    tenth arrives as the drop and is folded in by nearest-centroid
+    assignment WITHOUT re-clustering or re-scoring the standing side.
+    Search then runs with nprobe = n_clusters (exhaustive probe), so
+    the result is EXACTLY brute-force top-k over the full corpus —
+    the same oracle as ivf_ann_topk — making the driver row a
+    conservation proof: a drop vector lost, duplicated, or
+    mis-assigned by ivf_add would change the output. Partial-probe
+    recall of incrementally-added vectors is pinned separately in
+    tests/test_similarity.py."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        ivf_add,
+        ivf_top_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drop = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+    assigned0, centroids = _ivf_standing_index_cached(spark, sf_dir)
+    assigned = ivf_add(assigned0, centroids, drop)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_top_k(assigned, centroids, queries, k=3, nprobe=8)
+
+
 def _q_stream_stateful_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-zone
     running WAPE; the final update per zone equals the batch totals."""
@@ -11414,6 +11474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_gated": _q_semantic_dedup_gated,  # r15 debut (pre-verified r14)
         "anonymization_fates": _q_anonymization_fates,  # r15 debut (VERDICT r14 item 5)
         "stream_minhash_pairs": _q_stream_minhash_pairs,  # r15 debut (streaming near-dup ingest)
+        "ivf_incremental_topk": _q_ivf_incremental_topk,  # r15 debut (ANN daily-drop path)
         # the 30 forced must-includes: the r11-green cohort due this
         # round (plan-window emission; test_rotation_hygiene is the
         # executable spec), incl. the three debuts displaced in r14.
@@ -11463,9 +11524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r12
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r12
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r12
-        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
         # ---- below the driver's 50-row window ----
         # oracle-backed entries oldest-green first (they rotate in next).
+        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12 (displaced by ivf_incremental_topk; due r16)
         "drift_ks_events": _q_drift_ks_events,  # last green: r12 (displaced by stream_minhash_pairs; due r16)
         "event_transitions": _q_event_transitions,  # last green: r12 (displaced by anonymization_fates; due r16)
         "events_json_props": _q_events_json_props,  # last green: r12
@@ -11617,6 +11678,9 @@ def oracle_sql() -> dict[str, str]:
         # streaming ledger == the registered full-pipeline twin (see
         # _q_stream_minhash_pairs: union over batches = batch pipeline)
         "stream_minhash_pairs": _dedup_minhash_oracle(),
+        # exhaustive probe over the incrementally-updated index ==
+        # brute force over the full corpus (see _q_ivf_incremental_topk)
+        "ivf_incremental_topk": _ANN_ORACLE,
         "mape_hourly_portfolio": _HOURLY_PORTFOLIO_ORACLE,
         "mape_hourly_zone": _HOURLY_ZONE_ORACLE,
         "mape_daily_portfolio": _DAILY_PORTFOLIO_ORACLE,

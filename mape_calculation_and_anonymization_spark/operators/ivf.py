@@ -110,6 +110,57 @@ def ivf_top_k(
     )
 
 
+def ivf_add(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL index update — the embeddings-side daily-drop path
+    (the ANN analogue of ``dedup.minhash_incremental_pairs``): assign
+    each NEW vector to its nearest EXISTING centroid (squared-
+    Euclidean argmin, the KMeans prediction rule) and append it to
+    the inverted file. The standing corpus is never re-scored and the
+    quantizer is never re-fit — at 100 TB standing + daily drops this
+    is the difference between a nightly full KMeans over the corpus
+    and a drop-sized broadcast-argmin (k × dim centroid table
+    broadcast, one projection over the drop, zero shuffles on the
+    standing side). Centroid drift from accumulated adds is the
+    standard IVF trade: routing recall degrades gracefully and the
+    quantizer is re-fit on a coarse cadence (weekly/monthly), not per
+    drop — searches meanwhile stay exact within probed cells because
+    :func:`ivf_top_k` re-scores true vectors, not centroids.
+
+    Returns the updated ``assigned`` frame
+    ``(id_col, vec_col, cluster)`` — standing rows pass through
+    untouched, each new vector appears exactly once (row-conservation
+    and nearest-centroid assignment pinned in tests/test_similarity.py).
+    """
+    standing = assigned.select(id_col, vec_col, "cluster")
+    n = new_vecs.select(id_col, vec_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("cluster").asc()
+    )
+    newly = (
+        n.join(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+    return standing.unionByName(newly)
+
+
 def ivf_recall_curve(
     assigned: DataFrame,
     centroids: DataFrame,

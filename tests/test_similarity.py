@@ -561,3 +561,61 @@ def test_semantic_dedup_gated_keep_rule(spark):
         if r["kept"]
     }
     assert kept_gated == kept_plain
+
+
+def test_ivf_add_conservation_and_assignment(spark):
+    """ivf_add (round-15): every new vector appears exactly once, at
+    its nearest existing centroid (squared-Euclidean argmin), and the
+    standing rows pass through untouched."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_add,
+    )
+
+    rows = _vectors(n=80)
+    standing = spark.createDataFrame(
+        rows[:60], ["vec_id", "embedding"]
+    )
+    drop = spark.createDataFrame(rows[60:], ["vec_id", "embedding"])
+    assigned0, centroids = build_ivf_index(standing, n_clusters=4)
+    updated = ivf_add(assigned0, centroids, drop)
+
+    got = {r["vec_id"]: r["cluster"] for r in updated.collect()}
+    assert len(got) == 80  # conservation: all vectors, exactly once
+    before = {r["vec_id"]: r["cluster"] for r in assigned0.collect()}
+    for vid, cl in before.items():
+        assert got[vid] == cl  # standing untouched
+
+    cents = {r["cluster"]: np.array(r["centroid"]) for r in centroids.collect()}
+    vecs = dict(rows)
+    for vid, _ in rows[60:]:
+        v = np.array(vecs[vid], dtype=np.float64)
+        d2 = {c: float(((v - cent) ** 2).sum()) for c, cent in cents.items()}
+        best = min(d2, key=lambda c: (d2[c], c))
+        assert got[vid] == best, (vid, got[vid], best)
+
+
+def test_ivf_add_partial_probe_recall(spark):
+    """Searching the incrementally-updated index at a partial probe
+    budget still finds the planted near-twins that arrived in the
+    drop: a twin's vector routes to (nearly) the same cell as its
+    original, so nprobe=2 recall@3 over the drop-augmented index
+    stays high."""
+    from mape_calculation_and_anonymization_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_add,
+        ivf_top_k,
+    )
+
+    rows = _vectors(n=80, planted_pairs=5)
+    # drop = the 5 planted twins (ids 75..79, twins of 0..4)
+    standing = spark.createDataFrame(rows[:75], ["vec_id", "embedding"])
+    drop = spark.createDataFrame(rows[75:], ["vec_id", "embedding"])
+    assigned0, centroids = build_ivf_index(standing, n_clusters=4)
+    updated = ivf_add(assigned0, centroids, drop)
+    queries = spark.createDataFrame(rows[:5], ["vec_id", "embedding"])
+    got = ivf_top_k(updated, centroids, queries, k=3, nprobe=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    # each original's nearest neighbor is its planted drop twin
+    hits = sum(1 for q, n in top1.items() if n == 79 - q)
+    assert hits >= 4, top1
