@@ -1255,17 +1255,22 @@ def _stream_neardup_fixture_root(sf_dir: str) -> str:
 
 def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup ingest (round-15 debut;
-    streaming/neardup.py:streaming_minhash_ingest): the twins corpus
-    arrives as TWO micro-batches (standing documents first, the
-    planted twin drop second — a two-file source with
-    maxFilesPerTrigger=1), each batch banding against the standing
-    signature index via foreachBatch and folding itself in afterward.
-    The accumulated pair ledger equals the FULL batch pipeline's
-    verified pair set (dedup_minhash_pairs' exact output minus the
-    batch-boundary pair_type column) — each pair emits exactly once,
-    in the batch where its later member lands — so the oracle is the
-    registered minhash twin verbatim. Batch-split invariance is
-    additionally pinned by tests/test_streaming_neardup.py."""
+    streaming/neardup.py:streaming_minhash_ingest) in its PRODUCTION
+    steady-state shape: the standing signature index is a day-0
+    artifact (the landed minhash fixture, copied into the state dir —
+    the stream never re-signs the standing corpus), and the planted
+    twin DROP arrives as two micro-batches (split by doc_id parity —
+    a two-file source with maxFilesPerTrigger=1). Each batch bands
+    against the index via foreachBatch, verifies exact Jaccard over
+    the answer-sized candidate set, and folds itself in — so the
+    even-half twins are STANDING by the time the odd half arrives.
+    The accumulated ledger equals minhash_incremental's new-touching
+    pair set exactly (pairs are corpus properties: each emits once,
+    in the batch where its later member lands — invariance to the
+    drop's chunking is pinned by tests/test_streaming_neardup.py,
+    along with full-pipeline equality when the WHOLE corpus streams
+    from an empty index); the oracle is the registered incremental
+    twin minus its batch-boundary pair_type column."""
     import glob as globmod
     import os
     import shutil
@@ -1275,21 +1280,28 @@ def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_minhash_ingest,
     )
 
+    corpus = _docs_with_planted_twins(spark, sf_dir).select("doc_id", "text")
     root = _stream_neardup_fixture_root(sf_dir)
     if not _fixture_ready(root):
-        corpus = _docs_with_planted_twins(spark, sf_dir).select(
-            "doc_id", "text"
+        # day-0 state: standing docs + their landed signatures
+        standing = corpus.filter(F.col("doc_id") < 1_000_000)
+        standing.write.parquet(os.path.join(root, "state0", "docs"))
+        _minhash_sigs_cached(spark, sf_dir).filter(
+            F.col("_id") < 1_000_000
+        ).select("_id", "sig").write.parquet(
+            os.path.join(root, "state0", "sigs")
         )
-        for i, half in enumerate(
-            [
-                corpus.filter(F.col("doc_id") < 1_000_000),
-                corpus.filter(F.col("doc_id") >= 1_000_000),
-            ]
-        ):
+        # the drop, one file per micro-batch (split by parity)
+        for i in range(2):
+            half = corpus.filter(
+                (F.col("doc_id") >= 1_000_000)
+                & (F.pmod(F.col("doc_id"), F.lit(2)) == i)
+            )
             tmp = os.path.join(root, f"_b{i}")
             half.coalesce(1).write.parquet(tmp)
             part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            os.rename(part, os.path.join(root, f"batch_{i}.parquet"))
+            os.makedirs(os.path.join(root, "drop"), exist_ok=True)
+            os.rename(part, os.path.join(root, "drop", f"batch_{i}.parquet"))
             shutil.rmtree(tmp)
         _mark_fixture_ready(root)
     _minhash_sigs_cached(spark, sf_dir)  # land the oracle's sig fixture
@@ -1306,10 +1318,16 @@ def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "batch_*.parquet")
         .option("maxFilesPerTrigger", 1)
-        .parquet(root)
+        .parquet(os.path.join(root, "drop"))
     )
+    # per-call state seeded from day-0 (the drain APPENDS to it)
     state_dir = tempfile.mkdtemp(prefix="stream_neardup_state_")
     try:
+        for store in ("docs", "sigs"):
+            shutil.copytree(
+                os.path.join(root, "state0", store),
+                os.path.join(state_dir, store),
+            )
         pairs = streaming_minhash_ingest(
             stream,
             state_dir,
@@ -1319,11 +1337,25 @@ def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.6,
             seed=42,
             shingle_mode="word",
+            shuffle_partitions=4,
         )
         out = pairs.orderBy("id_a", "id_b").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
     return out
+
+
+def _stream_minhash_oracle(sf_dir: str = None) -> str:
+    """Twin for stream_minhash_pairs: the incremental twin's
+    new-touching pair set without its batch-boundary pair_type
+    column (see _q_stream_minhash_pairs — the union over drop
+    micro-batches equals the one-shot incremental restriction)."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    return (
+        "SELECT id_a, id_b, jaccard_sim FROM ("
+        + _minhash_incremental_oracle(d)
+        + ") ORDER BY id_a, id_b"
+    )
 
 
 def _simhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11675,9 +11707,7 @@ def oracle_sql() -> dict[str, str]:
         "exactsubstr_cut": _EXACTSUBSTR_CUT_ORACLE,
         "semantic_dedup_gated": _semantic_dedup_gated_oracle(),
         "anonymization_fates": _anonymization_fates_oracle(),
-        # streaming ledger == the registered full-pipeline twin (see
-        # _q_stream_minhash_pairs: union over batches = batch pipeline)
-        "stream_minhash_pairs": _dedup_minhash_oracle(),
+        "stream_minhash_pairs": _stream_minhash_oracle(),
         # exhaustive probe over the incrementally-updated index ==
         # brute force over the full corpus (see _q_ivf_incremental_topk)
         "ivf_incremental_topk": _ANN_ORACLE,
@@ -11894,5 +11924,5 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["minhash_incremental"] = _minhash_incremental_oracle(sf_dir)
     out["semantic_dedup_gated"] = _semantic_dedup_gated_oracle(sf_dir)
     out["anonymization_fates"] = _anonymization_fates_oracle(sf_dir)
-    out["stream_minhash_pairs"] = _dedup_minhash_oracle(sf_dir)
+    out["stream_minhash_pairs"] = _stream_minhash_oracle(sf_dir)
     return out
