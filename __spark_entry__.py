@@ -7654,6 +7654,129 @@ _BM25_ORACLE = rf"""
 """
 
 
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (ROUND-16-READY — built and parity-verified in r15, unregistered
+    per the registry-freeze rule; operators/fusion.py). The two legs
+    a production search stack runs: word-3-gram Jaccard top-10 (the
+    dedup family's tokenization, query shingles broadcast, candidates
+    via inverted-index join — answer-proportional) and brute-force
+    cosine top-10 over the aligned embeddings (the ANN family's exact
+    baseline; swap in ivf_top_k at scale), fused by
+    rrf = Σ 1/(60+rank) — rank arithmetic only, no score calibration
+    across the incomparable BM25/cosine scales. Queries are the
+    shared doc_id/vec_id % 100 == 0 evaluation set. Output one row
+    per (query, fused candidate) with fused_rank ≤ 10."""
+    from mape_calculation_and_anonymization_spark.operators.fusion import (
+        jaccard_top_k,
+        rrf_fuse,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_docs = docs.filter(F.col("doc_id") % 100 == 0)
+    q_vecs = emb.filter(F.col("vec_id") % 100 == 0)
+    lex = jaccard_top_k(q_docs, docs, n=3, k=10)
+    vec = brute_force_top_k(emb, q_vecs, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, vec, k=10, rrf_k=60).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+# Class-A twin: both legs re-derived from the base tables (the
+# jaccard token convention bit-identical to word_ngrams — see
+# _jaccard_ctes' comment — and the exact-cosine leg the ANN family's
+# oracle uses), then the same rank-reciprocal fold. Ranks are
+# integers and the reciprocal terms are IEEE-identical given the same
+# ranks, so the fused ordering is engine-portable; scores round only
+# in the projection.
+_HYBRID_RRF_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(raw) - 3, 0) + 1),
+                   i -> array_to_string(raw[i+1:i+3], ' ')
+               )) AS toks
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM documents
+        )
+    ),
+    q AS (SELECT doc_id AS query_id, toks FROM t WHERE doc_id % 100 = 0),
+    lex_scored AS (
+        SELECT q.query_id, c.doc_id,
+               ROUND(CAST(len(list_intersect(q.toks, c.toks)) AS DOUBLE)
+                     / (len(q.toks) + len(c.toks)
+                        - len(list_intersect(q.toks, c.toks))), 6)
+                   AS jaccard_sim
+        FROM q JOIN t c ON q.query_id <> c.doc_id
+        WHERE len(list_intersect(q.toks, c.toks)) > 0
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY jaccard_sim DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM lex_scored
+    ),
+    vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    elems AS (
+        SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+               CAST(unnest(vq.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM vq CROSS JOIN embeddings c
+        WHERE vq.vec_id <> c.vec_id
+    ),
+    dots AS (
+        SELECT query_id, doc_id,
+               ROUND(SUM(qe * ce)
+                     / (SQRT(SUM(qe * qe)) * SQRT(SUM(ce * ce))), 6)
+                   AS cosine_sim
+        FROM elems GROUP BY query_id, doc_id
+    ),
+    vec AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM dots
+    ),
+    legs AS (
+        -- CAST: a bare 1.0 is DECIMAL in DuckDB; Spark's lit(1.0) is
+        -- DOUBLE, and the compare needs bit-identical reciprocals
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        FROM lex WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        FROM vec WHERE rank <= 10
+    ),
+    fused AS (
+        SELECT query_id, doc_id, SUM(c) AS s
+        FROM legs GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, s,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, doc_id
+               ) AS INTEGER) AS fused_rank
+        FROM fused
+    )
+    SELECT query_id, doc_id, ROUND(s, 6) AS rrf_score, fused_rank
+    FROM ranked WHERE fused_rank <= 10
+    ORDER BY query_id, fused_rank
+"""
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen day, distinct
     actives counted at each day offset. Two hash aggregates (cohort

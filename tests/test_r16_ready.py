@@ -1,0 +1,88 @@
+"""Round-16-ready query/oracle pairs, parity-tested NOW.
+
+The round-15 evidence chain froze the registry at 187 entries
+(ROUND_PROCEDURE.md, registry-freeze rule), so these pairs are built
+and verified in r15 but debut in r16's window with a 2-line
+registration each. The check here is the DRIVER'S compare
+(oracle_utils.compare_query — rows, schema, value hash) at sf0.001;
+registration day should be mechanical.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from tests.oracle_utils import compare_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hybrid_search_rrf_parity(spark):
+    ok, msg = compare_query(
+        spark, SF, e._q_hybrid_search_rrf, e._HYBRID_RRF_ORACLE
+    )
+    assert ok, msg
+
+
+def test_hybrid_search_rrf_shape(spark):
+    """Every query emits a fused top-10, ranks are contiguous from 1,
+    and a doc present in BOTH legs at rank 1 dominates any
+    single-leg doc (2/(60+1) > 1/(60+1) ≥ any single reciprocal)."""
+    rows = e._q_hybrid_search_rrf(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q  # non-degenerate
+    for q, rs in by_q.items():
+        ranks = sorted(r["fused_rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        scores = [r["rrf_score"] for r in sorted(rs, key=lambda r: r["fused_rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_both_lists_dominate(spark):
+    """Operator contract: a doc at rank 1 in BOTH lists outscores a
+    doc at rank 1 in only one list; absent-from-one-list docs get
+    exactly the single reciprocal; id breaks score ties."""
+    from mape_calculation_and_anonymization_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 1)], ["query_id", "doc_id", "rank"]
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse(a, b, k=10).collect()
+    }
+    assert out[10][1] == 1  # in both lists at rank 1 → wins
+    # scores are rounded to 6 decimals in the projection
+    assert abs(out[10][0] - 2 / 61) < 1e-6
+    assert abs(out[12][0] - 1 / 61) < 1e-6
+    assert abs(out[11][0] - 1 / 62) < 1e-6
+    # 12 (1/61) beats 11 (1/62); ties would fall back to id asc
+    assert out[12][1] == 2 and out[11][1] == 3
+
+
+def test_jaccard_top_k_self_excluded_and_ranked(spark):
+    from mape_calculation_and_anonymization_spark.operators.fusion import (
+        jaccard_top_k,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),
+            (2, "zeta eta theta iota"),
+            (3, "alpha beta gamma delta extra"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = docs.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in jaccard_top_k(q, docs, n=3, k=10).collect()
+    }
+    assert 0 not in got  # self excluded
+    assert got[3] == 1 and got[1] == 2  # 3 shares 2 grams, 1 shares 1
+    assert 2 not in got  # no shared shingle → no candidate row
