@@ -11223,6 +11223,153 @@ def _semantic_dedup_oracle(sf_dir: str = _ORACLE_SF_DIR) -> str:
 _SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
 
 
+def _q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (ROUND-16-READY — built and
+    parity-verified in r15, unregistered per the registry-freeze
+    rule; operators/similarity.py:semantic_dedup_incremental): the
+    embeddings daily-drop with FROZEN standing decisions. Day-0 =
+    semantic_dedup over the plain embeddings (derived in-query, not
+    assumed); the drop plants all three fates — ×1.01 twins of
+    vec_id%5==0 (dropped against their kept standing original, rule
+    a), ×1.02 twins of vec_id%10==0 (ALSO dominated within the drop
+    by their ×1.01 sibling, rule b — %10 ⊂ %5), and negated copies of
+    vec_id%7==1 (cosine −1 to their original → kept). Only
+    new×kept-in-cell and new×new-in-cell pairs expand — the
+    standing² compare never re-runs."""
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    _, centroids = _ivf_index_cached(spark, sf_dir, n_clusters=48)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    day0 = semantic_dedup(emb, centroids, threshold=0.98).select(
+        "vec_id", "kept"
+    )
+    standing = emb.join(day0, "vec_id")
+
+    def scaled(mod: int, rem: int, offset: int, factor: float) -> DataFrame:
+        return emb.filter(
+            F.pmod(F.col("vec_id"), F.lit(mod)) == rem
+        ).select(
+            (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(factor)
+            ).alias("embedding"),
+        )
+
+    drop = (
+        scaled(5, 0, 1_000_000, 1.01)
+        .unionByName(scaled(10, 0, 2_000_000, 1.02))
+        .unionByName(scaled(7, 1, 3_000_000, -1.0))
+    )
+    return semantic_dedup_incremental(
+        standing, drop, centroids, threshold=0.98
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_incremental_oracle(sf_dir: str = None) -> str:
+    """Twin for semantic_dedup_incremental: _semantic_dedup_oracle's
+    routing CTEs over standing ∪ drop, the standing day-0 verdict
+    re-derived standing-only, then the frozen-standing rule — (a)
+    kept-standing in-cell duplicate, (b) preceding-new in-cell
+    duplicate — over the drop."""
+    d = sf_dir if sf_dir is not None else _ORACLE_SF_DIR
+    cells = _semantic_dedup_cells(d)
+    return f"""
+    WITH cents AS (
+        SELECT cluster,
+               centroid AS c,
+               list_dot_product(centroid, centroid) AS cn2,
+               sqrt(list_dot_product(centroid, centroid)) AS cn
+        FROM read_parquet('{cells}')
+    ),
+    emb0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    drop_ AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(v, x -> x * 1.01) AS v
+        FROM emb0 WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id,
+               list_transform(v, x -> x * 1.02) AS v
+        FROM emb0 WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 3000000 AS vec_id,
+               list_transform(v, x -> x * -1.0) AS v
+        FROM emb0 WHERE vec_id % 7 = 1
+    ),
+    corpus AS (
+        SELECT vec_id, v, TRUE AS is_std FROM emb0
+        UNION ALL
+        SELECT vec_id, v, FALSE AS is_std FROM drop_
+    ),
+    scored AS (
+        SELECT vec_id, v, is_std,
+               sqrt(list_dot_product(v, v)) AS vn
+        FROM corpus
+    ),
+    routed AS (
+        SELECT s.vec_id, s.v, s.vn, s.is_std, c.cluster, c.cn,
+               list_dot_product(s.v, c.c) AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY c.cn2 - 2.0 * list_dot_product(s.v, c.c),
+                            c.cluster
+               ) AS rn
+        FROM scored s CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, is_std, cluster,
+               CASE WHEN vn = 0 OR cn = 0 THEN NULL
+                    ELSE ROUND(d / (vn * cn), 6) END AS centroid_sim,
+               list_transform(
+                   v, x -> x / (CASE WHEN vn = 0 THEN 1.0 ELSE vn END)
+               ) AS u
+        FROM routed WHERE rn = 1
+    ),
+    std AS (SELECT * FROM best WHERE is_std),
+    newb AS (SELECT * FROM best WHERE NOT is_std),
+    std_dominated AS (
+        SELECT DISTINCT b.vec_id
+        FROM std a JOIN std b
+          ON a.cluster = b.cluster
+         AND (a.centroid_sim < b.centroid_sim
+              OR (a.centroid_sim = b.centroid_sim
+                  AND a.vec_id < b.vec_id))
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.98
+    ),
+    std_kept AS (
+        SELECT s.* FROM std s
+        LEFT JOIN std_dominated d ON s.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    ),
+    dom AS (
+        SELECT DISTINCT b.vec_id
+        FROM std_kept a JOIN newb b ON a.cluster = b.cluster
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.98
+        UNION
+        SELECT DISTINCT b.vec_id
+        FROM newb a JOIN newb b
+          ON a.cluster = b.cluster
+         AND (a.centroid_sim < b.centroid_sim
+              OR (a.centroid_sim = b.centroid_sim
+                  AND a.vec_id < b.vec_id))
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.98
+    )
+    SELECT n.vec_id, n.cluster, n.centroid_sim,
+           (d.vec_id IS NULL) AS kept
+    FROM newb n LEFT JOIN dom d ON n.vec_id = d.vec_id
+    ORDER BY n.vec_id
+"""
+
+
 def _q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-cleaning funnel (round-10 debut): five chained
     quality gates (token floor/ceiling, punctuation flood, stopword

@@ -526,3 +526,120 @@ def semantic_dedup_gated(
             (F.col("_dropped").isNull() & F.col("_p")).alias("kept"),
         )
     )
+
+
+def semantic_dedup_incremental(
+    standing: DataFrame,
+    new_vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kept_col: str = "kept",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """INCREMENTAL SemDeDup — the embeddings daily-drop policy
+    (round-16-ready; completes the incremental triple with
+    ``dedup.minhash_incremental_pairs`` and ``ivf.ivf_add``):
+    semantically dedup a NEW drop against a standing corpus whose
+    keep/drop decisions are FROZEN — the production contract, since
+    yesterday's keeps already shipped to training and cannot be
+    un-kept by today's arrivals.
+
+    ``standing`` carries (id_col, vec_col, kept_col) — a prior
+    :func:`semantic_dedup` verdict joined back to its vectors. Only
+    the KEPT standing members are routed and compared (dropped ones
+    were already dominated inside their own ε-ball; re-testing
+    against them can only re-find what their dominator finds). A new
+    vector is dropped iff
+
+      * some KEPT standing member of its cell is a semantic
+        duplicate (frozen-standing domination — standing always
+        precedes the drop), or
+      * some other NEW member of its cell precedes it in
+        SemDeDup's ``(centroid_sim, id)`` order and is a duplicate
+        (exactly :func:`semantic_dedup`'s local-minimum rule,
+        restricted to the drop).
+
+    With an EMPTY standing corpus this degenerates to
+    ``semantic_dedup(new_vecs)`` exactly (pinned in
+    tests/test_similarity.py). Standing×standing pairs are never
+    re-expanded — per drop the compare volume is
+    new×(kept-in-cell) + new×new-in-cell, never corpus².
+
+    Output: one row per non-null NEW vector —
+    ``(id_col, cluster, centroid_sim, kept)``."""
+    from .rebalance import ensure_min_partitions
+
+    route = assign_to_centroids_udf(centroids)
+
+    def routed(df: DataFrame) -> DataFrame:
+        return (
+            ensure_min_partitions(
+                df.filter(F.col(vec_col).isNotNull()).select(
+                    F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+                )
+            )
+            .select("_id", route(F.col("_v")).alias("_r"))
+            .select(
+                "_id",
+                F.col("_r.cluster").alias("cluster"),
+                F.col("_r.centroid_sim").alias("centroid_sim"),
+                F.col("_r.unit").alias("_u"),
+            )
+            .localCheckpoint(eager=True)  # both join legs consume it
+        )
+
+    s = routed(standing.filter(F.col(kept_col)))
+    n = routed(new_vecs)
+    sim_ok = (
+        F.round(dot(F.col("_ua"), F.col("_ub")), 6)
+        >= F.lit(float(threshold))
+    )
+    # (a) frozen-standing domination: kept standing partner in-cell
+    dom_standing = (
+        n.select(
+            "cluster", F.col("_id").alias("_id_b"), F.col("_u").alias("_ub")
+        )
+        .join(
+            s.select("cluster", F.col("_u").alias("_ua")),
+            on="cluster",
+        )
+        .filter(sim_ok)
+        .select(F.col("_id_b").alias("_dropped"))
+    )
+    # (b) within-drop domination, semantic_dedup's order verbatim
+    l = n.select(
+        "cluster",
+        F.col("_id").alias("_id_a"),
+        F.col("_u").alias("_ua"),
+        F.col("centroid_sim").alias("_cs_a"),
+    )
+    r = n.select(
+        "cluster",
+        F.col("_id").alias("_id_b"),
+        F.col("_u").alias("_ub"),
+        F.col("centroid_sim").alias("_cs_b"),
+    )
+    dom_new = (
+        l.join(
+            r,
+            on=[
+                l["cluster"] == r["cluster"],
+                (
+                    F.struct(l["_cs_a"], l["_id_a"])
+                    < F.struct(r["_cs_b"], r["_id_b"])
+                ),
+            ],
+        )
+        .filter(sim_ok)
+        .select(F.col("_id_b").alias("_dropped"))
+    )
+    dominated = dom_standing.unionByName(dom_new).distinct()
+    return n.join(
+        dominated, n["_id"] == dominated["_dropped"], "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        "centroid_sim",
+        F.col("_dropped").isNull().alias("kept"),
+    )

@@ -86,3 +86,62 @@ def test_jaccard_top_k_self_excluded_and_ranked(spark):
     assert 0 not in got  # self excluded
     assert got[3] == 1 and got[1] == 2  # 3 shares 2 grams, 1 shares 1
     assert 2 not in got  # no shared shingle → no candidate row
+
+
+def test_semantic_dedup_incremental_parity(spark):
+    ok, msg = compare_query(
+        spark,
+        SF,
+        e._q_semantic_dedup_incremental,
+        e._semantic_dedup_incremental_oracle(SF),
+    )
+    assert ok, msg
+
+
+def test_semantic_dedup_incremental_fates(spark):
+    """The three planted drop fates land exactly: every ×1.01 twin
+    dropped against its kept standing original (frozen-standing rule),
+    every ×1.02 twin dropped (its ×1.01 sibling precedes it in-drop),
+    every negated copy kept (cosine −1 to its original)."""
+    rows = e._q_semantic_dedup_incremental(spark, SF).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["vec_id"] // 1_000_000, []).append(r["kept"])
+    assert set(by_bucket) == {1, 2, 3}
+    assert not any(by_bucket[1]) and len(by_bucket[1]) > 0
+    assert not any(by_bucket[2]) and len(by_bucket[2]) > 0
+    assert all(by_bucket[3]) and len(by_bucket[3]) > 0
+
+
+def test_semantic_dedup_incremental_empty_standing_equals_full(spark):
+    """With an empty standing corpus the incremental rule degenerates
+    to semantic_dedup of the drop exactly."""
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    _, centroids = e._ivf_index_cached(spark, SF, n_clusters=48)
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
+    drop = emb.unionByName(twins)
+    empty = spark.createDataFrame([], drop.schema).withColumn(
+        "kept", F.lit(True)
+    )
+    inc = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"], r["kept"])
+        for r in semantic_dedup_incremental(
+            empty, drop, centroids, threshold=0.98
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"], r["kept"])
+        for r in semantic_dedup(drop, centroids, threshold=0.98).collect()
+    }
+    assert inc == full and len(inc) > 0
