@@ -8086,6 +8086,60 @@ def _split_oracle() -> str:
 _SPLIT_ORACLE = _split_oracle()
 
 
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split (ROUND-16-READY — built and
+    parity-verified in r15, unregistered per the registry-freeze
+    rule; operators/sampling.py:leakage_safe_split): the split
+    train_val_test_split is blind to — a doc-keyed band assignment
+    happily puts a document in train and its 0.95-Jaccard twin in
+    test. Keying the SAME md5 band on the near-dup CLUSTER id (the
+    offline _jaccard_index map, component-min convention) makes
+    straddling impossible by construction; the guarantee — zero
+    verified near-dup pairs across split boundaries — is pinned in
+    tests/test_r16_ready.py. Per-doc ledger over the twins corpus:
+    (doc_id, cluster, split), ordered."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    clusters = spark.read.parquet(
+        os.path.join(_jaccard_index(spark, sf_dir), "clusters")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id")
+    )
+    corpus = docs.unionByName(twins)
+    return leakage_safe_split(
+        corpus, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
+def _leakage_split_oracle() -> str:
+    """Class-A twin for leakage_safe_split: clusters re-derived via
+    the recursive-component prefix (the keep-best convention), then
+    the registered split oracle's hex-band CASE keyed on the cluster
+    id instead of the doc id."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        rate_to_hex_threshold as thr,
+    )
+
+    band = "substr(md5(concat('split:', CAST(cluster AS VARCHAR))), 1, 4)"
+    return (
+        _keep_best_cte_prefix("SELECT 1 AS one")
+        + f"""
+    SELECT doc_id, cluster,
+           CASE WHEN {band} < '{thr(0.8)}' THEN 'train'
+                WHEN {band} < '{thr(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    ORDER BY doc_id
+"""
+    )
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral transition matrix: counts of
     (previous event_type → event_type) steps per user timeline — the

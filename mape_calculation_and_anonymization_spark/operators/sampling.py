@@ -414,3 +414,40 @@ def token_budget_repetition(
             "deficit_tokens"
         ),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split (round-16-ready):
+    assign every document by the md5 band of its NEAR-DUP CLUSTER id
+    (:func:`hash_split` keyed on the cluster representative instead
+    of the doc), so no near-duplicate pair can ever straddle splits —
+    the contamination mode a doc-keyed split is blind to: a doc in
+    train and its 0.95-Jaccard twin in test is train-test leakage
+    even though both "passed dedup" individually (Lee et al. 2021's
+    eval-set finding).
+
+    ``clusters`` is the offline near-dup cluster map
+    ((id, cluster) — ``graph.duplicate_clusters`` output, cluster =
+    component-min id; the same artifact keep-best consumes). Docs
+    absent from the map split by their own id (singleton semantics,
+    matching the map's COALESCE convention). Pure projection past the
+    map join: content-stable across corpus rebuilds, no RNG, no new
+    shuffle beyond the broadcast-or-hash map join.
+
+    Output: docs + (cluster, split)."""
+    c = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("_leak_cluster")
+    )
+    joined = docs.join(c, id_col, "left").withColumn(
+        "_leak_cluster", F.coalesce(F.col("_leak_cluster"), F.col(id_col))
+    )
+    return joined.withColumn(
+        "split", hash_split(F.col("_leak_cluster"), fractions, salt=salt)
+    ).withColumnRenamed("_leak_cluster", cluster_col)

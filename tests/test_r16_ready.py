@@ -145,3 +145,58 @@ def test_semantic_dedup_incremental_empty_standing_equals_full(spark):
         for r in semantic_dedup(drop, centroids, threshold=0.98).collect()
     }
     assert inc == full and len(inc) > 0
+
+
+def test_leakage_safe_split_parity(spark):
+    ok, msg = compare_query(
+        spark, SF, e._q_leakage_safe_split, e._leakage_split_oracle()
+    )
+    assert ok, msg
+
+
+def test_leakage_safe_split_guarantee(spark):
+    """THE property: zero verified near-dup pairs straddle a split
+    boundary (every planted twin lands with its original), while the
+    doc-keyed split demonstrably leaks on the same corpus — the
+    failure mode this operator exists to close. Proportions stay
+    near 80/10/10 at cluster granularity."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        hash_split,
+    )
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in e._q_leakage_safe_split(spark, SF).collect()
+    }
+    pairs = spark.read.parquet(
+        os.path.join(e._jaccard_index(spark, SF), "pairs")
+    ).collect()
+    assert pairs  # the planted twins guarantee a non-empty pair set
+    straddling = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if split[p["id_a"]] != split[p["id_b"]]
+    ]
+    assert straddling == []
+    # the naive doc-keyed split DOES leak on this corpus
+    corpus = spark.createDataFrame(
+        [(i,) for i in split], ["doc_id"]
+    ).withColumn(
+        "split",
+        hash_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+    naive = {r["doc_id"]: r["split"] for r in corpus.collect()}
+    naive_straddling = [
+        p for p in pairs if naive[p["id_a"]] != naive[p["id_b"]]
+    ]
+    assert naive_straddling  # the mode being closed is real here
+    # proportions: cluster-granular, so looser than the doc split
+    from collections import Counter
+
+    frac = Counter(split.values())
+    n = len(split)
+    assert 0.7 <= frac["train"] / n <= 0.9
+    assert 0.04 <= frac["val"] / n <= 0.16
+    assert 0.04 <= frac["test"] / n <= 0.16
