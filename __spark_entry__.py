@@ -1284,11 +1284,17 @@ def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _stream_neardup_fixture_root(sf_dir)
     if not _fixture_ready(root):
         # day-0 state: standing docs + their landed signatures
+        # mode('overwrite') throughout (ADVICE r15): a crash between
+        # the first write and _mark_fixture_ready leaves a half-landed
+        # dir, and without overwrite every retry dies on
+        # path-already-exists (matches _minhash_sigs_cached et al.).
         standing = corpus.filter(F.col("doc_id") < 1_000_000)
-        standing.write.parquet(os.path.join(root, "state0", "docs"))
+        standing.write.mode("overwrite").parquet(
+            os.path.join(root, "state0", "docs")
+        )
         _minhash_sigs_cached(spark, sf_dir).filter(
             F.col("_id") < 1_000_000
-        ).select("_id", "sig").write.parquet(
+        ).select("_id", "sig").write.mode("overwrite").parquet(
             os.path.join(root, "state0", "sigs")
         )
         # the drop, one file per micro-batch (split by parity)
@@ -1298,7 +1304,7 @@ def _q_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.pmod(F.col("doc_id"), F.lit(2)) == i)
             )
             tmp = os.path.join(root, f"_b{i}")
-            half.coalesce(1).write.parquet(tmp)
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = globmod.glob(os.path.join(tmp, "part-*.parquet"))[0]
             os.makedirs(os.path.join(root, "drop"), exist_ok=True)
             os.rename(part, os.path.join(root, "drop", f"batch_{i}.parquet"))

@@ -187,25 +187,45 @@ def drift_report(
         if _median(hist_by_q[q]) > 0
     ]
     session_ratio = _median(ratios) if ratios else 1.0
-    # Session-ratio alert (ADVICE r14): a change that regresses MOST
-    # of the suite uniformly is absorbed into session_ratio by design
-    # (per-query flags only catch single-query departures), so surface
-    # the ratio itself against the historical headline band — the max
-    # run-total / median-run-total spread the machine has shown. An
-    # alert is "suspicious, adjudicate by isolated re-timing", not a
-    # verdict: genuine ambient load trips it too.
-    hist_totals = [
-        float(rec["total"]) for rec in history if rec.get("total")
-    ]
+    # Session-ratio alert (ADVICE r14; band robustified per ADVICE
+    # r15): a change that regresses MOST of the suite uniformly is
+    # absorbed into session_ratio by design (per-query flags only
+    # catch single-query departures), so surface the ratio itself
+    # against a band of HISTORICAL load ratios. Two fixes over the
+    # first cut: (a) each history record's load is measured the same
+    # way the current run's is — median per-query ratio against the
+    # cross-history medians — not by run totals, which grow whenever
+    # the registry grows and inflated the band for a non-load reason;
+    # (b) the band is the max of the QUIET-run subset (records whose
+    # own load ratio stayed ≤1.15), not the all-time max — a single
+    # loaded past run (history holds several: the adjudicated r15
+    # ambient-load refreshes) no longer permanently blunts the alert
+    # the change was meant to add. An alert is "suspicious,
+    # adjudicate by isolated re-timing", not a verdict: genuine
+    # ambient load still trips it.
+    rec_ratios = []
+    for rec in history:
+        rs = [
+            float(v) / _median(hist_by_q[q])
+            for q, v in rec.get("queries", {}).items()
+            if len(hist_by_q.get(q, ())) >= min_history
+            and _median(hist_by_q[q]) > 0
+        ]
+        if rs:
+            rec_ratios.append(_median(rs))
     session_band = None
     session_ratio_alert = False
-    if len(hist_totals) >= min_history:
-        med_total = _median(hist_totals)
-        if med_total > 0:
-            session_band = max(t / med_total for t in hist_totals)
-            session_ratio_alert = session_ratio > max(
-                session_band * 1.1, 1.25
-            )
+    if len(rec_ratios) >= min_history:
+        quiet = [r for r in rec_ratios if r <= 1.15]
+        if len(quiet) < min_history:
+            # pathological history (everything loaded): fall back to
+            # the least-loaded min_history records so the band stays
+            # defined and conservative.
+            quiet = sorted(rec_ratios)[:min_history]
+        session_band = max(quiet)
+        session_ratio_alert = session_ratio > max(
+            session_band * 1.1, 1.25
+        )
     flags = []
     for q, v in comparable.items():
         med = _median(hist_by_q[q])

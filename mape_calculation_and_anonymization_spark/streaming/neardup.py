@@ -182,7 +182,17 @@ def streaming_minhash_ingest(
         .start()
     )
     try:
-        query.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False on timeout with the
+        # query still running (ADVICE r15): silently returning would
+        # hand the caller a PARTIAL pairs ledger — whatever batches
+        # happened to drain — with no error. Fail loudly instead; the
+        # finally block still stops the query and restores conf.
+        if not query.awaitTermination(timeout_s):
+            raise TimeoutError(
+                "streaming_minhash_ingest: availableNow drain did not "
+                f"finish within {timeout_s}s; pairs ledger at "
+                f"{pairs_dir} is incomplete"
+            )
     finally:
         if query.isActive:
             query.stop()

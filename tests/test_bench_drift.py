@@ -133,6 +133,42 @@ def test_uniform_regression_surfaces_session_alert():
     assert rep["session_ratio_alert"] is False
 
 
+def test_session_band_robust_to_loaded_history_outlier():
+    """ADVICE r15: the first-cut band was the all-time max total
+    spread, so ONE loaded past run (2× here) permanently blunted the
+    uniform-regression alert — threshold 2.2×, silently passing a
+    uniform 1.4× code regression. The quiet-subset band (records with
+    own load ratio ≤1.15) must alert on 1.4× regardless of the
+    outlier, and must not widen when the registry grows (ratios are
+    per-query-normalized, not total-based)."""
+    hist = _history(
+        7, BASE, jitter=[1.0, 0.95, 1.05, 1.0, 0.9, 2.0, 1.1]
+    )
+    # registry growth between records must not inflate the band: give
+    # the newest record an extra query (bigger total, same load)
+    hist[-1]["queries"]["q_new"] = 4.0
+    hist[-1]["total"] += 4.0
+    rep = bench.drift_report({q: v * 1.4 for q, v in BASE.items()}, hist)
+    assert rep["session_ratio_alert"] is True, rep
+    assert rep["session_band"] <= 1.15
+    # quiet run still quiet
+    rep = bench.drift_report({q: v * 1.05 for q, v in BASE.items()}, hist)
+    assert rep["session_ratio_alert"] is False
+
+
+def test_session_band_recenters_on_bimodal_history():
+    """When loaded runs are the MAJORITY, per-query medians re-center
+    on the loaded mode — the band self-normalizes (loaded records sit
+    at ratio 1.0, the old quiet runs below) and stays defined rather
+    than exploding; a current run matching the dominant mode is quiet."""
+    hist = _history(6, BASE, jitter=[1.0, 1.0, 1.45, 1.45, 1.45, 1.45])
+    rep = bench.drift_report(
+        {q: v * 1.45 for q, v in BASE.items()}, hist
+    )
+    assert rep["session_band"] is not None
+    assert rep["session_ratio_alert"] is False
+
+
 def test_iqr_gate_meaningful_at_min_history():
     """ADVICE r14: at min_history=3 the old max-min IQR made the
     variance gate span the whole sample range; interpolated quartiles
