@@ -11794,23 +11794,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 15): the driver's correctness harness
+    # Ordering policy (round 16): the driver's correctness harness
     # checks the FIRST 50 entries; the rotation-hygiene rule — no
     # oracle-backed query more than THREE rounds without a green
     # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
     # plan emitted by `python preflight.py --plan-window`) — dictates
     # this round's window:
-    # (a) the 30 forced must-includes: the r11-green cohort due this
-    #     round, incl. the three debuts displaced in round 14 (named
-    #     by the designed red-at-judge-time test; VERDICT r14 #1).
-    # (b) the r12-green cohort fills the remaining slots, oldest
+    # (a) round-16 debuts — the three r15-pre-verified operators
+    #     (VERDICT r15 item 2, in its priority order) enter the
+    #     window on debut; each displaces one tail entry of the r13
+    #     fill (the displaced entries join r17's must-includes with
+    #     the rest of their cohort).
+    # (b) the 36 forced must-includes: the full r12-green cohort due
+    #     this round — the 30-odd below-window r12s plus the six
+    #     entries the r15 debuts displaced (named by the designed
+    #     red-at-judge-time test; VERDICT r15 #1).
+    # (c) the r13-green cohort fills the remaining 11 slots, oldest
     #     first (plan-window emission). The planning rule learned in
     #     r9 still holds: fill free slots with the OLDEST-green
     #     cohort, never the just-verified one.
-    # (c) round-15 debuts — the three r14-pre-verified operators
-    #     (VERDICT r14 item 2) enter the window on debut; each
-    #     displaces one tail entry of the r12 fill (the displaced
-    #     entries stay ≤3 rounds stale and rotate in at r16).
     # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
     # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
     # 200 oracle-backed capacity — the math lives in
@@ -11825,72 +11827,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test; applyInPandasWithState (stream_stateful_wape) covers the
     # custom-stateful slot in this environment.
     return {
-        # round-15 debuts lead the window (plan-window priority 0:
+        # round-16 debuts lead the window (plan-window priority 0:
         # oracle-backed with no green driver row yet) — the three
-        # r15-ready operators pre-verified in r14 (tests/test_r15_ready.py),
-        # registered in VERDICT r14 item 2's priority order. Each
-        # displaces one tail entry of the r12 fill, which stays ≤3
-        # rounds stale (r12 green, due r16).
-        "minhash_incremental": _q_minhash_incremental,  # r15 debut (pre-verified r14)
-        "exactsubstr_cut": _q_exactsubstr_cut,  # r15 debut (pre-verified r14)
-        "semantic_dedup_gated": _q_semantic_dedup_gated,  # r15 debut (pre-verified r14)
-        "anonymization_fates": _q_anonymization_fates,  # r15 debut (VERDICT r14 item 5)
-        "stream_minhash_pairs": _q_stream_minhash_pairs,  # r15 debut (streaming near-dup ingest)
-        "ivf_incremental_topk": _q_ivf_incremental_topk,  # r15 debut (ANN daily-drop path)
-        # the 30 forced must-includes: the r11-green cohort due this
-        # round (plan-window emission; test_rotation_hygiene is the
-        # executable spec), incl. the three debuts displaced in r14.
-        "multimodal_frames": _q_multimodal_frames,  # last green: r11
-        "multimodal_metadata": _q_multimodal_metadata,  # last green: r11
-        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r11
-        "o1_top_revenue": _q_o1_top_revenue,  # last green: r11
-        "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r11
-        "triangle_count": _q_triangle_count,  # last green: r11  # stays ahead of pagerank (shared _COOC_SHARED memo attribution)
-        "pagerank_influencers": _q_pagerank_influencers,  # last green: r11
-        "percentile_order_prices": _q_percentile_order_prices,  # last green: r11
-        "profile_orders_approx": _q_profile_orders_approx,  # last green: r11
-        "q12_priority_returns": _q_q12_priority_returns,  # last green: r11
-        "q3_shipping_priority": _q_q3_shipping_priority,  # last green: r11
-        "q5_nation_volume": _q_q5_nation_volume,  # last green: r11
-        "range_join_price_bands": _q_range_join_price_bands,  # last green: r11
-        "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r11
-        "retention_cohorts": _q_retention_cohorts,  # last green: r11
-        "s1_csv_scan": _q_s1_csv_scan,  # last green: r11
-        "s3_latest_partition": _q_s3_latest_partition,  # last green: r11
-        "s5_jsonl_scan": _q_s5_jsonl_scan,  # last green: r11
-        "salted_join_revenue": _q_salted_join_revenue,  # last green: r11
-        "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r11
-        "semi_join_late_orders": _q_semi_join_late_orders,  # last green: r11
-        "set_intersect_except": _q_set_intersect_except,  # last green: r11
-        "small_qty_revenue": _q_small_qty_revenue,  # last green: r11
-        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r11
-        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r11
-        "stream_static_enrich": _q_stream_static_enrich,  # last green: r11
-        "stream_stream_join": _q_stream_stream_join,  # last green: r11
-        "text_pii_redaction": _q_text_pii_redaction,  # last green: r11
-        "text_repetition": _q_text_repetition,  # last green: r11
-        "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r11
-        # r12-green fill, oldest first (17 of 20; the last 3 were
-        # displaced by the debuts and rotate in at r16).
-        "ann_recall_eval": _q_ann_recall_eval,  # last green: r12
-        "anomaly_counts": _q_anomaly_counts,  # last green: r12
-        "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r12
-        "batch_sessionize": _q_batch_sessionize,  # last green: r12
-        "bigram_logprob_scores": _q_bigram_logprob_scores,  # last green: r12
-        "bpe_token_stats": _q_bpe_token_stats,  # last green: r12
-        "bpe_vocab_merges": _q_bpe_vocab_merges,  # last green: r12
-        "contamination_check": _q_contamination_check,  # last green: r12
-        "corpus_datacard": _q_corpus_datacard,  # last green: r12
-        "dedup_clusters": _q_dedup_clusters,  # last green: r12
-        "dedup_exact_groups": _q_dedup_exact_groups,  # last green: r12
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r12
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r12
-        "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r12
-        # ---- below the driver's 50-row window ----
-        # oracle-backed entries oldest-green first (they rotate in next).
-        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12 (displaced by ivf_incremental_topk; due r16)
-        "drift_ks_events": _q_drift_ks_events,  # last green: r12 (displaced by stream_minhash_pairs; due r16)
-        "event_transitions": _q_event_transitions,  # last green: r12 (displaced by anonymization_fates; due r16)
+        # r16-ready operators pre-verified in r15 (tests/test_r16_ready.py),
+        # registered in VERDICT r15 item 2's priority order. Each
+        # displaces one tail entry of the r13 fill, which stays ≤3
+        # rounds stale (r13 green, due r17).
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # r16 debut (completes the incremental daily-drop triple)
+        "leakage_safe_split": _q_leakage_safe_split,  # r16 debut (cluster-keyed split)
+        "hybrid_search_rrf": _q_hybrid_search_rrf,  # r16 debut (RRF hybrid retrieval)
+        # the 36 forced must-includes: the full r12-green cohort due
+        # this round (plan-window emission; test_rotation_hygiene is
+        # the executable spec), incl. the six entries displaced in r15.
+        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
+        "drift_ks_events": _q_drift_ks_events,  # last green: r12
+        "event_transitions": _q_event_transitions,  # last green: r12
         "events_json_props": _q_events_json_props,  # last green: r12
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
         "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r12
@@ -11924,6 +11875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_repetition": _q_token_budget_repetition,  # last green: r12
         "training_pipeline": _q_training_pipeline,  # last green: r12
         "user_event_sequences": _q_user_event_sequences,  # last green: r12
+        # r13-green fill, oldest first (11 of 50; dp_noisy_counts,
+        # embedding_near_dup, exact_substring_spans were displaced by
+        # the debuts and join r17's must-includes with their cohort).
         "agg_cube_counts": _q_agg_cube_counts,  # last green: r13
         "approx_stats_events": _q_approx_stats_events,  # last green: r13
         "backtest_persistence_wape": _q_backtest_persistence_wape,  # last green: r13
@@ -11935,9 +11889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # last green: r13
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # last green: r13
         "doc_chunking": _q_doc_chunking,  # last green: r13
-        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r13
-        "embedding_near_dup": _q_embedding_near_dup,  # last green: r13
-        "exact_substring_spans": _q_exact_substring_spans,  # last green: r13
+        # ---- below the driver's 50-row window ----
+        # oracle-backed entries oldest-green first (they rotate in next).
+        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r13 (displaced by semantic_dedup_incremental; due r17)
+        "embedding_near_dup": _q_embedding_near_dup,  # last green: r13 (displaced by leakage_safe_split; due r17)
+        "exact_substring_spans": _q_exact_substring_spans,  # last green: r13 (displaced by hybrid_search_rrf; due r17)
         "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,  # last green: r13
         "k8_targeted_delete": _q_k8_targeted_delete,  # last green: r13
         "kanon_generalize_suppress": _q_kanon_generalize_suppress,  # last green: r13
@@ -12024,6 +11980,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r14
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # last green: r14
         "zone_unpivot": _q_zone_unpivot,  # last green: r14
+        "minhash_incremental": _q_minhash_incremental,  # last green: r15
+        "exactsubstr_cut": _q_exactsubstr_cut,  # last green: r15
+        "semantic_dedup_gated": _q_semantic_dedup_gated,  # last green: r15
+        "anonymization_fates": _q_anonymization_fates,  # last green: r15
+        "stream_minhash_pairs": _q_stream_minhash_pairs,  # last green: r15
+        "ivf_incremental_topk": _q_ivf_incremental_topk,  # last green: r15
+        "multimodal_frames": _q_multimodal_frames,  # last green: r15
+        "multimodal_metadata": _q_multimodal_metadata,  # last green: r15
+        "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r15
+        "o1_top_revenue": _q_o1_top_revenue,  # last green: r15
+        "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r15
+        "triangle_count": _q_triangle_count,  # last green: r15  # stays ahead of pagerank (shared _COOC_SHARED memo attribution)
+        "pagerank_influencers": _q_pagerank_influencers,  # last green: r15
+        "percentile_order_prices": _q_percentile_order_prices,  # last green: r15
+        "profile_orders_approx": _q_profile_orders_approx,  # last green: r15
+        "q12_priority_returns": _q_q12_priority_returns,  # last green: r15
+        "q3_shipping_priority": _q_q3_shipping_priority,  # last green: r15
+        "q5_nation_volume": _q_q5_nation_volume,  # last green: r15
+        "range_join_price_bands": _q_range_join_price_bands,  # last green: r15
+        "rank_window_top_parts": _q_rank_window_top_parts,  # last green: r15
+        "retention_cohorts": _q_retention_cohorts,  # last green: r15
+        "s1_csv_scan": _q_s1_csv_scan,  # last green: r15
+        "s3_latest_partition": _q_s3_latest_partition,  # last green: r15
+        "s5_jsonl_scan": _q_s5_jsonl_scan,  # last green: r15
+        "salted_join_revenue": _q_salted_join_revenue,  # last green: r15
+        "sample_stratified_docs": _q_sample_stratified_docs,  # last green: r15
+        "semi_join_late_orders": _q_semi_join_late_orders,  # last green: r15
+        "set_intersect_except": _q_set_intersect_except,  # last green: r15
+        "small_qty_revenue": _q_small_qty_revenue,  # last green: r15
+        "stream_hourly_wape": _q_stream_hourly_wape,  # last green: r15
+        "stream_stateful_wape": _q_stream_stateful_wape,  # last green: r15
+        "stream_static_enrich": _q_stream_static_enrich,  # last green: r15
+        "stream_stream_join": _q_stream_stream_join,  # last green: r15
+        "text_pii_redaction": _q_text_pii_redaction,  # last green: r15
+        "text_repetition": _q_text_repetition,  # last green: r15
+        "x6_stamp_metadata": _q_x6_stamp_metadata,  # last green: r15
+        "ann_recall_eval": _q_ann_recall_eval,  # last green: r15
+        "anomaly_counts": _q_anomaly_counts,  # last green: r15
+        "asof_tolerance_rates": _q_asof_tolerance_rates,  # last green: r15
+        "batch_sessionize": _q_batch_sessionize,  # last green: r15
+        "bigram_logprob_scores": _q_bigram_logprob_scores,  # last green: r15
+        "bpe_token_stats": _q_bpe_token_stats,  # last green: r15
+        "bpe_vocab_merges": _q_bpe_vocab_merges,  # last green: r15
+        "contamination_check": _q_contamination_check,  # last green: r15
+        "corpus_datacard": _q_corpus_datacard,  # last green: r15
+        "dedup_clusters": _q_dedup_clusters,  # last green: r15
+        "dedup_exact_groups": _q_dedup_exact_groups,  # last green: r15
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r15
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r15
+        "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r15
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, pinned by unit tests instead. ONE entry:
         # the PIL-gated image featurizer.
@@ -12033,6 +12039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-16 debuts (pre-verified in r15; tests/test_r16_ready.py)
+        "semantic_dedup_incremental": _semantic_dedup_incremental_oracle(),
+        "leakage_safe_split": _leakage_split_oracle(),
+        "hybrid_search_rrf": _HYBRID_RRF_ORACLE,
         "minhash_incremental": _minhash_incremental_oracle(),
         "exactsubstr_cut": _EXACTSUBSTR_CUT_ORACLE,
         "semantic_dedup_gated": _semantic_dedup_gated_oracle(),
@@ -12255,4 +12265,7 @@ def oracle_sql_at(sf_dir: str) -> dict[str, str]:
     out["semantic_dedup_gated"] = _semantic_dedup_gated_oracle(sf_dir)
     out["anonymization_fates"] = _anonymization_fates_oracle(sf_dir)
     out["stream_minhash_pairs"] = _stream_minhash_oracle(sf_dir)
+    out["semantic_dedup_incremental"] = _semantic_dedup_incremental_oracle(
+        sf_dir
+    )
     return out

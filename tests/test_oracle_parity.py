@@ -72,6 +72,9 @@ def test_oracle_sf_contract():
         "semantic_dedup_gated": entrymod._semantic_dedup_cells(
             entrymod._ORACLE_SF_DIR
         ),
+        "semantic_dedup_incremental": entrymod._semantic_dedup_cells(
+            entrymod._ORACLE_SF_DIR
+        ),
         "dedup_simhash_pairs": entrymod._simhash_sigs_glob(
             entrymod._ORACLE_SF_DIR
         ),
