@@ -8505,23 +8505,26 @@ _DRIFT_SPLIT = "2024-01-16"  # events span 2024-01-01..30 (TESTDATA.md)
 _DRIFT_BIN_WIDTH = 50.0  # value ∈ [0, ~500] → ≈10 bins per event type
 
 
-def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift monitor between two drops of
-    the events feed (first half of January as the reference window,
-    second half as the current drop), per event type over fixed-width
-    value bins — the distribution-level companion to the schema-level
-    profiling monitors (operators/drift.py:population_stability;
-    fixed-width banding + Jeffreys smoothing chosen there for exact
-    engine portability). At 100 TB both windows are partition-pruned
-    scans feeding map-side-combined histograms; everything after the
-    two aggregates is answer-sized."""
+def _q_drift_events_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused PSI+KS drift scorecard between two drops of the events
+    feed (first half of January as the reference window, second half
+    as the current drop), per event type over fixed-width value bins
+    (operators/drift.py:drift_scorecard). Round-16 FUSION of the
+    registered drift_psi_events (r12-green) and drift_ks_events
+    (r14-green) near-twins — VERDICT r15 item 3's capacity-ceiling
+    demonstration: one registry entry, one scan pair and 3 exchanges
+    where the pair cost two scan pairs and 6, with both statistics'
+    published conventions preserved (Jeffreys-smoothed PSI > 0.2;
+    exact binned KS > 0.1, NULL for one-sided groups). At 100 TB both
+    windows are partition-pruned scans feeding map-side-combined
+    histograms; everything after the two aggregates is answer-sized."""
     from mape_calculation_and_anonymization_spark.operators.drift import (
-        population_stability,
+        drift_scorecard,
     )
 
     ev = load_events(spark, sf_dir).select("event_type", "ts", "value")
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    return population_stability(
+    return drift_scorecard(
         ev.filter(F.col("ts") < split),
         ev.filter(F.col("ts") >= split),
         ["event_type"],
@@ -8530,10 +8533,10 @@ def _q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DRIFT_PSI_ORACLE = f"""
+_DRIFT_SCORECARD_ORACLE = f"""
     WITH binned AS (
         SELECT event_type,
-               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) * {_DRIFT_BIN_WIDTH} AS BIGINT) AS bin,
+               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
                (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
@@ -8543,28 +8546,47 @@ _DRIFT_PSI_ORACLE = f"""
                SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
         FROM binned GROUP BY event_type, bin
     ),
-    tot AS (
-        SELECT event_type,
-               CAST(SUM(nr) AS BIGINT) AS n_ref,
-               CAST(SUM(nc) AS BIGINT) AS n_cur,
-               COUNT(*) AS n_bins
-        FROM cells GROUP BY event_type
+    cum AS (
+        SELECT event_type, nr, nc,
+               SUM(nr) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cr,
+               SUM(nc) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(nr) OVER (PARTITION BY event_type) AS n_ref,
+               SUM(nc) OVER (PARTITION BY event_type) AS n_cur,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_bins
+        FROM cells
     )
-    SELECT t.event_type, t.n_ref, t.n_cur, t.n_bins,
+    SELECT event_type,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_bins AS BIGINT) AS n_bins,
            ROUND(SUM(
-               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
-                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
-               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
-                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
+               ((CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins)
+                - (CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 0.5 * n_bins))
+               * ln(((CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins))
+                    / ((CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 0.5 * n_bins)))
            ), 6) AS psi,
            ROUND(SUM(
-               ((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins)
-                - (CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins))
-               * ln(((CAST(c.nr AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * t.n_bins))
-                    / ((CAST(c.nc AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * t.n_bins)))
-           ), 6) > 0.2 AS drift_flag
-    FROM cells c JOIN tot t USING (event_type)
-    GROUP BY t.event_type, t.n_ref, t.n_cur, t.n_bins
+               ((CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins)
+                - (CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 0.5 * n_bins))
+               * ln(((CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins))
+                    / ((CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 0.5 * n_bins)))
+           ), 6) > 0.2 AS psi_flag,
+           -- NULL guard mirrors Spark's try_divide (ADVICE r9): a
+           -- group present on only ONE side of the split must yield
+           -- NULL ks/flag in both engines
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+           END AS ks,
+           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
+                     > 0.1
+           END AS ks_flag
+    FROM cum
+    GROUP BY event_type, n_ref, n_cur, n_bins
 """
 
 
@@ -8931,8 +8953,8 @@ def _semantic_dedup_gated_oracle(sf_dir: str = None) -> str:
 
 
 def _q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING drift monitor — the live-ingest face of
-    drift_psi_events: the event stream's second half lands as an
+    """STREAMING drift monitor — the live-ingest face of the PSI leg
+    of drift_events_scorecard: the event stream's second half lands as an
     HOURLY windowed histogram (one streaming stateful aggregate over
     (hour-window, event_type, bin)), and each landed hour is scored
     against the BATCH reference histogram (first half, broadcast —
@@ -9071,76 +9093,6 @@ _STREAM_DRIFT_ORACLE = f"""
 """
 
 
-def _q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov drift statistic per event type
-    between the same two drops as drift_psi_events — the PSI monitor's
-    dashboard companion (PSI weighs the whole shift, KS the worst
-    single quantile gap; operators/drift.py:ks_statistic). On the
-    published fixed-width binning the sup is attained at a bin edge,
-    so the statistic is EXACT and the DuckDB oracle a term-identical
-    twin. Same scale shape as PSI up to the cell frame; the cumulative
-    sums run per-group over the answer-sized bins, never over raw
-    rows."""
-    from mape_calculation_and_anonymization_spark.operators.drift import (
-        ks_statistic,
-    )
-
-    ev = load_events(spark, sf_dir).select("event_type", "ts", "value")
-    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
-    return ks_statistic(
-        ev.filter(F.col("ts") < split),
-        ev.filter(F.col("ts") >= split),
-        ["event_type"],
-        "value",
-        bin_width=_DRIFT_BIN_WIDTH,
-    )
-
-
-_DRIFT_KS_ORACLE = f"""
-    WITH binned AS (
-        SELECT event_type,
-               CAST(FLOOR(value / {_DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
-               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
-        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-    ),
-    cells AS (
-        SELECT event_type, bin,
-               SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
-               SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
-        FROM binned GROUP BY event_type, bin
-    ),
-    cum AS (
-        SELECT event_type,
-               SUM(nr) OVER (PARTITION BY event_type ORDER BY bin
-                             ROWS UNBOUNDED PRECEDING) AS cr,
-               SUM(nc) OVER (PARTITION BY event_type ORDER BY bin
-                             ROWS UNBOUNDED PRECEDING) AS cc,
-               SUM(nr) OVER (PARTITION BY event_type) AS n_ref,
-               SUM(nc) OVER (PARTITION BY event_type) AS n_cur,
-               COUNT(*) OVER (PARTITION BY event_type) AS n_bins
-        FROM cells
-    )
-    SELECT event_type,
-           CAST(n_ref AS BIGINT) AS n_ref,
-           CAST(n_cur AS BIGINT) AS n_cur,
-           CAST(n_bins AS BIGINT) AS n_bins,
-           -- NULL guard mirrors Spark's try_divide (ADVICE r9): a
-           -- group present on only ONE side of the split must yield
-           -- NULL ks/flag in both engines — bare IEEE division here
-           -- would give inf/NaN and break parity on such a drop
-           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
-                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
-                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
-           END AS ks,
-           CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
-                ELSE ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(n_ref AS DOUBLE)
-                              - CAST(cc AS DOUBLE) / CAST(n_cur AS DOUBLE))), 6)
-                     > 0.1
-           END AS drift_flag
-    FROM cum
-    GROUP BY event_type, n_ref, n_cur, n_bins
-"""
-
 
 # embedding components span ≈[-0.5, 0.5]; width 0.1 → ~10 bins/dim
 _EMB_DRIFT_BIN_WIDTH = 0.1
@@ -9151,7 +9103,7 @@ def _q_drift_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI of every embedding component between two corpus drops (even
     vec_ids as the reference snapshot, odd as the current drop),
     composed from the same operators/drift.py machinery as
-    drift_psi_events — the value-distribution companion the embedding
+    drift_events_scorecard's PSI leg — the value-distribution companion the embedding
     pipeline needs (a re-trained or mis-scaled encoder shifts
     component distributions long before ANN recall visibly degrades).
 
@@ -11836,11 +11788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # r16 debut (completes the incremental daily-drop triple)
         "leakage_safe_split": _q_leakage_safe_split,  # r16 debut (cluster-keyed split)
         "hybrid_search_rrf": _q_hybrid_search_rrf,  # r16 debut (RRF hybrid retrieval)
+        "drift_events_scorecard": _q_drift_events_scorecard,  # r16 debut — FUSION of drift_psi_events (r14-green) + drift_ks_events (r12-green, was a must-include below; the fusion absorbs its obligation), the VERDICT r15 item-3 capacity demonstration
         # the 36 forced must-includes: the full r12-green cohort due
         # this round (plan-window emission; test_rotation_hygiene is
         # the executable spec), incl. the six entries displaced in r15.
         "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
-        "drift_ks_events": _q_drift_ks_events,  # last green: r12
         "event_transitions": _q_event_transitions,  # last green: r12
         "events_json_props": _q_events_json_props,  # last green: r12
         "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
@@ -11944,7 +11896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r14
         "doc_length_histogram": _q_doc_length_histogram,  # last green: r14
         "dq_expectations": _q_dq_expectations,  # last green: r14
-        "drift_psi_events": _q_drift_psi_events,  # last green: r14
         "events_variant_props": _q_events_variant_props,  # last green: r14
         "f4_unmatched_uids": _q_f4_unmatched_uids,  # last green: r14
         "funnel_conversion": _q_funnel_conversion,  # last green: r14
@@ -12169,9 +12120,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_chi2": _CHI2_ORACLE,
         "profile_orders": _PROFILE_ORACLE,
         "profile_orders_approx": _PROFILE_APPROX_ORACLE,
-        "drift_psi_events": _DRIFT_PSI_ORACLE,
+        "drift_events_scorecard": _DRIFT_SCORECARD_ORACLE,
         "drift_embedding_psi": _EMB_DRIFT_ORACLE,
-        "drift_ks_events": _DRIFT_KS_ORACLE,
         "stream_drift_psi": _STREAM_DRIFT_ORACLE,
         "text_dup_spans": _DUP_SPAN_ORACLE,
         "stream_dedup_fingerprints": _STREAM_DEDUP_FP_ORACLE,

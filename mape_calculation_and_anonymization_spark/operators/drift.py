@@ -152,6 +152,80 @@ def ks_statistic(
     )
 
 
+def drift_scorecard(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float,
+    smoothing: float = 0.5,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """PSI **and** KS between two drops in ONE pass — the fusion of
+    :func:`population_stability` and :func:`ks_statistic` (VERDICT r15
+    item 3: at the registry capacity ceiling, near-twin monitors fold
+    into parameterized single entries). Both statistics consume the
+    same ``_binned_cells`` frame, so the fused monitor runs one
+    histogram aggregate per window and ONE group-partitioned window
+    pass instead of two of each: 3 exchanges and one scan pair total,
+    where running the pair separately costs 6 and two. Per group:
+    ``n_ref`` / ``n_cur`` / ``n_bins``, ``psi`` + ``psi_flag``
+    (Jeffreys-smoothed, defined even for one-sided groups), ``ks`` +
+    ``ks_flag`` (NULL for one-sided groups — no ECDF to compare; the
+    try_divide convention of :func:`ks_statistic`). Each statistic
+    keeps its own published threshold convention.
+
+    Scale shape: identical to the parents' — the ordered cumulative
+    window and the unordered totals window share the group hash
+    partitioning (no extra exchange between them), both run over the
+    answer-sized (group, bin) cell frame, and the final aggregate
+    reuses the same partitioning. Nothing here is proportional to raw
+    rows after the two map-side-combined histograms."""
+    cells = _binned_cells(ref, cur, group_cols, value_col, bin_width)
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g")
+    s = float(smoothing)
+    tot = cells.select(
+        "_g",
+        "_n_ref",
+        "_n_cur",
+        F.sum("_n_ref").over(w_cum).alias("_cum_ref"),
+        F.sum("_n_cur").over(w_cum).alias("_cum_cur"),
+        F.sum("_n_ref").over(w_all).alias("n_ref"),
+        F.sum("_n_cur").over(w_all).alias("n_cur"),
+        F.count(F.lit(1)).over(w_all).alias("n_bins"),
+    )
+    p = (F.col("_n_ref").cast("double") + F.lit(s)) / (
+        F.col("n_ref").cast("double") + F.lit(s) * F.col("n_bins")
+    )
+    q = (F.col("_n_cur").cast("double") + F.lit(s)) / (
+        F.col("n_cur").cast("double") + F.lit(s) * F.col("n_bins")
+    )
+    gap = F.abs(
+        F.try_divide(F.col("_cum_ref").cast("double"), F.col("n_ref"))
+        - F.try_divide(F.col("_cum_cur").cast("double"), F.col("n_cur"))
+    )
+    grp = tot.groupBy("_g", "n_ref", "n_cur", "n_bins").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.round(F.max(gap), 6).alias("ks"),
+    )
+    return grp.select(
+        *[F.col("_g")[c].alias(c) for c in group_cols],
+        "n_ref",
+        "n_cur",
+        "n_bins",
+        "psi",
+        (F.col("psi") > F.lit(float(psi_threshold))).alias("psi_flag"),
+        "ks",
+        (F.col("ks") > F.lit(float(ks_threshold))).alias("ks_flag"),
+    )
+
+
 def population_stability(
     ref: DataFrame,
     cur: DataFrame,

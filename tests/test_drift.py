@@ -89,8 +89,11 @@ def test_psi_matches_hand_computation(spark):
     assert r["n_bins"] == 2
 
 
-def test_registry_query_shape(spark):
-    out = entrymod._q_drift_psi_events(spark, SF_DIR)
+def test_registry_scorecard_shape(spark):
+    """The fused r16 scorecard keeps both parents' guarantees on the
+    stationary synthetic feed: finite non-negative PSI, KS a valid
+    ECDF sup, and neither flag crying wolf."""
+    out = entrymod._q_drift_events_scorecard(spark, SF_DIR)
     rows = out.collect()
     assert {r["event_type"] for r in rows} >= {"click", "view", "purchase"}
     for r in rows:
@@ -98,9 +101,59 @@ def test_registry_query_shape(spark):
         # every PSI term (p−q)·ln(p/q) is non-negative: p−q and
         # ln(p/q) always share a sign
         assert math.isfinite(r["psi"]) and r["psi"] >= 0.0
+        assert 0.0 <= r["ks"] <= 1.0  # a sup of |ECDF diff|
         # synthetic events are stationary across the month: the monitor
         # must NOT cry wolf on an undrifted feed
-        assert r["drift_flag"] is False, (r["event_type"], r["psi"])
+        assert r["psi_flag"] is False, (r["event_type"], r["psi"])
+        assert r["ks_flag"] is False, (r["event_type"], r["ks"])
+
+
+def test_scorecard_equals_parents(spark):
+    """Fusion correctness: drift_scorecard's psi/ks columns (and both
+    flags) must equal population_stability ⋈ ks_statistic run
+    separately on the same frames — including a group present on only
+    one side (NULL ks, defined psi)."""
+    from mape_calculation_and_anonymization_spark.operators.drift import (
+        drift_scorecard,
+        ks_statistic,
+        population_stability,
+    )
+
+    ref = _frame(
+        spark,
+        [("a", 1.0), ("a", 2.0), ("a", 11.0), ("b", 3.0), ("only_ref", 1.0)],
+    )
+    cur = _frame(
+        spark,
+        [("a", 4.0), ("a", 12.0), ("a", 13.0), ("b", 30.0)],
+    )
+    fused = {
+        r["grp"]: r
+        for r in drift_scorecard(ref, cur, ["grp"], "value", 10.0).collect()
+    }
+    psi = {
+        r["grp"]: r
+        for r in population_stability(
+            ref, cur, ["grp"], "value", 10.0
+        ).collect()
+    }
+    ks = {
+        r["grp"]: r
+        for r in ks_statistic(ref, cur, ["grp"], "value", 10.0).collect()
+    }
+    assert set(fused) == set(psi) == set(ks) == {"a", "b", "only_ref"}
+    for g, r in fused.items():
+        assert (r["n_ref"], r["n_cur"], r["n_bins"]) == (
+            psi[g]["n_ref"],
+            psi[g]["n_cur"],
+            psi[g]["n_bins"],
+        )
+        assert r["psi"] == psi[g]["psi"]
+        assert r["psi_flag"] == psi[g]["drift_flag"]
+        assert r["ks"] == ks[g]["ks"]
+        assert r["ks_flag"] == ks[g]["drift_flag"]
+    assert fused["only_ref"]["ks"] is None  # one-sided: no ECDF pair
+    assert fused["only_ref"]["psi"] is not None  # smoothing keeps PSI defined
 
 
 def test_embedding_psi_registry_query(spark):
@@ -144,17 +197,6 @@ def test_ks_matches_hand_computation(spark):
     assert r["ks"] == 0.5
     assert r["n_bins"] == 2
     assert r["drift_flag"] is True  # 0.5 > 0.1
-
-
-def test_ks_registry_query_shape(spark):
-    out = entrymod._q_drift_ks_events(spark, SF_DIR)
-    rows = out.collect()
-    assert {r["event_type"] for r in rows} >= {"click", "view", "purchase"}
-    for r in rows:
-        assert r["n_ref"] > 0 and r["n_cur"] > 0
-        assert 0.0 <= r["ks"] <= 1.0  # a sup of |ECDF diff| by construction
-        # stationary synthetic feed: no false alarms
-        assert r["drift_flag"] is False, (r["event_type"], r["ks"])
 
 
 def test_stream_drift_psi_matches_batch_fold(spark):

@@ -416,17 +416,20 @@ def test_profile_approx_scan_is_not_expanded(spark):
     assert approx.count("orders.parquet") == 1
 
 
-def test_drift_psi_answer_sized_tail(spark):
-    """PSI: two histogram aggregates over the windows, then everything
-    answer-sized — no cartesian/nested-loop join, no Python eval, and
-    at most 3 exchanges (two histograms + the bin-frame join+agg
-    partitioning)."""
-    df = e._q_drift_psi_events(spark, SF)
+def test_drift_scorecard_answer_sized_tail(spark):
+    """Fused PSI+KS scorecard (the r16 capacity fusion): BOTH
+    statistics from one histogram-aggregate pair and one
+    group-partitioned window pass — no cartesian/nested-loop join, no
+    Python eval, at most 3 exchanges, and the events source scanned
+    exactly twice (once per drop window), where the two separate
+    monitors cost 6 exchanges and four scans."""
+    df = e._q_drift_events_scorecard(spark, SF)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert count_exchanges(df) <= 3
+    assert plan.count("events.parquet") <= 2
 
 
 def test_drift_embedding_psi_answer_sized_tail(spark):
@@ -434,26 +437,14 @@ def test_drift_embedding_psi_answer_sized_tail(spark):
     index keeps partitioning reusable between the histogram aggregates
     and the bin-frame join (a DOUBLE bin key gets the float-normalize
     wrapper and costs one extra exchange per window), so the whole
-    monitor holds at 3 exchanges like drift_psi_events — and nothing
-    expands, nested-loops, or drops into Python."""
+    monitor holds at 3 exchanges like the events scorecard — and
+    nothing expands, nested-loops, or drops into Python."""
     df = e._q_drift_embedding_psi(spark, SF)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "Expand" not in plan
-    assert count_exchanges(df) <= 3
-
-
-def test_drift_ks_answer_sized_tail(spark):
-    """KS shares PSI's shape: two histogram aggregates, then
-    answer-sized cumulative windows — the ordered window partitions by
-    group over bins, never a global sort. Same exchange budget."""
-    df = e._q_drift_ks_events(spark, SF)
-    plan = physical_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "EvalPython" not in plan and "InPandas" not in plan
     assert count_exchanges(df) <= 3
 
 
