@@ -7783,6 +7783,168 @@ _HYBRID_RRF_ORACLE = r"""
 """
 
 
+def _q_rerank_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rescore rerank over the hybrid shortlist (ROUND-17-READY
+    — built and parity-verified in r16, unregistered per the
+    registry-freeze rule; operators/fusion.py:rescore_top_k): the
+    stage a production stack runs where a cross-encoder would go —
+    recompute BOTH retrieval features exactly for every fused
+    (query, candidate) pair and re-rank top-5 on the blend
+    0.5·cosine + 0.5·jaccard. The point over hybrid_search_rrf
+    alone: a candidate surfaced by only one leg carried no score
+    from the other (RRF saw a single reciprocal); the rerank
+    completes the missing feature on the ANSWER-SIZED shortlist
+    (|queries|·10 pairs — four broadcast-hash lookups against the
+    corpus tables, zero shuffles, zero corpus passes) instead of
+    paying a corpus-wide cross score. Same query set and legs as the
+    registered hybrid_search_rrf."""
+    from mape_calculation_and_anonymization_spark.operators.fusion import (
+        jaccard_top_k,
+        rescore_top_k,
+        rrf_fuse,
+    )
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        brute_force_top_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_docs = docs.filter(F.col("doc_id") % 100 == 0)
+    q_vecs = emb.filter(F.col("vec_id") % 100 == 0)
+    lex = jaccard_top_k(q_docs, docs, n=3, k=10)
+    vec = brute_force_top_k(emb, q_vecs, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(lex, vec, k=10, rrf_k=60)
+    return rescore_top_k(
+        fused, docs, emb, n=3, alpha=0.5, k=5
+    ).orderBy("query_id", "rerank")
+
+
+# Class-A twin: the registered _HYBRID_RRF_ORACLE's chain re-derives
+# the fused shortlist (kept verbatim there — this literal repeats it
+# rather than share a spliced prefix, so the FROZEN registered oracle
+# is never touched); the rescore stage then recomputes both features
+# for exactly the shortlist pairs. Parity notes: list_dot_product ↔
+# element-order dot (the semantic_dedup convention), int-exact set
+# sizes cast to DOUBLE before the one division, and the blend keeps
+# the same expression shape with DOUBLE-cast literals (a bare 0.5 is
+# DECIMAL in DuckDB) — so ranking on the UNROUNDED blend is
+# engine-portable; display columns round in the projection. ``t`` is
+# MATERIALIZED: four references (q, lex corpus side, both rescore
+# lookups) would otherwise inline the token derivation four times.
+_RERANK_FUSED_ORACLE = r"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(raw) - 3, 0) + 1),
+                   i -> array_to_string(raw[i+1:i+3], ' ')
+               )) AS toks
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS raw
+            FROM documents
+        )
+    ),
+    q AS (SELECT doc_id AS query_id, toks FROM t WHERE doc_id % 100 = 0),
+    lex_scored AS (
+        SELECT q.query_id, c.doc_id,
+               ROUND(CAST(len(list_intersect(q.toks, c.toks)) AS DOUBLE)
+                     / (len(q.toks) + len(c.toks)
+                        - len(list_intersect(q.toks, c.toks))), 6)
+                   AS jaccard_sim
+        FROM q JOIN t c ON q.query_id <> c.doc_id
+        WHERE len(list_intersect(q.toks, c.toks)) > 0
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY jaccard_sim DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM lex_scored
+    ),
+    emb AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    vq AS (SELECT vec_id, v FROM emb WHERE vec_id % 100 = 0),
+    dots AS (
+        SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+               ROUND(list_dot_product(vq.v, c.v)
+                     / (SQRT(list_dot_product(vq.v, vq.v))
+                        * SQRT(list_dot_product(c.v, c.v))), 6)
+                   AS cosine_sim
+        FROM vq JOIN emb c ON vq.vec_id <> c.vec_id
+    ),
+    vec AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM dots
+    ),
+    legs AS (
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        FROM lex WHERE rank <= 10
+        UNION ALL
+        SELECT query_id, doc_id,
+               CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        FROM vec WHERE rank <= 10
+    ),
+    fused AS (
+        SELECT query_id, doc_id, SUM(c) AS s
+        FROM legs GROUP BY query_id, doc_id
+    ),
+    cand AS (
+        SELECT query_id, doc_id
+        FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, doc_id
+                   ) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= 10
+    ),
+    feat AS (
+        SELECT cd.query_id, cd.doc_id,
+               CAST(len(list_intersect(qt.toks, dt.toks)) AS DOUBLE)
+                 / (len(qt.toks) + len(dt.toks)
+                    - len(list_intersect(qt.toks, dt.toks))) AS jac,
+               list_dot_product(qe.v, de.v)
+                 / (SQRT(list_dot_product(qe.v, qe.v))
+                    * SQRT(list_dot_product(de.v, de.v))) AS cos
+        FROM cand cd
+        JOIN t qt ON qt.doc_id = cd.query_id
+        JOIN t dt ON dt.doc_id = cd.doc_id
+        JOIN emb qe ON qe.vec_id = cd.query_id
+        JOIN emb de ON de.vec_id = cd.doc_id
+    ),
+    rer AS (
+        SELECT query_id, doc_id, cos, jac,
+               CAST(0.5 AS DOUBLE) * cos + CAST(0.5 AS DOUBLE) * jac
+                   AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(0.5 AS DOUBLE) * cos
+                            + CAST(0.5 AS DOUBLE) * jac DESC,
+                            doc_id
+               ) AS INTEGER) AS rerank
+        FROM feat
+    )
+    SELECT query_id, doc_id,
+           ROUND(cos, 6) AS cosine_sim,
+           ROUND(jac, 6) AS jaccard_sim,
+           ROUND(score, 6) AS rerank_score,
+           rerank
+    FROM rer WHERE rerank <= 5
+    ORDER BY query_id, rerank
+"""
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen day, distinct
     actives counted at each day offset. Two hash aggregates (cohort
@@ -8144,6 +8306,137 @@ def _leakage_split_oracle() -> str:
     ORDER BY doc_id
 """
     )
+
+
+def _q_leakage_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-standing split re-assignment (ROUND-17-READY — built
+    and parity-verified in r16, unregistered per the registry-freeze
+    rule; operators/sampling.py:leakage_safe_split_incremental): the
+    daily-drop face of leakage_safe_split. Day-0 standing = the
+    cluster-keyed split over the base documents (singleton day-0
+    clusters, so the ledger is the md5 band of each doc's own id —
+    leakage_safe_split under an empty map). Today's drop plants all
+    four assignment fates: ×(+1M) twins of every doc (join their
+    origin's cluster → INHERIT the standing split), (+2M) bridge docs
+    for doc_id%100==0 that merge standing docs d and d+1 into one
+    cluster (anchor rule: new members take split(d), the min-id
+    standing member; leak_flag marks the whole cluster iff the
+    standing pair already straddles a boundary — the one case
+    freezing cannot repair), and (+3M) fresh docs for doc_id%97==0
+    ABSENT from the cluster map entirely (singleton coalesce → the
+    parent's md5-band rule on their own id). Standing docs keep
+    their day-0 split verbatim even where the bridge changed their
+    cluster id — eval-set stability is the contract."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split_incremental,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # day-0 ledger: leakage_safe_split over singleton clusters ==
+    # the band of each doc's own id
+    standing = docs.select(
+        "doc_id", hash_split(F.col("doc_id"), fr).alias("split")
+    )
+    twins = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"))
+    bridges = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id")
+    )
+    fresh = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id")
+    )
+    new = twins.unionByName(bridges).unionByName(fresh)
+    # the UPDATED near-dup map: the bridge merges {d, d+1, their
+    # twins, the bridge} into component-min cluster d; every other
+    # doc/twin keeps its origin's singleton; fresh docs are absent
+    base_cluster = F.when(
+        F.col("doc_id") % 100 <= 1,
+        F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(100)),
+    ).otherwise(F.col("doc_id"))
+    cmap = (
+        docs.select("doc_id", base_cluster.alias("cluster"))
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                base_cluster.alias("cluster"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 100 == 0).select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+                F.col("doc_id").alias("cluster"),
+            )
+        )
+    )
+    return leakage_safe_split_incremental(
+        standing, new, cmap, fr
+    ).orderBy("doc_id")
+
+
+def _leakage_split_incremental_oracle() -> str:
+    """Class-A twin for leakage_split_incremental: the whole corpus
+    (standing ledger, drop, cluster map) is arithmetic on doc ids, so
+    the twin re-derives everything — day-0 bands, the merge-aware
+    cluster formula, the per-cluster standing profile (arg_min anchor
+    + distinct-split count), and the three-way assignment rule —
+    without any recursive-CTE graph pass."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        rate_to_hex_threshold as thr,
+    )
+
+    def band(key: str) -> str:
+        b = f"substr(md5(concat('split:', CAST({key} AS VARCHAR))), 1, 4)"
+        return (
+            f"CASE WHEN {b} < '{thr(0.8)}' THEN 'train' "
+            f"WHEN {b} < '{thr(0.9)}' THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+    WITH base AS (SELECT doc_id FROM documents),
+    cl AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 100 <= 1
+                    THEN doc_id - (doc_id % 100)
+                    ELSE doc_id END AS cluster
+        FROM base
+    ),
+    all_rows AS (
+        SELECT b.doc_id, c.cluster,
+               {band('b.doc_id')} AS std_split,
+               FALSE AS is_new
+        FROM base b JOIN cl c USING (doc_id)
+        UNION ALL
+        SELECT b.doc_id + 1000000, c.cluster,
+               CAST(NULL AS VARCHAR), TRUE
+        FROM base b JOIN cl c USING (doc_id)
+        UNION ALL
+        SELECT b.doc_id + 2000000, b.doc_id,
+               CAST(NULL AS VARCHAR), TRUE
+        FROM base b WHERE b.doc_id % 100 = 0
+        UNION ALL
+        -- fresh docs are ABSENT from the map: singleton cluster =
+        -- their own (+3M) id, the operator's COALESCE convention
+        SELECT b.doc_id + 3000000, b.doc_id + 3000000,
+               CAST(NULL AS VARCHAR), TRUE
+        FROM base b WHERE b.doc_id % 97 = 0
+    ),
+    prof AS (
+        SELECT cluster,
+               arg_min(std_split, doc_id) AS anchor,
+               COUNT(DISTINCT std_split) AS n_std
+        FROM all_rows WHERE NOT is_new GROUP BY cluster
+    )
+    SELECT a.doc_id, a.cluster,
+           CASE WHEN NOT a.is_new THEN a.std_split
+                WHEN p.anchor IS NOT NULL THEN p.anchor
+                ELSE {band('a.cluster')} END AS split,
+           a.is_new,
+           COALESCE(p.n_std > 1, FALSE) AS leak_flag
+    FROM all_rows a LEFT JOIN prof p USING (cluster)
+    ORDER BY a.doc_id
+"""
 
 
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:

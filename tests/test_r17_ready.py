@@ -1,0 +1,200 @@
+"""Round-17-ready query/oracle pairs, parity-tested NOW.
+
+The round-16 evidence chain froze the registry at 189 entries
+(ROUND_PROCEDURE.md, registry-freeze rule), so these pairs are built
+and verified in r16 but debut in r17's window with a 2-line
+registration each. The check here is the DRIVER'S compare
+(oracle_utils.compare_query — rows, schema, value hash) at sf0.001;
+registration day should be mechanical.
+"""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from tests.oracle_utils import compare_query
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# rerank_fused_topk — exact-rescore rerank over the hybrid shortlist
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_fused_topk_parity(spark):
+    ok, msg = compare_query(
+        spark, SF, e._q_rerank_fused_topk, e._RERANK_FUSED_ORACLE
+    )
+    assert ok, msg
+
+
+def test_rerank_fused_topk_shape(spark):
+    """Every query emits a rerank top-5 with contiguous ranks from 1,
+    scores descending in rank order, and the displayed blend equal to
+    0.5·cosine + 0.5·jaccard of the displayed features (to rounding)."""
+    rows = e._q_rerank_fused_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q  # non-degenerate
+    for q, rs in by_q.items():
+        ranks = sorted(r["rerank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        ordered = sorted(rs, key=lambda r: r["rerank"])
+        scores = [r["rerank_score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            blend = 0.5 * r["cosine_sim"] + 0.5 * r["jaccard_sim"]
+            # displayed columns round independently of the ranking
+            # score; allow the displayed-vs-recombined rounding slack
+            assert abs(r["rerank_score"] - blend) < 2e-6, r
+
+
+def test_rescore_completes_missing_feature(spark):
+    """Operator contract: a candidate surfaced by only one leg (so
+    RRF saw one reciprocal) still gets BOTH exact features from the
+    rerank — that's the stage's whole point — and the blend ranking
+    can overturn the fused order."""
+    from mape_calculation_and_anonymization_spark.operators.fusion import (
+        rescore_top_k,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "doc_id"]
+    )
+    texts = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (10, "alpha beta gamma delta"),  # lexical twin of the query
+            (11, "zeta eta theta iota"),  # lexically disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (10, [0.0, 1.0]),  # orthogonal to the query
+            (11, [1.0, 0.0]),  # cosine twin of the query
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rescore_top_k(cand, texts, emb, k=2).collect()
+    }
+    assert out[10]["cosine_sim"] == 0.0 and out[10]["jaccard_sim"] == 1.0
+    assert out[11]["cosine_sim"] == 1.0 and out[11]["jaccard_sim"] == 0.0
+    # equal blends (0.5 each): doc_id breaks the tie
+    assert out[10]["rerank"] == 1 and out[11]["rerank"] == 2
+
+
+# ---------------------------------------------------------------------------
+# leakage_split_incremental — frozen-standing split re-assignment
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_incremental_parity(spark):
+    ok, msg = compare_query(
+        spark,
+        SF,
+        e._q_leakage_split_incremental,
+        e._leakage_split_incremental_oracle(),
+    )
+    assert ok, msg
+
+
+def test_incremental_split_rules(spark):
+    """Operator contract on a hand frame exercising all four fates:
+    standing docs keep their split even when their cluster id changed
+    (frozen), new docs inherit the min-id standing member's split,
+    all-new clusters take the md5-band rule, and only a cluster whose
+    STANDING members straddle a boundary is leak-flagged."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split_incremental,
+    )
+
+    fr = {"train": 0.5, "test": 0.5}
+    standing = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train")], ["doc_id", "split"]
+    )
+    new = spark.createDataFrame([(10,), (11,), (12,)], ["doc_id"])
+    # cluster 1 = merged {1 (train), 2 (test), 10}: a standing
+    # straddle — frozen splits stay, 10 takes anchor split(1), all
+    # five rows of the cluster flag. 11 joins 3's cluster (inherit).
+    # 12 is absent from the map: all-new singleton, band rule.
+    cmap = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 1), (3, 3), (11, 3)], ["doc_id", "cluster"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in leakage_safe_split_incremental(
+            standing, new, cmap, fr
+        ).collect()
+    }
+    assert len(out) == 6
+    # frozen
+    assert out[1]["split"] == "train" and out[2]["split"] == "test"
+    assert out[3]["split"] == "train"
+    # anchor inherit (min standing id 1 → train), conflict flags all
+    assert out[10]["split"] == "train"
+    for d in (1, 2, 10):
+        assert out[d]["leak_flag"] is True, d
+        assert out[d]["cluster"] == 1
+    # clean inherit, no flag
+    assert out[11]["split"] == "train" and out[11]["leak_flag"] is False
+    # all-new singleton: the parent's band rule on its own id
+    expected = spark.createDataFrame([(12,)], ["doc_id"]).select(
+        hash_split(F.col("doc_id"), fr).alias("s")
+    ).collect()[0]["s"]
+    assert out[12]["split"] == expected
+    assert out[12]["cluster"] == 12 and out[12]["leak_flag"] is False
+    assert out[12]["is_new"] is True and out[1]["is_new"] is False
+
+
+def test_incremental_split_empty_standing_degenerates(spark):
+    """On an empty standing ledger the incremental operator must
+    equal leakage_safe_split exactly (same corpus, same map) — the
+    frozen-standing contract's degeneracy pin, mirroring
+    semantic_dedup_incremental's."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        leakage_safe_split,
+        leakage_safe_split_incremental,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    cmap = docs.select(
+        "doc_id", (F.col("doc_id") - F.pmod("doc_id", F.lit(7))).alias("cluster")
+    )
+    standing = spark.createDataFrame([], "doc_id LONG, split STRING")
+    inc = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in leakage_safe_split_incremental(
+            standing, docs, cmap, fr
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["cluster"], r["split"])
+        for r in leakage_safe_split(docs, cmap, fr).collect()
+    }
+    assert inc == batch
+
+
+def test_incremental_split_day2_stability(spark):
+    """Chaining: running the operator again with day-1's output as
+    standing and an EMPTY drop reproduces day-1's assignment exactly
+    (idempotence of the frozen contract)."""
+    from mape_calculation_and_anonymization_spark.operators.sampling import (
+        leakage_safe_split_incremental,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    day1 = e._q_leakage_split_incremental(spark, SF)
+    standing2 = day1.select("doc_id", "split")
+    cmap2 = day1.select("doc_id", "cluster")
+    empty = spark.createDataFrame([], "doc_id LONG")
+    day2 = leakage_safe_split_incremental(standing2, empty, cmap2, fr)
+    d1 = {(r["doc_id"], r["split"]) for r in day1.collect()}
+    d2 = {(r["doc_id"], r["split"]) for r in day2.collect()}
+    assert d1 == d2
