@@ -146,6 +146,25 @@ def _iqr(vals: list[float]) -> float:
     return q3 - q1
 
 
+# Per-query history epochs (round 16): when a query's IMPLEMENTATION
+# SHAPE intentionally changes (an oracle upgrade that makes the query
+# do strictly more work, a registered-plan rewrite), its pre-change
+# timings describe a different computation — with a deep history the
+# median takes dozens of refreshes to roll forward, so the per-query
+# flag would cry wolf for many rounds (x5: 38 rows-only-shape records
+# vs 5 post-upgrade ones at r16 open; normalized_ratio 4.5× against a
+# baseline the query can never return to). A reset entry drops that
+# query's history records OLDER than the shape-change timestamp from
+# drift comparison — an explicit, committed adjudication, reviewed
+# like code. It does NOT touch the history file itself.
+HISTORY_RESETS: dict[str, int] = {
+    # r14 Class-B oracle upgrade: x5 recomputes every blake2b digest
+    # (0.28s rows-only shape → ~1.2-2.5s); first new-shape record
+    # landed at this ts (commit 7b78b673).
+    "x5_uid_pseudonym": 1786875623,
+}
+
+
 def drift_report(
     current: dict[str, float],
     history: list[dict],
@@ -153,6 +172,7 @@ def drift_report(
     ratio_floor: float = 1.3,
     iqr_mult: float = 2.0,
     abs_floor: float = 0.15,
+    resets: dict[str, int] | None = None,
 ) -> dict:
     """Load-vs-regression discrimination for one bench run against the
     per-query history (see the module-section comment for the model).
@@ -163,9 +183,13 @@ def drift_report(
     ratio floor AND by ``iqr_mult`` × its history IQR AND by an
     absolute floor (sub-0.15 s excursions are scheduler noise even
     when their ratio is large)."""
+    if resets is None:
+        resets = HISTORY_RESETS
     hist_by_q: dict[str, list[float]] = {}
     for rec in history:
         for q, v in rec.get("queries", {}).items():
+            if q in resets and rec.get("ts", 0) < resets[q]:
+                continue  # pre-shape-change record (HISTORY_RESETS)
             hist_by_q.setdefault(q, []).append(float(v))
     comparable = {
         q: v
@@ -210,6 +234,9 @@ def drift_report(
             for q, v in rec.get("queries", {}).items()
             if len(hist_by_q.get(q, ())) >= min_history
             and _median(hist_by_q[q]) > 0
+            # a reset-excluded (query, record) pair describes the old
+            # shape — keep it out of the record's load estimate too
+            and not (q in resets and rec.get("ts", 0) < resets[q])
         ]
         if rs:
             rec_ratios.append(_median(rs))

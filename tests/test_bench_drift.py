@@ -169,6 +169,33 @@ def test_session_band_recenters_on_bimodal_history():
     assert rep["session_ratio_alert"] is False
 
 
+def test_history_reset_drops_pre_shape_change_records():
+    """HISTORY_RESETS (round 16): a query whose implementation shape
+    intentionally changed compares only against post-change records —
+    without the reset, a deep old-shape history pins the median for
+    dozens of refreshes and the flag cries wolf on a baseline the
+    query can never return to (the x5 r14-upgrade case)."""
+    # the x5 geometry: the new shape is a MINORITY of a deep history
+    # (10 old-shape + 3 new-shape records), so Q3 still sits in the
+    # old-shape mode and the IQR gate cannot absorb the excursion
+    hist = _history(13, BASE)
+    for i, rec in enumerate(hist):
+        if i >= 10:  # shape changed at ts 1010
+            rec["queries"]["q_slow"] = 9.0
+    cur = dict(BASE, q_slow=9.2)
+    # without a reset: 9.2 vs the old-shape median 3.0 → flagged
+    rep = bench.drift_report(cur, hist, resets={})
+    assert [f["query"] for f in rep["flags"]] == ["q_slow"]
+    # with the reset: 9.2 vs the new-shape median 9.0 → quiet
+    rep = bench.drift_report(cur, hist, resets={"q_slow": 1010})
+    assert rep["flags"] == []
+    # and a genuine post-change regression still flags
+    rep = bench.drift_report(
+        dict(BASE, q_slow=15.0), hist, resets={"q_slow": 1010}
+    )
+    assert [f["query"] for f in rep["flags"]] == ["q_slow"]
+
+
 def test_iqr_gate_meaningful_at_min_history():
     """ADVICE r14: at min_history=3 the old max-min IQR made the
     variance gate span the whole sample range; interpolated quartiles
