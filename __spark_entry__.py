@@ -4132,6 +4132,82 @@ def _keep_best_gated_oracle() -> str:
     )
 
 
+def _q_dedup_keep_best_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused keep-best scorecard (ROUND-17-READY — built and
+    parity-verified in r16, unregistered per the registry-freeze
+    rule; operators/dedup.py:cluster_representatives_scorecard): the
+    r17 FUSION candidate for the registered dedup_keep_best +
+    dedup_keep_best_gated near-twins — same corpus, same offline
+    cluster map (_jaccard_index), same quality projection; the gated
+    parent only adds gate booleans. One registry entry emits BOTH
+    decisions per cluster, and the plan IMPROVES on either parent:
+    each paid a cluster-partitioned window (exchange + sort); the
+    fusion is one map-side-combinable hash aggregate (max_by over
+    ordering structs) — no sort at all, both decisions share one
+    exchange. Gates are quality_gate_funnel's five defaults,
+    NULL = FAIL."""
+    import os
+
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        cluster_representatives_scorecard,
+    )
+
+    clusters = spark.read.parquet(
+        os.path.join(_jaccard_index(spark, sf_dir), "clusters")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin marker")).alias("text"),
+    )
+    passed = _hard_gates_passed()
+    scored = ensure_min_partitions(docs.unionByName(twins)).select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        passed.alias("passed"),
+    )
+    return cluster_representatives_scorecard(clusters.join(scored, "doc_id"))
+
+
+def _keep_best_scorecard_oracle() -> str:
+    """Full re-derivation twin for the fused scorecard: the shared
+    recursive-CTE cluster prefix + both per-doc projections, ONE
+    MATERIALIZED ranked frame carrying both row_numbers (materialized
+    because it is referenced twice — once per winner — and sits on
+    top of the recursive reach), self-joined on cluster for the two
+    rank-1 picks."""
+    return (
+        _keep_best_cte_prefix(_keep_best_quality_sql())
+        + f""",
+    g AS ({_quality_gates_sql()}),
+    ranked AS MATERIALIZED (
+        SELECT cl.cluster, cl.doc_id, q.quality, g.passed,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster
+                   ORDER BY q.quality DESC, cl.doc_id
+               ) AS rn_best,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster
+                   ORDER BY g.passed DESC, q.quality DESC, cl.doc_id
+               ) AS rn_gated,
+               COUNT(*) OVER (PARTITION BY cl.cluster) AS n_members,
+               SUM(CASE WHEN g.passed THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cl.cluster) AS n_pass
+        FROM clusters cl JOIN q USING (doc_id) JOIN g USING (doc_id)
+    )
+    SELECT b.cluster,
+           b.doc_id AS kept_id,
+           b.quality AS kept_quality,
+           CASE WHEN gt.passed THEN gt.doc_id END AS kept_id_gated,
+           CASE WHEN gt.passed THEN gt.quality END AS kept_quality_gated,
+           b.n_members,
+           CAST(b.n_pass AS BIGINT) AS n_pass
+    FROM ranked b JOIN ranked gt ON b.cluster = gt.cluster
+    WHERE b.rn_best = 1 AND gt.rn_gated = 1
+"""
+    )
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pipeline composed end to end: language
     gate (en) → quality gate (≥ 0.4) → repetition gate (rep3 < 0.2) →

@@ -89,6 +89,92 @@ def test_rescore_completes_missing_feature(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup_keep_best_scorecard — fusion of dedup_keep_best + _gated
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_scorecard_parity(spark):
+    ok, msg = compare_query(
+        spark,
+        SF,
+        e._q_dedup_keep_best_scorecard,
+        e._keep_best_scorecard_oracle(),
+    )
+    assert ok, msg
+
+
+def test_keep_best_scorecard_equals_parents(spark):
+    """Fusion correctness against the REGISTERED parents on the same
+    corpus: the scorecard's ungated columns equal dedup_keep_best's
+    rows, its gated columns equal dedup_keep_best_gated's — including
+    the whole-cluster-drop NULLs."""
+    fused = {
+        r["cluster"]: r
+        for r in e._q_dedup_keep_best_scorecard(spark, SF).collect()
+    }
+    best = {
+        r["cluster"]: r for r in e._q_dedup_keep_best(spark, SF).collect()
+    }
+    gated = {
+        r["cluster"]: r
+        for r in e._q_dedup_keep_best_gated(spark, SF).collect()
+    }
+    assert set(fused) == set(best) == set(gated)
+    for c, r in fused.items():
+        assert r["kept_id"] == best[c]["kept_id"]
+        assert r["kept_quality"] == best[c]["quality"]
+        assert r["n_members"] == best[c]["n_members"]
+        assert r["kept_id_gated"] == gated[c]["kept_id"]
+        assert r["kept_quality_gated"] == gated[c]["kept_quality"]
+        assert r["n_pass"] == gated[c]["n_pass"]
+
+
+def test_scorecard_operator_no_window(spark):
+    """The fusion's plan claim: ONE shuffle exchange (the groupBy), no
+    Window operator at all — each parent pays an exchange + sort."""
+    from mape_calculation_and_anonymization_spark.plans.audit import physical_plan
+
+    df = e._q_dedup_keep_best_scorecard(spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scorecard_gated_null_and_tie_semantics(spark):
+    """Hand frame: NULL passed == FAIL; all-fail cluster drops whole
+    (gated NULLs) while the ungated pick survives; quality tie breaks
+    on the smaller id in BOTH decisions."""
+    from mape_calculation_and_anonymization_spark.operators.dedup import (
+        cluster_representatives_scorecard,
+    )
+
+    rows = [
+        # cluster 1: all fail the gate (one NULL = FAIL)
+        (1, 11, 0.9, None),
+        (1, 12, 0.8, False),
+        # cluster 2: tie on quality, both pass → id 21 wins both
+        (2, 22, 0.7, True),
+        (2, 21, 0.7, True),
+        # cluster 3: best quality fails, runner-up passes
+        (3, 31, 0.95, False),
+        (3, 32, 0.60, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster INT, doc_id INT, quality DOUBLE, passed BOOLEAN"
+    )
+    out = {
+        r["cluster"]: r
+        for r in cluster_representatives_scorecard(df).collect()
+    }
+    assert out[1]["kept_id"] == 11 and out[1]["kept_id_gated"] is None
+    assert out[1]["kept_quality_gated"] is None and out[1]["n_pass"] == 0
+    assert out[2]["kept_id"] == 21 and out[2]["kept_id_gated"] == 21
+    assert out[3]["kept_id"] == 31 and out[3]["kept_id_gated"] == 32
+    assert out[3]["kept_quality"] == 0.95
+    assert out[3]["kept_quality_gated"] == 0.60
+
+
+# ---------------------------------------------------------------------------
 # leakage_split_incremental — frozen-standing split re-assignment
 # ---------------------------------------------------------------------------
 
