@@ -2276,6 +2276,109 @@ _TEXT_QUALITY_ORACLE = rf"""
 """
 
 
+def _q_text_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-doc text scorecard (ROUND-17-READY — built and
+    parity-verified in r16, unregistered per the registry-freeze
+    rule): the r17 FUSION candidate for the THREE registered per-doc
+    text monitors — text_token_stats, text_quality, text_repetition —
+    which are all projections/aggregates over the same documents
+    scan. One entry emits the full quality row a curation pipeline
+    gates on (token counts, punct/stopword/mean-length ratios, the
+    composite quality score, the Gopher rep3 signal and its keep
+    verdict), and the plan beats the trio: documents is scanned
+    exactly TWICE (the metric projection + the gram explode) where
+    the parents scan it four times (text_repetition's join-back
+    included), and the repetition aggregate's hash partitioning is
+    reused by the scorecard join. Registering it in r17 retires three
+    entries for one. Uses ngram_repetition_stats' join_to seam — the
+    operators themselves are unchanged."""
+    docs = ensure_min_partitions(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    proj = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpeish_token_count("text").alias("n_bpeish"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    stats = ngram_repetition_stats(docs, "doc_id", "text", 3, join_to=proj)
+    rep = F.round("rep3", 6)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpeish",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality",
+        rep.alias("rep3"),
+        (rep < 0.2).alias("keep"),
+    )
+
+
+# Class-A twin: the three parents' oracle fragments merged over ONE
+# token derivation (t MATERIALIZED — referenced by both the metric
+# and the gram leg), expressions kept verbatim from the registered
+# twins so the fused compare inherits their proven float discipline.
+_TEXT_SCORECARD_ORACLE = rf"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                   / NULLIF(length(text), 0) AS p_ratio
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, p_ratio,
+               CAST(len(list_filter(toks, x -> list_contains({_sw_list_sql('en')}, x))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS sw_ratio,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS mean_len
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) - 2 <= 0 THEN NULL
+                    ELSE list_transform(
+                        range(0, len(toks) - 2),
+                        i -> array_to_string(toks[i+1:i+3], ' ')
+                    )
+               END AS grams
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN grams IS NULL THEN 0.0
+                    ELSE ROUND(
+                        1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams), 6)
+               END AS rep3
+        FROM g
+    )
+    SELECT m.doc_id,
+           CASE WHEN length(trim(m.text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(m.text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(m.text, '\w+|[^\w\s]')) AS n_bpeish,
+           ROUND(m.p_ratio, 6) AS punct_ratio,
+           ROUND(m.sw_ratio, 6) AS stopword_ratio,
+           ROUND(m.mean_len, 6) AS mean_token_len,
+           ROUND(
+               LEAST(length(m.text) / 500.0, 1.0) * 0.3
+               + LEAST(m.sw_ratio * 4.0, 1.0) * 0.2
+               + GREATEST(1.0 - m.p_ratio * 5.0, 0.0) * 0.3
+               + (CASE WHEN m.mean_len >= 3.0 AND m.mean_len <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2,
+               6
+           ) AS quality,
+           r.rep3,
+           r.rep3 < 0.2 AS keep
+    FROM m JOIN r USING (doc_id)
+"""
+
+
 def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card (round-12 debut): the per-(source, lang)
     curation summary a training-data release publishes — volume

@@ -89,6 +89,82 @@ def test_rescore_completes_missing_feature(spark):
 
 
 # ---------------------------------------------------------------------------
+# text_scorecard — fusion of text_token_stats + text_quality +
+# text_repetition
+# ---------------------------------------------------------------------------
+
+
+def test_text_scorecard_parity(spark):
+    ok, msg = compare_query(
+        spark, SF, e._q_text_scorecard, e._TEXT_SCORECARD_ORACLE
+    )
+    assert ok, msg
+
+
+def test_text_scorecard_equals_parents(spark):
+    """Fusion correctness against the three REGISTERED parents on the
+    same corpus: every scorecard column equals the corresponding
+    parent column row-for-row."""
+    card = {r["doc_id"]: r for r in e._q_text_scorecard(spark, SF).collect()}
+    tok = {r["doc_id"]: r for r in e._q_text_token_stats(spark, SF).collect()}
+    qual = {r["doc_id"]: r for r in e._q_text_quality(spark, SF).collect()}
+    rep = {r["doc_id"]: r for r in e._q_text_repetition(spark, SF).collect()}
+    assert set(card) == set(tok) == set(qual) == set(rep)
+    for d, r in card.items():
+        assert (r["n_tokens"], r["n_bpeish"]) == (
+            tok[d]["n_tokens"],
+            tok[d]["n_bpeish"],
+        )
+        assert (
+            r["punct_ratio"],
+            r["stopword_ratio"],
+            r["mean_token_len"],
+            r["quality"],
+        ) == (
+            qual[d]["punct_ratio"],
+            qual[d]["stopword_ratio"],
+            qual[d]["mean_token_len"],
+            qual[d]["quality"],
+        )
+        assert (r["rep3"], r["keep"]) == (rep[d]["rep3"], rep[d]["keep"])
+
+
+def test_text_scorecard_two_scans(spark):
+    """The fusion's plan claim: documents scanned exactly twice (the
+    metric projection + the gram explode) where the three parents
+    together scan it four times. load_table surfaces the fixture as
+    a Scan ExistingRDD node (the nanosAsLong workaround), so count
+    document-schema scans, not parquet paths."""
+    import re
+
+    from mape_calculation_and_anonymization_spark.plans.audit import physical_plan
+
+    plan = physical_plan(e._q_text_scorecard(spark, SF))
+    doc_scans = re.findall(r"Scan ExistingRDD\[doc_id#\d+L?,text#", plan)
+    assert len(doc_scans) == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_join_to_default_unchanged(spark):
+    """The join_to seam must be invisible to existing callers: with
+    the default None the output frame is identical (columns and
+    rows) to the pre-seam contract."""
+    from mape_calculation_and_anonymization_spark.operators.text import (
+        ngram_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y"), (3, None)], ["doc_id", "text"]
+    )
+    out = ngram_repetition_stats(df, "doc_id", "text", 3)
+    assert out.columns == ["doc_id", "rep3"]
+    rows = {r["doc_id"]: r["rep3"] for r in out.collect()}
+    # "a b c a b c": grams [abc,bca,cab,abc] → 1 - 3/4
+    assert abs(rows[1] - 0.25) < 1e-9
+    assert rows[2] == 0.0 and rows[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
 # dedup_keep_best_scorecard — fusion of dedup_keep_best + _gated
 # ---------------------------------------------------------------------------
 
