@@ -7974,9 +7974,10 @@ def _q_rerank_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the other (RRF saw a single reciprocal); the rerank
     completes the missing feature on the ANSWER-SIZED shortlist
     (|queries|·10 pairs — four broadcast-hash lookups against the
-    corpus tables, zero shuffles, zero corpus passes) instead of
-    paying a corpus-wide cross score. Same query set and legs as the
-    registered hybrid_search_rrf."""
+    corpus tables; the stage's only exchange is the rank window over
+    the answer-sized scored frame) instead of paying a corpus-wide
+    cross score. Same query set and legs as the registered
+    hybrid_search_rrf."""
     from mape_calculation_and_anonymization_spark.operators.fusion import (
         jaccard_top_k,
         rescore_top_k,

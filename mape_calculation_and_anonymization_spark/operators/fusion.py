@@ -105,8 +105,10 @@ def rescore_top_k(
 
     Scale shape: four broadcast-hash joins of the answer-sized frame
     against the corpus tables (two text lookups, two vector lookups)
-    — zero shuffles, zero corpus×corpus products, and the per-pair
-    math (``array_intersect`` on distinct n-gram arrays, element-order
+    — zero CORPUS shuffles (the one exchange this stage adds is the
+    per-query rank window over the answer-sized scored frame), zero
+    corpus×corpus products, and the per-pair math
+    (``array_intersect`` on distinct n-gram arrays, element-order
     ``dot``) is whole-stage-codegen JVM. The blend keeps the exact
     expression shape the DuckDB twin uses (element-order dot ↔
     ``list_dot_product``; int-exact set sizes), so ranking on the

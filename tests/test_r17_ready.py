@@ -50,6 +50,29 @@ def test_rerank_fused_topk_shape(spark):
             assert abs(r["rerank_score"] - blend) < 2e-6, r
 
 
+def test_r17_ready_plan_shapes(spark):
+    """Exchange budgets for all four r17-ready queries, so a refactor
+    before registration day can't silently regress them: the rerank
+    adds only broadcasts plus one answer-sized rank-window exchange
+    over the registered hybrid's plan (its BNLJ is the ANN leg's
+    intentional dimension-broadcast shape); the keep-best scorecard
+    is the single-exchange hash aggregate; the text scorecard holds
+    at two; the incremental split at four (union-map join, profile
+    agg, profile join-back, final projection partitioning)."""
+    from mape_calculation_and_anonymization_spark.plans.report import audit_query
+
+    budgets = {
+        "rerank": (e._q_rerank_fused_topk, 7),
+        "leak_inc": (e._q_leakage_split_incremental, 4),
+        "kb_card": (e._q_dedup_keep_best_scorecard, 1),
+        "txt_card": (e._q_text_scorecard, 2),
+    }
+    for name, (fn, budget) in budgets.items():
+        row = audit_query(fn(spark, SF))
+        assert not row["cartesian"], name
+        assert row["exchanges"] <= budget, (name, row)
+
+
 def test_rescore_completes_missing_feature(spark):
     """Operator contract: a candidate surfaced by only one leg (so
     RRF saw one reciprocal) still gets BOTH exact features from the
