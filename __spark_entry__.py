@@ -12219,32 +12219,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering policy (round 16): the driver's correctness harness
-    # checks the FIRST 50 entries; the rotation-hygiene rule — no
-    # oracle-backed query more than THREE rounds without a green
-    # driver row (tests/test_oracle_parity.py:test_rotation_hygiene,
-    # plan emitted by `python preflight.py --plan-window`) — dictates
-    # this round's window:
-    # (a) round-16 debuts — the three r15-pre-verified operators
-    #     (VERDICT r15 item 2, in its priority order) enter the
-    #     window on debut; each displaces one tail entry of the r13
-    #     fill (the displaced entries join r17's must-includes with
-    #     the rest of their cohort).
-    # (b) the 36 forced must-includes: the full r12-green cohort due
-    #     this round — the 30-odd below-window r12s plus the six
-    #     entries the r15 debuts displaced (named by the designed
-    #     red-at-judge-time test; VERDICT r15 #1).
-    # (c) the r13-green cohort fills the remaining 11 slots, oldest
-    #     first (plan-window emission). The planning rule learned in
-    #     r9 still holds: fill free slots with the OLDEST-green
-    #     cohort, never the just-verified one.
-    # Budget note (VERDICT r7 item 2, capacity ceiling): the hygiene
-    # budget is ≤3 rounds stale, giving a 4-round cycle × 50 slots =
-    # 200 oracle-backed capacity — the math lives in
-    # test_rotation_hygiene's docstring.
-    # Below the window: oracle-backed entries ordered oldest-green
-    # first (they rotate in next), then the rows-only entries.
-    # stream_user_activity (transformWithStateInPandas) is NOT
+    # Window/ordering policy: see the comment at the head of the dict
+    # below. stream_user_activity (transformWithStateInPandas) is NOT
     # registered: the Spark 4 arbitrary-state API needs the protobuf
     # wheel, which this container lacks (state-server handshake
     # imports StateMessage_pb2; re-verified round 14). The operator
@@ -12252,73 +12228,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test; applyInPandasWithState (stream_stateful_wape) covers the
     # custom-stateful slot in this environment.
     return {
-        # round-16 debuts lead the window (plan-window priority 0:
-        # oracle-backed with no green driver row yet) — the three
-        # r16-ready operators pre-verified in r15 (tests/test_r16_ready.py),
-        # registered in VERDICT r15 item 2's priority order. Each
-        # displaces one tail entry of the r13 fill, which stays ≤3
-        # rounds stale (r13 green, due r17).
-        "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # r16 debut (completes the incremental daily-drop triple)
-        "leakage_safe_split": _q_leakage_safe_split,  # r16 debut (cluster-keyed split)
-        "hybrid_search_rrf": _q_hybrid_search_rrf,  # r16 debut (RRF hybrid retrieval)
-        "drift_events_scorecard": _q_drift_events_scorecard,  # r16 debut — FUSION of drift_psi_events (r14-green) + drift_ks_events (r12-green, was a must-include below; the fusion absorbs its obligation), the VERDICT r15 item-3 capacity demonstration
-        # the 36 forced must-includes: the full r12-green cohort due
-        # this round (plan-window emission; test_rotation_hygiene is
-        # the executable spec), incl. the six entries displaced in r15.
-        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r12
-        "event_transitions": _q_event_transitions,  # last green: r12
-        "events_json_props": _q_events_json_props,  # last green: r12
-        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r12
-        "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r12
-        "gap_fill_hourly": _q_gap_fill_hourly,  # last green: r12
-        "inverted_index": _q_inverted_index,  # last green: r12
-        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # last green: r12
-        "j1_key_join": _q_j1_key_join,  # last green: r12
-        "k2_excel_sheets": _q_k2_excel_sheets,  # last green: r12
-        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,  # last green: r12
-        "k5_time_travel": _q_k5_time_travel,  # last green: r12
-        "k6_zorder_scan": _q_k6_zorder_scan,  # last green: r12
-        "k7_orc_roundtrip": _q_k7_orc_roundtrip,  # last green: r12
-        "lang_source_chi2": _q_lang_source_chi2,  # last green: r12
-        "langid_confusion": _q_langid_confusion,  # last green: r12
-        "mape_daily_portfolio": _q_mape_daily_portfolio,  # last green: r12
-        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,  # last green: r12
-        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,  # last green: r12
-        "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r12
-        "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r12
-        "pq_ann_topk": _q_pq_ann_topk,  # last green: r12
-        "semantic_dedup": _q_semantic_dedup,  # last green: r12
-        "source_lang_crosstab": _q_source_lang_crosstab,  # last green: r12
-        "stream_distinct_users": _q_stream_distinct_users,  # last green: r12
-        "stream_key_upsert": _q_stream_key_upsert,  # last green: r12
-        "stream_parquet_sink": _q_stream_parquet_sink,  # last green: r12
-        "stream_sliding_counts": _q_stream_sliding_counts,  # last green: r12
-        "text_fingerprint": _q_text_fingerprint,  # last green: r12
-        "text_language_id": _q_text_language_id,  # last green: r12
-        "text_quality": _q_text_quality,  # last green: r12
-        "text_token_stats": _q_text_token_stats,  # last green: r12
-        "token_budget_repetition": _q_token_budget_repetition,  # last green: r12
-        "training_pipeline": _q_training_pipeline,  # last green: r12
-        "user_event_sequences": _q_user_event_sequences,  # last green: r12
-        # r13-green fill, oldest first (11 of 50; dp_noisy_counts,
-        # embedding_near_dup, exact_substring_spans were displaced by
-        # the debuts and join r17's must-includes with their cohort).
-        "agg_cube_counts": _q_agg_cube_counts,  # last green: r13
-        "approx_stats_events": _q_approx_stats_events,  # last green: r13
-        "backtest_persistence_wape": _q_backtest_persistence_wape,  # last green: r13
-        "bucketed_join_orders": _q_bucketed_join_orders,  # last green: r13
-        "contamination_near_dup": _q_contamination_near_dup,  # last green: r13
-        "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # last green: r13
-        "dedup_incremental": _q_dedup_incremental,  # last green: r13
-        "dedup_keep_best": _q_dedup_keep_best,  # last green: r13
-        "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # last green: r13
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # last green: r13
-        "doc_chunking": _q_doc_chunking,  # last green: r13
-        # ---- below the driver's 50-row window ----
-        # oracle-backed entries oldest-green first (they rotate in next).
-        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r13 (displaced by semantic_dedup_incremental; due r17)
-        "embedding_near_dup": _q_embedding_near_dup,  # last green: r13 (displaced by leakage_safe_split; due r17)
-        "exact_substring_spans": _q_exact_substring_spans,  # last green: r13 (displaced by hybrid_search_rrf; due r17)
+        # Ordering policy: the driver's correctness harness checks the
+        # FIRST 50 entries; rotation hygiene (no oracle-backed query
+        # more than THREE rounds without a green driver row;
+        # tests/test_oracle_parity.py:test_rotation_hygiene, plan from
+        # `python preflight.py --plan-window`) dictates this round's
+        # window. Round 17 is an OPTIMIZATION round: the registry SET
+        # is frozen (no debuts, no retirements — every declared query
+        # must keep computing exactly what it computed in r16), so the
+        # window is purely the 39 r13-green must-includes plus the 11
+        # oldest-green (r14) fills, alphabetical within cohort.
+        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r13
+        "embedding_near_dup": _q_embedding_near_dup,  # last green: r13
+        "exact_substring_spans": _q_exact_substring_spans,  # last green: r13
         "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,  # last green: r13
         "k8_targeted_delete": _q_k8_targeted_delete,  # last green: r13
         "kanon_generalize_suppress": _q_kanon_generalize_suppress,  # last green: r13
@@ -12366,6 +12288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_fates": _q_curation_fates,  # last green: r14
         "decile_revenue_share": _q_decile_revenue_share,  # last green: r14
         "decontamination_removal": _q_decontamination_removal,  # last green: r14
+        # ---- below the driver's 50-row window ----
+        # oracle-backed entries oldest-green first (they rotate in next).
         "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r14
         "doc_length_histogram": _q_doc_length_histogram,  # last green: r14
         "dq_expectations": _q_dq_expectations,  # last green: r14
@@ -12454,6 +12378,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r15
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r15
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r15
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # last green: r16
+        "leakage_safe_split": _q_leakage_safe_split,  # last green: r16
+        "hybrid_search_rrf": _q_hybrid_search_rrf,  # last green: r16
+        "drift_events_scorecard": _q_drift_events_scorecard,  # last green: r16
+        "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r16
+        "event_transitions": _q_event_transitions,  # last green: r16
+        "events_json_props": _q_events_json_props,  # last green: r16
+        "fixed_size_per_lang_sample": _q_fixed_size_per_lang_sample,  # last green: r16
+        "fuzzy_name_match": _q_fuzzy_name_match,  # last green: r16
+        "gap_fill_hourly": _q_gap_fill_hourly,  # last green: r16
+        "inverted_index": _q_inverted_index,  # last green: r16
+        "ivf_pq_ann_topk": _q_ivf_pq_ann_topk,  # last green: r16
+        "j1_key_join": _q_j1_key_join,  # last green: r16
+        "k2_excel_sheets": _q_k2_excel_sheets,  # last green: r16
+        "k4_compaction_roundtrip": _q_k4_compaction_roundtrip,  # last green: r16
+        "k5_time_travel": _q_k5_time_travel,  # last green: r16
+        "k6_zorder_scan": _q_k6_zorder_scan,  # last green: r16
+        "k7_orc_roundtrip": _q_k7_orc_roundtrip,  # last green: r16
+        "lang_source_chi2": _q_lang_source_chi2,  # last green: r16
+        "langid_confusion": _q_langid_confusion,  # last green: r16
+        "mape_daily_portfolio": _q_mape_daily_portfolio,  # last green: r16
+        "mape_daily_portfolio_gross_net": _q_mape_daily_portfolio_gross_net,  # last green: r16
+        "mape_daily_zone_pivot": _q_mape_daily_zone_pivot,  # last green: r16
+        "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r16
+        "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r16
+        "pq_ann_topk": _q_pq_ann_topk,  # last green: r16
+        "semantic_dedup": _q_semantic_dedup,  # last green: r16
+        "source_lang_crosstab": _q_source_lang_crosstab,  # last green: r16
+        "stream_distinct_users": _q_stream_distinct_users,  # last green: r16
+        "stream_key_upsert": _q_stream_key_upsert,  # last green: r16
+        "stream_parquet_sink": _q_stream_parquet_sink,  # last green: r16
+        "stream_sliding_counts": _q_stream_sliding_counts,  # last green: r16
+        "text_fingerprint": _q_text_fingerprint,  # last green: r16
+        "text_language_id": _q_text_language_id,  # last green: r16
+        "text_quality": _q_text_quality,  # last green: r16
+        "text_token_stats": _q_text_token_stats,  # last green: r16
+        "token_budget_repetition": _q_token_budget_repetition,  # last green: r16
+        "training_pipeline": _q_training_pipeline,  # last green: r16
+        "user_event_sequences": _q_user_event_sequences,  # last green: r16
+        "agg_cube_counts": _q_agg_cube_counts,  # last green: r16
+        "approx_stats_events": _q_approx_stats_events,  # last green: r16
+        "backtest_persistence_wape": _q_backtest_persistence_wape,  # last green: r16
+        "bucketed_join_orders": _q_bucketed_join_orders,  # last green: r16
+        "contamination_near_dup": _q_contamination_near_dup,  # last green: r16
+        "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # last green: r16
+        "dedup_incremental": _q_dedup_incremental,  # last green: r16
+        "dedup_keep_best": _q_dedup_keep_best,  # last green: r16
+        "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # last green: r16
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # last green: r16
+        "doc_chunking": _q_doc_chunking,  # last green: r16
         # rows-only by design (no portable-SQL oracle); driver records
         # err=no_oracle rows, pinned by unit tests instead. ONE entry:
         # the PIL-gated image featurizer.
