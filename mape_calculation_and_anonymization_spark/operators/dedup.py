@@ -655,43 +655,36 @@ def lsh_candidate_pairs(
         )
     )
     buckets = sigs.select(F.col(id_col).alias("_id"), band_hash.alias("band", "bh"))
-    # ONE eager materialization of the bucket frame: every consumer
-    # below — the flood-cap aggregate and BOTH legs of the pair
-    # self-join — otherwise re-derives the full upstream plan (no
-    # exchange reuse across broadcast-join legs: measured 4 source
-    # scans + 2 bucket-count aggregates on the fixture path at sf0.1,
-    # and on the live path the whole corpus signature aggregation runs
-    # per leg). The frame is (id, band int, bh int) — bands × n_docs
-    # rows at ~20 bytes: far cheaper to land once than to recompute
-    # the signature pass per consumer, at any scale.
-    buckets = buckets.localCheckpoint(eager=True)
-
+    # ONE hash aggregate collects each bucket's member ids in-row
+    # (round 17): the earlier shape paid a checkpoint job, a
+    # bucket-count aggregate, an anti-join, and BOTH legs of a
+    # (band, bh)-keyed self-join — four shuffles of the corpus-scale
+    # bucket frame plus a materialization barrier. Grouping once and
+    # expanding the C(s, 2) pairs inside the row costs a single
+    # shuffle of the same frame, the flood cap becomes a plain size
+    # predicate on the collected array (≤``max_bucket_size`` ids ·
+    # 8 bytes per row — bounded by the cap itself), and a doc
+    # appears at most once per (band, bh), so the sorted-array
+    # expansion reproduces the self-join's ``a._id < b._id`` pairs
+    # exactly.
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
     if max_bucket_size:
-        # flood-cap as an ANTI-join against the oversized buckets:
-        # the block-list is bounded by bands·n/max_bucket_size rows
-        # (small by construction), where the previous semi-join's OK
-        # set was corpus-sized — AQE turns this into a broadcast
-        # anti-join off the checkpointed frame.
-        blocked = (
-            buckets.groupBy("band", "bh")
-            .count()
-            .filter(F.col("count") > max_bucket_size)
-            .drop("count")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        buckets = buckets.join(blocked, on=["band", "bh"], how="left_anti")
-
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        grouped.filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
         .distinct()
     )
 
@@ -1320,35 +1313,45 @@ def minhash_incremental_pairs(
                 ]
             )
         )
+        # ONE hash aggregate collects each bucket's (id, new) members
+        # in-row (round 17, mirroring lsh_candidate_pairs): the
+        # earlier shape paid a checkpoint job, the flood-cap
+        # aggregate, an anti-join, and a (band, bh)-keyed join of the
+        # new-side against all members — four shuffles of the
+        # bucket frame plus a barrier. Grouping once costs a single
+        # shuffle; the cap is a size predicate on the collected array
+        # (bounded by the cap itself), and the new×other expansion
+        # runs inside the row: each NEW member pairs against every
+        # OTHER member, so (new, new) pairs surface from both
+        # directions and (new, standing) once — exactly the old
+        # join's emission, folded stable by the MAX below.
         buckets = sigs_all.select(
             "_id", "_new", band_hash.alias("band", "bh")
-        ).localCheckpoint(eager=True)  # flood-cap + both join legs read it
-        if max_bucket_size:
-            blocked = (
-                buckets.groupBy("band", "bh")
-                .count()
-                .filter(F.col("count") > max_bucket_size)
-                .drop("count")
-            )
-            buckets = buckets.join(
-                blocked, on=["band", "bh"], how="left_anti"
-            )
-        a = buckets.filter(F.col("_new")).select(
-            "band", "bh", F.col("_id").alias("_ia")
         )
-        b = buckets.select(
-            "band", "bh", F.col("_id").alias("_ib"), F.col("_new").alias("_nb")
+        grouped = buckets.groupBy("band", "bh").agg(
+            F.collect_list(F.struct("_id", "_new")).alias("_ms")
+        )
+        if max_bucket_size:
+            grouped = grouped.filter(
+                F.size("_ms") <= max_bucket_size
+            )
+        news = F.filter("_ms", lambda m: m["_new"])
+        pair_structs = F.flatten(
+            F.transform(
+                news,
+                lambda a: F.transform(
+                    F.filter("_ms", lambda b: b["_id"] != a["_id"]),
+                    lambda b: F.struct(
+                        F.least(a["_id"], b["_id"]).alias("id_a"),
+                        F.greatest(a["_id"], b["_id"]).alias("id_b"),
+                        b["_new"].alias("_other_new"),
+                    ),
+                ),
+            )
         )
         cands = (
-            a.join(b, on=["band", "bh"])
-            .filter(F.col("_ia") != F.col("_ib"))
-            .select(
-                F.least("_ia", "_ib").alias("id_a"),
-                F.greatest("_ia", "_ib").alias("id_b"),
-                # symmetric: a-side is always new, so the pair is
-                # new_new iff the OTHER side is new too
-                F.col("_nb").alias("_other_new"),
-            )
+            grouped.select(F.explode(pair_structs).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p._other_new")
             .groupBy("id_a", "id_b")
             # a (new, new) pair surfaces from both directions — one
             # with _other_new true; MAX-fold makes the type stable

@@ -572,25 +572,37 @@ def semantic_dedup_incremental(
 
     route = assign_to_centroids_udf(centroids)
 
-    def routed(df: DataFrame) -> DataFrame:
-        return (
-            ensure_min_partitions(
-                df.filter(F.col(vec_col).isNotNull()).select(
-                    F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-                )
-            )
-            .select("_id", route(F.col("_v")).alias("_r"))
-            .select(
-                "_id",
-                F.col("_r.cluster").alias("cluster"),
-                F.col("_r.centroid_sim").alias("centroid_sim"),
-                F.col("_r.unit").alias("_u"),
-            )
-            .localCheckpoint(eager=True)  # both join legs consume it
+    # ONE routing pass over standing-kept ∪ drop (round 17): the two
+    # sides ride the same Arrow matmul batch stream with a side flag
+    # instead of each paying its own rebalance exchange + Python
+    # round-trip + checkpoint job — routing is per-row, so splitting
+    # the checkpointed result by the flag is exactly the two frames
+    # the earlier per-side passes produced.
+    both = standing.filter(F.col(kept_col)).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.lit(False).alias("_is_new"),
+    ).unionByName(
+        new_vecs.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.lit(True).alias("_is_new"),
         )
-
-    s = routed(standing.filter(F.col(kept_col)))
-    n = routed(new_vecs)
+    )
+    routed_all = (
+        ensure_min_partitions(both.filter(F.col("_v").isNotNull()))
+        .select("_id", "_is_new", route(F.col("_v")).alias("_r"))
+        .select(
+            "_id",
+            "_is_new",
+            F.col("_r.cluster").alias("cluster"),
+            F.col("_r.centroid_sim").alias("centroid_sim"),
+            F.col("_r.unit").alias("_u"),
+        )
+        .localCheckpoint(eager=True)  # all join legs consume it
+    )
+    s = routed_all.filter(~F.col("_is_new")).drop("_is_new")
+    n = routed_all.filter(F.col("_is_new")).drop("_is_new")
     sim_ok = (
         F.round(dot(F.col("_ua"), F.col("_ub")), 6)
         >= F.lit(float(threshold))

@@ -703,57 +703,76 @@ def source_overlap_matrix(
     set — 1.0 means the smaller source's phrasing is entirely
     contained in the larger's).
 
-    Scale shape: distinct (source, shingle) pairs via one explode +
-    hash-distinct; the pair expansion self-joins on the SHINGLE key,
-    so fan-out per shingle is C(s, 2) where s = sources carrying it —
-    bounded by ``max_sources_per_shingle`` (shingles above the cap
-    are dropped BEFORE the join; at web scale a shingle present in
-    thousands of sources is universal boilerplate whose pair
-    expansion would be quadratic in source count while adding no
-    pairwise signal — the cap must be mirrored by any twin or the
-    matrices diverge). Per-source totals are one aggregate,
-    broadcast onto the source-pair-sized matrix."""
+    Scale shape (round 17): ONE corpus-scale shuffle total. The raw
+    exploded (source, shingle) stream hash-aggregates straight to a
+    per-shingle SORTED SOURCE SET (``collect_set`` dedups, so the
+    separate explode→distinct pass is gone), and the pair expansion
+    happens IN-ROW over those ≤``max_sources_per_shingle``-element
+    arrays instead of self-joining the corpus-scale frame on the
+    shingle string — the earlier shape paid five shingle-keyed
+    corpus-scale shuffles (distinct, cap aggregate, cap join, both
+    self-join legs); this one pays exactly one, and the shingle
+    string itself is dropped before the materialization barrier, so
+    everything downstream is source-arity-sized. Fan-out per shingle
+    is still C(s, 2), bounded by the cap (at web scale a shingle
+    present in thousands of sources is universal boilerplate whose
+    pair expansion would be quadratic in source count while adding
+    no pairwise signal — the cap must be mirrored by any twin or the
+    matrices diverge). Per-source totals are one aggregate over the
+    exploded source sets, broadcast onto the source-pair-sized
+    matrix.
+
+    Contract: ``source_col`` must be non-null (``collect_set`` drops
+    NULLs, so a NULL source would neither count toward the cap nor
+    the totals — the testdata and every registered caller satisfy
+    this)."""
     from mape_calculation_and_anonymization_spark.operators.dedup import (
         word_ngrams,
     )
 
-    # materialize the distinct (source, shingle) frame ONCE: four
-    # consumers read it (per-source totals, the flood-cap aggregate,
-    # and both legs of the pair self-join) — without the barrier each
-    # would re-run the corpus explode+distinct (the same multi-scan
-    # re-derivation the round-12 lsh_candidate_pairs trim removed)
-    sh = (
+    # one hash aggregate keyed by the shingle string: partial
+    # collect_set collapses per-task duplicates map-side, and the
+    # shingle key is dropped immediately after — the checkpointed
+    # frame is just the per-shingle sorted source arrays, which every
+    # consumer below (totals, cap filter, pair expansion) reads
+    # without touching the corpus again
+    per_g = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
             F.col(source_col).alias("_src"),
             F.explode(word_ngrams(text_col, n=n)).alias("_g"),
         )
-        .distinct()
+        .groupBy("_g")
+        .agg(F.sort_array(F.collect_set("_src")).alias("_srcs"))
+        .select("_srcs")
         .localCheckpoint(eager=True)
     )
-    totals = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_total"))
-    eligible = (
-        sh.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_ns"))
-        .filter(
-            (F.col("_ns") >= 2) & (F.col("_ns") <= max_sources_per_shingle)
-        )
-        .select("_g")
+    totals = (
+        per_g.select(F.explode("_srcs").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_total"))
     )
-    capped = sh.join(eligible, "_g")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a._g") == F.col("b._g"),
-                F.col("a._src") < F.col("b._src"),
-            ],
+    # in-row unordered pair expansion over the sorted set: element i
+    # pairs with every later element, so source_a < source_b exactly
+    # like the old self-join's a._src < b._src condition
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_srcs"), i + F.lit(2), F.size("_srcs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    pairs = (
+        per_g.filter(
+            (F.size("_srcs") >= 2)
+            & (F.size("_srcs") <= max_sources_per_shingle)
+        )
+        .select(F.explode(pair_structs).alias("_p"))
         .groupBy(
-            F.col("a._src").alias("source_a"),
-            F.col("b._src").alias("source_b"),
+            F.col("_p.a").alias("source_a"),
+            F.col("_p.b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
     )
