@@ -792,40 +792,39 @@ def md5_lsh_candidate_pairs(
     bucketed = md5_band_buckets(
         docs, id_col, toks_col, group_cols, bands, rows_per_band
     )
-    # Same materialization discipline as lsh_candidate_pairs (r12):
-    # the flood-cap aggregate and both self-join legs otherwise each
-    # re-run the bucket derivation — and here that derivation is the
-    # EXPENSIVE leg (bands×rows_per_band md5 computations per exploded
-    # token instance). One eager checkpoint of the (group, id, band,
-    # key) frame, then every consumer reads the materialized rows.
-    bucketed = bucketed.localCheckpoint(eager=True)
+    # ONE hash aggregate collects each bucket's member ids in-row
+    # (round 17, mirroring lsh_candidate_pairs): the earlier shape
+    # paid an eager checkpoint of the bucket frame, the flood-cap
+    # count aggregate, an anti-join, and BOTH legs of the
+    # (group, band_idx, band_key)-keyed self-join. Grouping once
+    # costs a single shuffle of the same frame — and with only one
+    # consumer chain left, the checkpoint barrier goes away too, so
+    # the expensive md5 bucket derivation pipelines straight into
+    # the aggregate. The flood cap becomes a size predicate on the
+    # collected array (bounded by the cap itself), and a doc appears
+    # at most once per bucket, so the sorted-array expansion
+    # reproduces the self-join's ``a._id < b._id`` pairs exactly.
+    grouped = bucketed.groupBy(*group_cols, "band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
     if max_bucket_size:
-        bucket_key = [*group_cols, "band_idx", "band_key"]
-        # anti-join against the small flooded-bucket list (bounded by
-        # rows/max_bucket_size) instead of semi-joining the
-        # corpus-sized OK set — AQE broadcasts the block-list.
-        blocked = (
-            bucketed.groupBy(*bucket_key)
-            .count()
-            .filter(F.col("count") > max_bucket_size)
-            .drop("count")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        bucketed = bucketed.join(blocked, on=bucket_key, how="left_anti")
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cond = (
-        [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols]
-        + [
-            F.col("a.band_idx") == F.col("b.band_idx"),
-            F.col("a.band_key") == F.col("b.band_key"),
-            F.col("a._id") < F.col("b._id"),
-        ]
     )
     return (
-        a.join(b, on=cond)
+        grouped.filter(F.size("_ids") >= 2)
+        .select(*group_cols, F.explode(pair_structs).alias("_p"))
         .select(
-            *[F.col(f"a.{g}").alias(g) for g in group_cols],
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            *group_cols,
+            F.col("_p.a").alias("id_a"),
+            F.col("_p.b").alias("id_b"),
         )
         .distinct()
     )
@@ -1245,6 +1244,7 @@ def minhash_incremental_pairs(
     seed: int = 42,
     shingle_mode: str = "char",
     max_bucket_size: int = 1000,
+    precomputed_new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup — the daily-drop path (round-15-ready):
     verified pairs TOUCHING the new drop only. The standing corpus's
@@ -1290,8 +1290,19 @@ def minhash_incremental_pairs(
         .persist()
     )
     try:
-        new_sigs = minhash_signatures(
-            new_sh, "_id", F.col("sh"), num_hashes, seed
+        # ``precomputed_new_sigs`` ((_id, sig) — minhash_signatures
+        # over the SAME drop/params, round 17): a caller that also
+        # lands the drop's signatures into a standing index (the
+        # streaming ingest) otherwise pays the signature aggregation
+        # twice per batch — once here for banding, once for the index
+        # append. Same value-equality contract as
+        # minhash_near_duplicates' precomputed_sigs.
+        new_sigs = (
+            precomputed_new_sigs
+            if precomputed_new_sigs is not None
+            else minhash_signatures(
+                new_sh, "_id", F.col("sh"), num_hashes, seed
+            )
         )
         sigs_all = (
             standing_sigs.select("_id", "sig").withColumn(

@@ -132,6 +132,18 @@ def streaming_minhash_ingest(
         else:  # first batch: empty standing index
             standing_docs = bspark.createDataFrame([], empty_docs_schema)
             standing_sigs = bspark.createDataFrame([], empty_sigs_schema)
+        # sign the batch ONCE (round 17): the same signatures feed the
+        # banding pass (precomputed_new_sigs) and the index append —
+        # previously each batch paid the shingle-explode signature
+        # aggregation twice. The eager checkpoint materializes the
+        # (batch-sized) signature frame before both consumers.
+        batch_sh = batch.select(
+            F.col(id_col).alias("_id"),
+            shingler(text_col, shingle_k).alias("sh"),
+        )
+        sigs = minhash_signatures(
+            batch_sh, "_id", F.col("sh"), num_hashes, seed
+        ).localCheckpoint(eager=True)
         pairs = minhash_incremental_pairs(
             batch,
             standing_docs,
@@ -145,6 +157,7 @@ def streaming_minhash_ingest(
             seed=seed,
             shingle_mode=shingle_mode,
             max_bucket_size=max_bucket_size,
+            precomputed_new_sigs=sigs,
         )
         # pair_type (new_new vs new_standing) is a batch-boundary
         # artifact, not a corpus property — excluded so the output is
@@ -154,13 +167,6 @@ def streaming_minhash_ingest(
         ).parquet(pairs_dir)
         # fold the batch into the standing index AFTER the pair pass
         # (this batch must not band against itself twice)
-        batch_sh = batch.select(
-            F.col(id_col).alias("_id"),
-            shingler(text_col, shingle_k).alias("sh"),
-        )
-        sigs = minhash_signatures(
-            batch_sh, "_id", F.col("sh"), num_hashes, seed
-        )
         sigs.write.mode("append").parquet(sigs_dir)
         batch.write.mode("append").parquet(docs_dir)
 
