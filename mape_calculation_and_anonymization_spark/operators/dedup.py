@@ -28,7 +28,7 @@ from __future__ import annotations
 import random
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -147,13 +147,13 @@ def duplicated_span_stats(
     caveat is about), chosen over the explode + per-doc ``lead()``
     window alternative because the window costs a corpus-wide
     SHUFFLE+SORT on the document key while this is shuffle-free
-    (measured 8.3s → ~1s at 200 vanilla shuffle partitions). Shingle
-    frequencies by map-side-combinable hash aggregate; the dup
-    decision joins the corpus-sized shingle stream against that
-    count table on the shingle key (data-proportional, the
-    inverted-index shuffle shape); the per-doc rollup re-aggregates
-    on the id. Every primitive is engine-portable (split/lower/trim/
-    concat), so a SQL oracle re-derives identical spans."""
+    (measured 8.3s → ~1s at 200 vanilla shuffle partitions). The dup
+    decision is a window COUNT over the shingle key — one shuffle of
+    the shingle stream and one derivation of it (the earlier
+    aggregate + join-back shape paid both twice); the per-doc rollup
+    re-aggregates on the id. Every primitive is engine-portable
+    (split/lower/trim/concat), so a SQL oracle re-derives identical
+    spans."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
@@ -165,11 +165,17 @@ def duplicated_span_stats(
     shingled = docs.select(
         F.col(id_col), F.explode(grams).alias("_shingle")
     )
-    counts = shingled.groupBy("_shingle").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
+    # the frequency decision is a WINDOW count over the shingle key
+    # (round 17), not the earlier groupBy(count) + join-back: the join
+    # shape derived the corpus-scale shingle stream TWICE (the
+    # aggregate side and the probe side each re-ran the split/HOF/
+    # explode scan) and shuffled it twice; the window derives it once
+    # and shuffles it once, paying only a partition-local sort on the
+    # same key. Hot-shingle skew is identical in both shapes (a hash
+    # join keys the probe side on _shingle too).
+    w = Window.partitionBy("_shingle")
     return (
-        shingled.join(counts, "_shingle")
+        shingled.withColumn("_cnt", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -211,14 +217,13 @@ def exact_substring_spans(
 
     Scale shape: shingle assembly is the same single shuffle-free
     HOF pass as duplicated_span_stats; the canonical + frequency
-    table is ONE aggregate with partial (map-side) combine
-    (``count, min(struct(doc_id, pos))`` — the struct min makes it a
-    SortAggregate rather than hash, but it is still a single shuffle
-    on the shingle key, never a corpus-wide window); the dup decision
-    is a data-proportional join on the shingle key; only the interval
-    merge uses a window, and that window partitions on the DOCUMENT
-    key over removable positions only — a stream orders of magnitude
-    smaller than the corpus.
+    decision is ONE unordered window over the shingle key
+    (``count, min(struct(doc_id, pos))`` in the same Window node) —
+    a single shuffle and a single derivation of the shingle stream,
+    where the earlier aggregate + join-back shape paid both twice;
+    the interval merge windows on the DOCUMENT key over removable
+    positions only — a stream orders of magnitude smaller than the
+    corpus.
     Every primitive is engine-portable, so a SQL twin re-derives
     identical spans (window-numbered canonical + islands merge).
     """
@@ -234,12 +239,24 @@ def exact_substring_spans(
     shingled = docs.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "_shingle")
     )
-    stats = shingled.groupBy("_shingle").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
-    )
+    # count + canonical as WINDOW aggregates over the shingle key
+    # (round 17, same rationale as duplicated_span_stats): the old
+    # groupBy(count, min(struct)) + join-back derived and shuffled
+    # the corpus-scale shingle stream twice; one unordered window
+    # computes both aggregates from a single derivation and a single
+    # shuffle (both frames are unbounded, so Catalyst folds them into
+    # one Window node). Skew profile unchanged — the join keyed the
+    # probe side on _shingle too.
+    ws = Window.partitionBy("_shingle")
     removable = (
-        shingled.join(stats, "_shingle")
+        shingled.select(
+            id_col,
+            "pos",
+            F.count(F.lit(1)).over(ws).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos")))
+            .over(ws)
+            .alias("_keep"),
+        )
         .filter(
             (F.col("_cnt") >= 2)
             & ~(
@@ -251,8 +268,6 @@ def exact_substring_spans(
         # a position can carry several duplicated shingles only once
         .distinct()
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy("pos")
     # island break: this interval starts beyond every previous end + 1
     prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
