@@ -223,6 +223,36 @@ def stream_stream_interval_join(
     )
 
 
+def unload_ephemeral_state(spark) -> None:
+    """Unload every cached state-store provider after an ephemeral
+    drain (round 17).
+
+    A finished AvailableNow drain leaves its stateful operators'
+    ``StateStoreProvider`` instances in the executor-side provider
+    cache: each one pins the in-memory version maps of up to
+    ``minBatchesToRetain`` (default 100) state versions, and the
+    background maintenance thread re-visits every cached provider on
+    its 60 s tick — against a checkpoint directory the drain already
+    deleted. In a long-lived session running periodic drains the cache
+    only ever grows: a measured 60 s-delayed ~1.2 s stall from five
+    drained queries' providers landed on whatever ran next, scaling
+    with the number of drains (the bench's 15 streaming queries ×
+    repeated passes accumulate hundreds of providers). An ephemeral
+    checkpoint's providers can never be used again BY CONTRACT, so
+    unload them all at drain end. ``StateStore.stop()`` also stops the
+    maintenance thread; the next streaming query restarts it lazily
+    (``startMaintenanceIfNeeded``), so this is safe between sequential
+    drains — which is the helper contract already (single runner per
+    session, see :func:`run_stream_to_memory`)."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        # best-effort hygiene: a py4j surface change must not turn a
+        # completed drain into a failure
+        pass
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
@@ -319,6 +349,7 @@ def run_stream_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(_FLUSH_CONF, prev_flush)
         shutil.rmtree(ckpt, ignore_errors=True)
+        unload_ephemeral_state(spark)
     if not finished:
         # A timed-out AvailableNow run has only partially drained the
         # source; returning the memory table would silently ship
@@ -369,6 +400,7 @@ def run_stream_to_parquet(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        unload_ephemeral_state(spark)
     if not finished:
         raise TimeoutError(
             f"parquet-sink stream into {out_dir!r} did not finish "
