@@ -265,10 +265,20 @@ def exact_substring_spans(
             )
         )
         .select(id_col, "pos")
-        # a position can carry several duplicated shingles only once
-        .distinct()
     )
     w = Window.partitionBy(id_col).orderBy("pos")
+    # a position can carry several duplicated shingles but must merge
+    # only once — deduplicate INSIDE the document window (round 17):
+    # the former ``.distinct()`` paid its own exchange on (id, pos)
+    # before the island windows re-exchanged on the id; after the sort
+    # by pos, equal positions are adjacent, so keeping each run's
+    # first row (lag(pos) != pos) is the same distinct set, computed
+    # on the island windows' OWN exchange — the filter preserves the
+    # (id)-partitioning and pos-ordering, so the island passes below
+    # add no further shuffle or sort.
+    removable = removable.withColumn(
+        "_dup_pos", F.lag("pos").over(w) == F.col("pos")
+    ).filter(~F.coalesce(F.col("_dup_pos"), F.lit(False))).drop("_dup_pos")
     # island break: this interval starts beyond every previous end + 1
     prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1211,14 +1221,21 @@ def apply_remove_spans(
     array filter on the joined frame — no window, one shuffle on the
     document key plus the docs-side join."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # one document-key aggregate (round 17): the former
+    # explode→distinct→groupBy chain hash-partitioned the covered
+    # index stream TWICE — once on (id, idx) for the distinct, once
+    # on id for the rollup. collect_set dedups inside a single
+    # aggregation (with map-side partials), and
+    # sort_array(collect_set(x)) equals the old
+    # sort_array(collect_list(distinct x)) value exactly.
     covered = spans.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("span_start"), F.col("span_end"))
         ).alias("_idx"),
-    ).distinct()
+    )
     removed = covered.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("_idx")).alias("_rm")
+        F.sort_array(F.collect_set("_idx")).alias("_rm")
     )
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("_toks")
@@ -1296,6 +1313,12 @@ def minhash_incremental_pairs(
     slice value itself (array grouping) on the Spark side.
     """
     shingler = char_shingles if shingle_mode == "char" else word_ngrams
+    # persisted even when signatures are precomputed: the verify leg
+    # re-reads the shingle frame once per candidate-join stage, and an
+    # un-persisted frame re-runs the shingle explode per read (measured
+    # 9.9 s → 17.7 s per streaming drain when left lazy — round 17
+    # tried and reverted the "lazy lets the semi-join push below the
+    # shingle projection" variant).
     new_sh = (
         ensure_min_partitions(new_docs)
         .select(

@@ -1021,14 +1021,19 @@ def decontaminate_corpus(
         .join(F.broadcast(bench_set), "_g")
         .select(id_col, "pos")
     )
+    # one document-key aggregate (round 17): explode→distinct→groupBy
+    # shuffled the covered index stream twice ((id, idx) then id);
+    # collect_set dedups inside a single aggregation and
+    # sort_array(collect_set) equals sort_array(collect_list(distinct))
+    # exactly (same rewrite as dedup.apply_remove_spans).
     covered = cont_pos.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
         ).alias("_idx"),
-    ).distinct()
+    )
     removed = covered.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("_idx")).alias("_rm")
+        F.sort_array(F.collect_set("_idx")).alias("_rm")
     )
     # ONE output pass, no per-action branch unions: a
     # cleaned ∪ dropped union would re-derive the contamination probe
