@@ -9734,11 +9734,16 @@ def _q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap statistical stand-in for perplexity filtering in a training
     pipeline (templated/duplicated text scores high, noise scores low).
 
-    Two count tables (unigram, bigram) built by explode→hash-agg with
-    map-side partials; the per-doc scoring join shuffles on the bigram
-    then the first-word key — both data-proportional hash joins, with
-    only the vocabulary-size scalar broadcast. No UDFs anywhere."""
-    from mape_calculation_and_anonymization_spark.operators.text import word_bigrams
+    The unigram table is an explode→hash-agg with map-side partials;
+    the bigram count is a WINDOW count over the bigram key (round 17
+    — the span-family rewrite applied here): the former
+    groupBy(bg)+join-back derived the corpus-scale bigram stream
+    twice and exchanged it twice, the window does both once. The
+    (bg, w1) pair is assembled as ONE struct in the zip_with walk
+    (the old shape re-split every bigram string to recover its first
+    word). The w1 join and the vocabulary-size scalar broadcast are
+    unchanged. No UDFs anywhere."""
+    from pyspark.sql import Window
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -9751,12 +9756,31 @@ def _q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("w1") > 0)
     c1 = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
-    bg_doc = docs.select(
-        "doc_id", F.explode(word_bigrams("text")).alias("bg")
-    ).withColumn("w1", F.split("bg", " ")[0])
-    c2 = bg_doc.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # word_bigrams' zip_with walk, emitting (bg, w1) structs so the
+    # first word never has to be re-split out of the bigram string —
+    # tokens come from a \s+ split, so bg's first space-delimited
+    # field IS w1 (identical values to the old split("bg", " ")[0])
+    w = F.split(F.trim("text"), r"\s+")
+    lw = F.transform(w, lambda x: F.lower(x))
+    nbg = F.greatest(F.size(w) - 1, F.lit(0))
+    pair_structs = F.zip_with(
+        F.slice(lw, 1, nbg),
+        F.slice(lw, 2, nbg),
+        lambda a, b: F.struct(
+            F.concat(a, F.lit(" "), b).alias("bg"), a.alias("w1")
+        ),
+    )
+    guarded = F.when(
+        (F.trim("text") == "") | (F.size(w) < 2),
+        F.array().cast("array<struct<bg:string,w1:string>>"),
+    ).otherwise(pair_structs)
+    bg_doc = docs.select("doc_id", F.explode(guarded).alias("_p")).select(
+        "doc_id", F.col("_p.bg").alias("bg"), F.col("_p.w1").alias("w1")
+    )
     scored = (
-        bg_doc.join(c2, "bg")
+        bg_doc.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("bg"))
+        )
         .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .select(

@@ -59,6 +59,7 @@ from ..operators.dedup import (
     minhash_signatures,
     word_ngrams,
 )
+from ..operators.rebalance import ensure_min_partitions
 
 
 def streaming_minhash_ingest(
@@ -137,7 +138,14 @@ def streaming_minhash_ingest(
         # previously each batch paid the shingle-explode signature
         # aggregation twice. The eager checkpoint materializes the
         # (batch-sized) signature frame before both consumers.
-        batch_sh = batch.select(
+        # ensure_min_partitions first (round 17): a micro-batch often
+        # arrives as ONE file — one scan partition — so the
+        # shingle-explode + xxhash hot loop of the signing aggregate
+        # otherwise runs on a single core (measured 1.6 s → 1.1 s per
+        # sf0.1 batch). Same per-doc-deterministic signatures either
+        # way; this is the operator's own input-rebalance discipline
+        # applied to the streaming sign path.
+        batch_sh = ensure_min_partitions(batch).select(
             F.col(id_col).alias("_id"),
             shingler(text_col, shingle_k).alias("sh"),
         )
