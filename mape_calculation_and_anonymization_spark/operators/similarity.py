@@ -601,27 +601,26 @@ def semantic_dedup_incremental(
         )
         .localCheckpoint(eager=True)  # all join legs consume it
     )
-    s = routed_all.filter(~F.col("_is_new")).drop("_is_new")
     n = routed_all.filter(F.col("_is_new")).drop("_is_new")
     sim_ok = (
         F.round(dot(F.col("_ua"), F.col("_ub")), 6)
         >= F.lit(float(threshold))
     )
-    # (a) frozen-standing domination: kept standing partner in-cell
-    dom_standing = (
-        n.select(
-            "cluster", F.col("_id").alias("_id_b"), F.col("_u").alias("_ub")
-        )
-        .join(
-            s.select("cluster", F.col("_u").alias("_ua")),
-            on="cluster",
-        )
-        .filter(sim_ok)
-        .select(F.col("_id_b").alias("_dropped"))
-    )
-    # (b) within-drop domination, semantic_dedup's order verbatim
-    l = n.select(
+    # ONE cluster-keyed domination join (round 17): the former shape
+    # ran (a) frozen-standing domination and (b) within-drop
+    # domination as two separate joins — shuffling the drop side
+    # twice and the domination machinery twice for the same
+    # cell-confined compare volume. Standing precedence is a join
+    # predicate instead: a standing-kept member dominates every
+    # in-cell new partner unconditionally (standing precedes the
+    # whole drop), a new member dominates only where SemDeDup's
+    # (centroid_sim, id) order says so — so the fused left side is
+    # standing-kept ∪ new with the flag deciding which rule applies.
+    # Emissions are exactly the old union; 14 → 10 exchanges on the
+    # registered query (plans/r17), same pair-compare volume.
+    l = routed_all.select(
         "cluster",
+        "_is_new",
         F.col("_id").alias("_id_a"),
         F.col("_u").alias("_ua"),
         F.col("centroid_sim").alias("_cs_a"),
@@ -632,12 +631,13 @@ def semantic_dedup_incremental(
         F.col("_u").alias("_ub"),
         F.col("centroid_sim").alias("_cs_b"),
     )
-    dom_new = (
+    dominated = (
         l.join(
             r,
             on=[
                 l["cluster"] == r["cluster"],
-                (
+                (~l["_is_new"])
+                | (
                     F.struct(l["_cs_a"], l["_id_a"])
                     < F.struct(r["_cs_b"], r["_id_b"])
                 ),
@@ -645,8 +645,8 @@ def semantic_dedup_incremental(
         )
         .filter(sim_ok)
         .select(F.col("_id_b").alias("_dropped"))
+        .distinct()
     )
-    dominated = dom_standing.unionByName(dom_new).distinct()
     return n.join(
         dominated, n["_id"] == dominated["_dropped"], "left"
     ).select(
