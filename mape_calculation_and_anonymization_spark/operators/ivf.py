@@ -179,9 +179,11 @@ def ivf_recall_curve(
     at ``nprobe = n_cells`` it IS the exact brute-force result (every
     cell scored). So scoring every pair ONCE with its cell rank
     attached lets every budget's result set AND the exact baseline be
-    derived as window ranks over the same checkpointed scored frame,
-    instead of re-touching the corpus per budget (len(budgets)+1
-    passes → 1). Per-budget set equality with ivf_top_k is pinned in
+    derived from ONE window pass over the scored frame — per-budget
+    ranks are conditional running counts over the shared
+    (cosine DESC, id) order, so the whole curve needs a single
+    exchange + sort instead of len(budgets)+1 of them (round 17).
+    Per-budget set equality with ivf_top_k is pinned in
     tests/test_similarity.py.
 
     Eval-tool scale contract: the scored frame is |queries| × |corpus|
@@ -206,51 +208,94 @@ def ivf_recall_curve(
         )
         .select("query_id", "_qv", "cluster", "_crank")
     )
+    # norms hoisted BELOW the pair join (round 17): cosine() re-derives
+    # both operands' norms per PAIR — three interpreted HOF aggregates
+    # per scored row. Computing each side's norm once per vector row
+    # and dividing the pair dot by the product is the identical
+    # float expression (same ops, same order — try_divide(dot, qn*cn)
+    # is exactly what cosine() evaluates), with the per-pair HOF work
+    # cut to the single dot.
+    from .similarity import dot as _dot, norm as _norm
+
+    routed = routed.withColumn("_qn", _norm(F.col("_qv")))
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "cluster",
+        _norm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = F.try_divide(
+        _dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+    )
     if round_scale is not None:
         sim = F.round(sim, round_scale)
     scored = (
         routed.join(c, on="cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_crank", sim.alias("cosine_sim"))
-        .localCheckpoint(eager=True)  # len(budgets)+1 consumers
     )
+    # ONE window pass for the exact baseline AND every probe budget
+    # (round 17): the former shape re-ranked the scored frame once per
+    # budget plus once for the baseline (len(budgets)+1 window
+    # exchanges over |q|×|corpus| rows), unioned the budget sets, and
+    # semi-joined them back against the baseline. Budgets are NESTED
+    # filters of the same (cosine DESC, id) total order, so the rank
+    # of a row within "cell rank ≤ p" equals a conditional running
+    # count over that one order — every budget's top-k membership and
+    # the exact top-k flag come out of a single Window exec (same
+    # spec → one exchange + sort), the hit test becomes a boolean AND
+    # (a budget's top-k is a subset of the scored rows the baseline
+    # ranked — no join needed), and one aggregate yields the curve.
+    # With a single consumer the scored frame no longer needs its
+    # checkpoint barrier; it pipelines straight into the window sort.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
-
-    def top_k(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-        )
-
-    exact = top_k(scored)
-    approx_all = None
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = scored.withColumn("_exact_rk", F.row_number().over(w))
     for p in budgets:
-        tagged = top_k(scored.filter(F.col("_crank") <= p)).select(
-            F.lit(p).cast("long").alias("nprobe"), "query_id", "neighbor_id"
+        flagged = flagged.withColumn(
+            f"_rk_{p}",
+            F.sum(
+                F.when(F.col("_crank") <= p, 1).otherwise(0)
+            ).over(wr),
         )
-        approx_all = (
-            tagged if approx_all is None else approx_all.unionByName(tagged)
-        )
-    hits = approx_all.join(exact, ["query_id", "neighbor_id"], "left_semi")
-    total = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    exact_member = F.col("_exact_rk") <= k
+    agg_row = flagged.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("_crank") <= p)
+                    & (F.col(f"_rk_{p}") <= k)
+                    & exact_member,
+                    1,
+                ).otherwise(0)
+            ).alias(f"_h_{p}")
+            for p in budgets
+        ],
+        F.sum(F.when(exact_member, 1).otherwise(0)).alias("_n_exact"),
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.col(f"_h_{p}").alias("n_hits"),
+            )
+            for p in budgets
+        ]
+    )
     return (
-        hits.groupBy("nprobe")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .crossJoin(F.broadcast(total))
+        agg_row.select(F.explode(curve).alias("_b"), "_n_exact")
         .select(
-            "nprobe",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("_n_exact"), 6).alias(
+            F.col("_b.nprobe").alias("nprobe"),
+            F.col("_b.n_hits").alias("n_hits"),
+            F.round(F.col("_b.n_hits") / F.col("_n_exact"), 6).alias(
                 f"mean_recall_at_{k}"
             ),
         )
+        # the join-based shape emitted a budget's row only when it had
+        # ≥1 hit (groupBy over the semi-join); preserve that contract
+        .filter(F.col("n_hits") > 0)
         .orderBy("nprobe")
     )
 
