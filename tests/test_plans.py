@@ -451,14 +451,23 @@ def test_drift_embedding_psi_answer_sized_tail(spark):
 def test_text_dup_spans_shuffle_free_shingling(spark):
     """Shingles come from ONE per-row transform pass — no per-doc
     window shuffle+sort (the lead() alternative measured 7x slower at
-    vanilla partition counts). Remaining exchanges: shingle-count
-    aggregate, the count join, and the per-doc rollup."""
+    vanilla partition counts), and since the round-17 window rewrite
+    the shingle-count side is ONE unordered window over the shingle
+    key instead of groupBy+join-back — one shingle derivation
+    (a single Generate), two exchanges total (shingle window + per-doc
+    rollup)."""
     df = e._q_text_dup_spans(spark, SF)
     plan = physical_plan(df)
-    assert "Window" not in plan
+    # exactly one shingle explode: the groupBy+join-back shape derived
+    # the corpus-scale shingle stream twice
+    assert plan.count("Generate explode") == 1
+    # the only window is the unordered count over the shingle key —
+    # never a per-doc ordered window (the 7x-slower lead() shape)
+    assert "windowspecdefinition(_shingle" in plan
+    assert plan.count("Window [") == 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
-    assert count_exchanges(df) <= 3
+    assert count_exchanges(df) <= 2
 
 
 def test_round12_debut_plan_shapes(spark):
