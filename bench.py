@@ -31,15 +31,20 @@ Methodology — how to read the numbers (VERDICT r11 item 2):
   confirm a suspected regression with an isolated-session timing
   before chasing the plan.
 * Output files: every run lands the full payload in BENCH_LATEST.json
-  (untracked scratch — safe for driver runs and sanity runs at any
-  sf). The COMMITTED artifact BENCH_LOCAL.json is refreshed only by
-  an explicit `python bench.py --refresh-local`, which refuses any
-  sf other than 0.1 — so a driver-context run or an sf0.01 sanity
-  check can never dirty the committed copy again (the r10/r11
-  footgun). A --refresh-local also APPENDS to the committed
-  BENCH_HISTORY.jsonl; every sf0.1 run writes BENCH_DRIFT.json (the
-  load-normalized drift report — the r14 noise-vs-regression
-  discriminator) and prints its verdict to stderr.
+  AND a cpu-stamped BENCH_LATEST_c{cpus}.json (both untracked scratch
+  — safe for driver runs and sanity runs at any sf; the stamped copy
+  means the driver's 8-core scaling run can't clobber the 32-core
+  per-query map). The COMMITTED artifacts BENCH_LOCAL.json /
+  BENCH_DRIFT.json / BENCH_HISTORY.jsonl move only under an explicit
+  `python bench.py --refresh-local`, which refuses any sf other than
+  0.1 and any core count other than 32 (they are 32-core sf0.1
+  artifacts) — so a driver-context run or a sanity check can never
+  dirty the committed copies (the r10/r11 footgun; VERDICT r17
+  item 3). Plain sf0.1/32-core runs still compute the
+  load-normalized drift report (the r14 noise-vs-regression
+  discriminator) — to the untracked BENCH_DRIFT_LATEST.json, with
+  the verdict on stderr; non-32-core runs skip drift entirely (the
+  history they'd be judged against is a 32-core artifact).
 * `--drift-report [path]` re-judges a landed payload offline (no
   Spark). `--scale-stress` runs the 10×-dup-dense-corpus growth
   check and exits non-zero on an envelope violation (see the
@@ -809,6 +814,13 @@ def main() -> None:
             }
         )
     )
+    # cpus stamp (round 18): the history and every committed artifact
+    # are 32-core measurements; a run at another core count (the
+    # driver's scaling pass runs at 8) must be distinguishable and
+    # must never overwrite the 32-core per-query map or be judged
+    # against the 32-core history.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    cpus = os.cpu_count() if cpus_env in ("", "*") else int(cpus_env)
     payload = {
         "metric": "total_query_time",
         "value": total,
@@ -816,17 +828,33 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": n_runs,
+        "cpus": cpus,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    # Every run writes the untracked scratch copy; the committed
+    # Every run writes the untracked scratch copies — the plain
+    # BENCH_LATEST.json (last run, any config) plus a cpu-stamped
+    # BENCH_LATEST_c{cpus}.json so a later run at a DIFFERENT core
+    # count (the driver benches at 32 then 8) cannot clobber this
+    # one's per-query map (VERDICT r17 item 4). The committed
     # BENCH_LOCAL.json moves ONLY under --refresh-local at sf0.1
     # (see module docstring, "Output files").
-    targets = [os.path.join(repo, "BENCH_LATEST.json")]
+    targets = [
+        os.path.join(repo, "BENCH_LATEST.json"),
+        os.path.join(repo, f"BENCH_LATEST_c{cpus}.json"),
+    ]
     if "--refresh-local" in sys.argv:
         if abs(sf - 0.1) > 1e-9:
             print(
                 f"refusing --refresh-local at sf={sf}: the committed "
                 "BENCH_LOCAL.json is an sf0.1 artifact",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        if cpus != 32:
+            print(
+                f"refusing --refresh-local at cpus={cpus}: the committed "
+                "BENCH_LOCAL.json and BENCH_HISTORY.jsonl are 32-core "
+                "artifacts",
                 file=sys.stderr,
             )
             sys.exit(2)
@@ -840,11 +868,23 @@ def main() -> None:
             pass  # read-only checkout: stdout already carried the result
     # drift verdict vs BENCH_HISTORY.jsonl — computed BEFORE this run
     # is appended, so the run is judged against its past, not itself.
-    # sf0.1 only: the history is an sf0.1 artifact like BENCH_LOCAL.
-    if abs(sf - 0.1) <= 1e-9:
+    # sf0.1 AND 32 cores only: the history is a 32-core sf0.1 artifact
+    # (an 8-core run judged against it flags nonsense — the r17
+    # driver's scaling pass left exactly that on disk). Plain runs
+    # write the report to the UNTRACKED BENCH_DRIFT_LATEST.json; the
+    # TRACKED BENCH_DRIFT.json moves only under --refresh-local, so a
+    # plain run in any context leaves `git status` clean (VERDICT r17
+    # item 3).
+    if abs(sf - 0.1) <= 1e-9 and cpus == 32:
         report = drift_report(timings, load_history())
+        report["cpus"] = cpus
+        drift_name = (
+            "BENCH_DRIFT.json"
+            if "--refresh-local" in sys.argv
+            else "BENCH_DRIFT_LATEST.json"
+        )
         try:
-            with open(os.path.join(repo, "BENCH_DRIFT.json"), "w") as fh:
+            with open(os.path.join(repo, drift_name), "w") as fh:
                 json.dump(report, fh, indent=1)
                 fh.write("\n")
         except OSError:
@@ -860,6 +900,12 @@ def main() -> None:
         ), file=sys.stderr)
         if "--refresh-local" in sys.argv:
             append_history(payload, _git_head())
+    elif abs(sf - 0.1) <= 1e-9:
+        print(
+            f"BENCH_DRIFT skipped: cpus={cpus} run cannot be judged "
+            "against the 32-core history",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
