@@ -579,10 +579,12 @@ def ngram_novelty(
     == doc}|`` is derivable from the min-aggregate ALONE (count its
     rows per winner). The tf-idf-style shingle-keyed join back of
     (doc, shingle) rows would reshuffle the exploded corpus a second
-    time for nothing. Per-doc totals need no explode at all: the
-    distinct gram count IS ``size(word_ngrams(text))``, a shuffle-free
-    projection — so only the per-shingle min pass ever explodes the
-    corpus. NULL-text docs are excluded (no shingles to
+    time for nothing. The two aggregates (per-doc totals, per-shingle
+    min) DO each re-scan and re-explode the source — a deliberate
+    trade: shingles are ~n× the text, so re-reading columnar parquet
+    twice beats materializing the exploded corpus to checkpoint
+    storage; callers holding ``docs`` cached pay the explode twice
+    but the scan once. NULL-text docs are excluded (no shingles to
     attribute — and a NULL gram would otherwise award phantom
     novelty to the lowest-id NULL doc)."""
     from mape_calculation_and_anonymization_spark.operators.dedup import (
@@ -592,15 +594,8 @@ def ngram_novelty(
     sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n=n)).alias("_sh")
     )
-    # per-doc totals WITHOUT a second explode or a corpus-exploded
-    # shuffle (round 17): word_ngrams is distinct per doc, so the
-    # per-doc exploded-row count IS the array length — a shuffle-free
-    # projection replaces the explode→groupBy aggregate (the old shape
-    # re-ran the tokenize+explode and hash-partitioned the exploded
-    # corpus a second time just to count it).
-    totals = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.size(word_ngrams(text_col, n=n)).alias("n_distinct_shingles"),
+    totals = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles")
     )
     novel = (
         sh.groupBy("_sh")
@@ -650,48 +645,37 @@ def contamination_near_dup(
         word_ngrams,
     )
 
-    # ONE tokenize+explode pass total (round 17): word_ngrams is
-    # distinct per doc, so each side's set size IS the array length —
-    # computed as size() in the same projection that explodes, and
-    # carried THROUGH the match join as a constant-per-doc column.
-    # The former shape derived the train shingle stream twice (the
-    # size aggregate re-ran the tokenize+explode), hash-partitioned
-    # the full exploded corpus once just to count it, and paid two
-    # decoration joins afterwards; now the only corpus-scale work is
-    # the single explode feeding the broadcast match join, and the
-    # (train, bench) aggregate folds the sizes in with first() —
-    # constant per pair, so the values are unchanged. (An earlier r14
-    # attempt to trim the double explode with a localCheckpoint
-    # barrier LOST — materializing the non-distinct corpus×shingles
-    # explosion costs more than re-running it; deriving the size
-    # without any explode side-steps that trade entirely.)
-    def shingled(df: DataFrame, alias: str, size_alias: str) -> DataFrame:
-        grams = df.filter(F.col(text_col).isNotNull()).select(
+    def shingled(df: DataFrame, alias: str) -> DataFrame:
+        return df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias(alias),
-            word_ngrams(text_col, n=n).alias("_garr"),
-        )
-        return grams.select(
-            alias,
-            F.size("_garr").alias(size_alias),
-            F.explode("_garr").alias("_g"),
+            F.explode(word_ngrams(text_col, n=n)).alias("_g"),
         )
 
-    tr = shingled(train, "train_id", "_ta")
-    be = shingled(benchmark, "bench_id", "_tb")
+    # The train shingle stream feeds BOTH the size aggregate and the
+    # intersection join, so the tokenize+explode runs twice — and
+    # MEASUREMENT says leave it: a localCheckpoint barrier here (the
+    # source_overlap_matrix r13 trim) was tried in r14 and LOST
+    # (2.7→3.1 s decontamination, 2.75→3.9 s curation_fates at sf0.1)
+    # because this stream is the NON-distinct corpus×shingles explosion
+    # — far larger than overlap's distinct (source, shingle) frame —
+    # and writing it to checkpoint storage costs more than re-running
+    # the codegen'd explode off the parquet scan.
+    tr = shingled(train, "train_id")
+    be = shingled(benchmark, "bench_id")
+    tr_sizes = tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("_ta"))
+    be_sizes = be.groupBy("bench_id").agg(F.count(F.lit(1)).alias("_tb"))
     inter = (
         tr.join(F.broadcast(be), "_g")
         .groupBy("train_id", "bench_id")
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("_ta").alias("_ta"),
-            F.first("_tb").alias("_tb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     jac = F.col("_inter").cast("double") / (
         F.col("_ta") + F.col("_tb") - F.col("_inter")
     ).cast("double")
     return (
-        inter.filter(jac >= F.lit(threshold))
+        inter.join(tr_sizes, "train_id")
+        .join(F.broadcast(be_sizes), "bench_id")
+        .filter(jac >= F.lit(threshold))
         .select(
             "train_id",
             "bench_id",
