@@ -838,10 +838,13 @@ def main() -> None:
     # one's per-query map (VERDICT r17 item 4). The committed
     # BENCH_LOCAL.json moves ONLY under --refresh-local at sf0.1
     # (see module docstring, "Output files").
-    targets = [
-        os.path.join(repo, "BENCH_LATEST.json"),
-        os.path.join(repo, f"BENCH_LATEST_c{cpus}.json"),
-    ]
+    targets = [os.path.join(repo, "BENCH_LATEST.json")]
+    if abs(sf - 0.1) <= 1e-9:
+        # the stamped copy exists so the driver's 8-core scaling run
+        # can't clobber the 32-core per-query map; an off-sf sanity
+        # run must not clobber either of them, so only sf0.1 (the
+        # committed artifacts' sf) writes it
+        targets.append(os.path.join(repo, f"BENCH_LATEST_c{cpus}.json"))
     if "--refresh-local" in sys.argv:
         if abs(sf - 0.1) > 1e-9:
             print(

@@ -387,43 +387,44 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
     l = scored.select(
-        "cluster",
+        F.col("cluster").alias("_cl_a"),
         F.col("_id").alias("_id_a"),
         F.col("_u").alias("_ua"),
         F.col("centroid_sim").alias("_cs_a"),
     )
-    r = scored.select(
-        "cluster",
-        F.col("_id").alias("_id_b"),
-        F.col("_u").alias("_ub"),
-        F.col("centroid_sim").alias("_cs_b"),
-    )
     # a vector is dominated iff an in-cluster duplicate partner
-    # precedes it in (centroid_sim, id) order
-    dominated = (
-        l.join(
-            r,
-            on=[
-                l["cluster"] == r["cluster"],
-                (F.struct(l["_cs_a"], l["_id_a"]) < F.struct(r["_cs_b"], r["_id_b"])),
-            ],
-        )
-        .filter(
-            F.round(dot(F.col("_ua"), F.col("_ub")), 6)
-            >= F.lit(float(threshold))
-        )
-        .select(F.col("_id_b").alias("_dropped"))
-        .distinct()
-    )
+    # precedes it in (centroid_sim, id) order. ONE cluster-keyed LEFT
+    # join + a per-vector aggregate decide it (round 18): the former
+    # inner-join → distinct(dropped) → corpus-keyed back-join shape
+    # paid two extra exchanges (the distinct and the back-join) to
+    # re-attach the verdict; a left join keeps every vector's row
+    # alive through the SAME cell-confined pair stream (the duplicate
+    # test rides the join condition, so unmatched rows mean "no
+    # dominating partner"), and the count-partners aggregate — keyed
+    # on the id that the pair exchange already carries — emits the
+    # final row directly.
+    dominated_cnt = F.count(F.col("_id_a"))
     return (
         scored.join(
-            dominated, scored["_id"] == dominated["_dropped"], "left"
+            l,
+            on=[
+                scored["cluster"] == l["_cl_a"],
+                (
+                    F.struct(l["_cs_a"], l["_id_a"])
+                    < F.struct(scored["centroid_sim"], scored["_id"])
+                ),
+                F.round(dot(F.col("_ua"), F.col("_u")), 6)
+                >= F.lit(float(threshold)),
+            ],
+            how="left",
         )
+        .groupBy(scored["_id"], scored["cluster"], scored["centroid_sim"])
+        .agg((dominated_cnt == 0).alias("kept"))
         .select(
             F.col("_id").alias(id_col),
             "cluster",
             "centroid_sim",
-            F.col("_dropped").isNull().alias("kept"),
+            "kept",
         )
     )
 
@@ -488,42 +489,44 @@ def semantic_dedup_gated(
         return F.struct((~p).cast("int"), cs, i)
 
     l = scored.select(
-        "cluster",
+        F.col("cluster").alias("_cl_a"),
         F.col("_id").alias("_id_a"),
         F.col("_u").alias("_ua"),
         key(F.col("_p"), F.col("centroid_sim"), F.col("_id")).alias("_ka"),
     )
-    r = scored.select(
-        "cluster",
-        F.col("_id").alias("_id_b"),
-        F.col("_u").alias("_ub"),
-        key(F.col("_p"), F.col("centroid_sim"), F.col("_id")).alias("_kb"),
-    )
-    dominated = (
-        l.join(
-            r,
-            on=[
-                l["cluster"] == r["cluster"],
-                l["_ka"] < r["_kb"],
-            ],
-        )
-        .filter(
-            F.round(dot(F.col("_ua"), F.col("_ub")), 6)
-            >= F.lit(float(threshold))
-        )
-        .select(F.col("_id_b").alias("_dropped"))
-        .distinct()
-    )
+    # LEFT domination join + per-vector aggregate (round 18, the
+    # semantic_dedup shape): the duplicate test rides the join
+    # condition, unmatched rows mean "no dominating partner", and the
+    # count-partners aggregate emits the final row directly — two
+    # fewer exchanges than the inner-join → distinct → back-join
+    # shape for the same cell-confined pair volume.
     return (
         scored.join(
-            dominated, scored["_id"] == dominated["_dropped"], "left"
+            l,
+            on=[
+                scored["cluster"] == l["_cl_a"],
+                l["_ka"]
+                < key(
+                    scored["_p"], scored["centroid_sim"], scored["_id"]
+                ),
+                F.round(dot(F.col("_ua"), F.col("_u")), 6)
+                >= F.lit(float(threshold)),
+            ],
+            how="left",
         )
+        .groupBy(
+            scored["_id"],
+            scored["cluster"],
+            scored["centroid_sim"],
+            scored["_p"],
+        )
+        .agg((F.count(F.col("_id_a")) == 0).alias("_nodom"))
         .select(
             F.col("_id").alias(id_col),
             "cluster",
             "centroid_sim",
             F.col("_p").alias("passed"),
-            (F.col("_dropped").isNull() & F.col("_p")).alias("kept"),
+            (F.col("_nodom") & F.col("_p")).alias("kept"),
         )
     )
 
@@ -602,56 +605,49 @@ def semantic_dedup_incremental(
         .localCheckpoint(eager=True)  # all join legs consume it
     )
     n = routed_all.filter(F.col("_is_new")).drop("_is_new")
-    sim_ok = (
-        F.round(dot(F.col("_ua"), F.col("_ub")), 6)
-        >= F.lit(float(threshold))
-    )
-    # ONE cluster-keyed domination join (round 17): the former shape
-    # ran (a) frozen-standing domination and (b) within-drop
-    # domination as two separate joins — shuffling the drop side
-    # twice and the domination machinery twice for the same
-    # cell-confined compare volume. Standing precedence is a join
-    # predicate instead: a standing-kept member dominates every
-    # in-cell new partner unconditionally (standing precedes the
-    # whole drop), a new member dominates only where SemDeDup's
-    # (centroid_sim, id) order says so — so the fused left side is
-    # standing-kept ∪ new with the flag deciding which rule applies.
-    # Emissions are exactly the old union; 14 → 10 exchanges on the
-    # registered query (plans/r17), same pair-compare volume.
+    # ONE cluster-keyed domination join (round 17): standing
+    # precedence is a join predicate — a standing-kept member
+    # dominates every in-cell new partner unconditionally (standing
+    # precedes the whole drop), a new member dominates only where
+    # SemDeDup's (centroid_sim, id) order says so — so the fused
+    # dominator side is standing-kept ∪ new with the flag deciding
+    # which rule applies, instead of two separate joins shuffling the
+    # drop side twice.
     l = routed_all.select(
-        "cluster",
+        F.col("cluster").alias("_cl_a"),
         "_is_new",
         F.col("_id").alias("_id_a"),
         F.col("_u").alias("_ua"),
         F.col("centroid_sim").alias("_cs_a"),
     )
-    r = n.select(
-        "cluster",
-        F.col("_id").alias("_id_b"),
-        F.col("_u").alias("_ub"),
-        F.col("centroid_sim").alias("_cs_b"),
-    )
-    dominated = (
-        l.join(
-            r,
+    # LEFT domination join + per-vector aggregate (round 18, the
+    # semantic_dedup shape): the duplicate test and the standing-
+    # precedence rule both ride the join condition, an unmatched drop
+    # row means "no dominator", and the count-partners aggregate emits
+    # the final row directly — two fewer exchanges than the
+    # inner-join → distinct → back-join shape for the same
+    # cell-confined pair volume.
+    return (
+        n.join(
+            l,
             on=[
-                l["cluster"] == r["cluster"],
+                n["cluster"] == l["_cl_a"],
                 (~l["_is_new"])
                 | (
                     F.struct(l["_cs_a"], l["_id_a"])
-                    < F.struct(r["_cs_b"], r["_id_b"])
+                    < F.struct(n["centroid_sim"], n["_id"])
                 ),
+                F.round(dot(F.col("_ua"), F.col("_u")), 6)
+                >= F.lit(float(threshold)),
             ],
+            how="left",
         )
-        .filter(sim_ok)
-        .select(F.col("_id_b").alias("_dropped"))
-        .distinct()
-    )
-    return n.join(
-        dominated, n["_id"] == dominated["_dropped"], "left"
-    ).select(
-        F.col("_id").alias(id_col),
-        "cluster",
-        "centroid_sim",
-        F.col("_dropped").isNull().alias("kept"),
+        .groupBy(n["_id"], n["cluster"], n["centroid_sim"])
+        .agg((F.count(F.col("_id_a")) == 0).alias("kept"))
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            "kept",
+        )
     )
