@@ -1440,6 +1440,13 @@ def minhash_incremental_pairs(
             )
             .filter(F.col("jaccard_sim") >= threshold)
         )
-        return verified.localCheckpoint(eager=True)
+        # returned LAZY (round 18): after the cands and all_sh
+        # barriers, the verify join's lineage depends only on those
+        # two checkpointed frames — never on new_sh — so the
+        # unpersist below cannot force a shingle re-derivation and
+        # the former verified.localCheckpoint(eager=True) only added
+        # a materialization job plus a serialization round-trip
+        # between the verify join and its single consumer.
+        return verified
     finally:
         new_sh.unpersist()

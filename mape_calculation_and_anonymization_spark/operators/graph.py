@@ -130,32 +130,39 @@ def cooccurrence_edges(
     shared derivation behind the triangle-count and PageRank queries
     (ids = users, bucket = (event_type, minute)).
 
-    The pair expansion is a bucket-keyed self equi join, so a bucket
-    with k co-active ids emits k·(k-1)/2 rows — quadratic in the hot
-    bucket. At test scale buckets are sparse, but at 100× one viral
-    minute is exactly the skew this repo guards against in the LSH
-    banding paths (dedup.py: the ``max_bucket_size`` semi-join guard).
-    With ``max_bucket_size`` set, over-size buckets are dropped BEFORE
-    the expansion and the drop is logged driver-side (no-silent-caps
-    rule: a capped graph must never read as the full graph). The
-    bucket-count probe is one map-side-combinable aggregate over
-    bucket cardinality — negligible next to the join it bounds — and
-    is localCheckpointed so the filter and the drop count share one
-    scan. ``None`` disables the guard (exact small-scale semantics —
-    what the DuckDB oracles re-derive).
+    The pair expansion runs IN-ROW over each bucket's sorted distinct
+    member set (round 18 — the lsh_candidate_pairs /
+    source_overlap_matrix shape): ONE hash aggregate per bucket
+    (``count(*)`` for the cap probe and ``sort_array(collect_set)``
+    for the members, in the same pass) replaces the former
+    count-aggregate + semi-join + bucket-keyed self equi join — five
+    corpus-scale shuffles of the keyed stream down to one. A bucket
+    with k co-active ids still emits k·(k-1)/2 pairs — quadratic in
+    the hot bucket — which is what ``max_bucket_size`` bounds: the cap
+    tests the PRE-dedup row count (same probe as before) and filters
+    BEFORE the expansion, and the drop is logged driver-side
+    (no-silent-caps rule: a capped graph must never read as the full
+    graph). The aggregate is localCheckpointed — bucket-count-sized —
+    so the drop-count probe and the expansion share one derivation.
+    ``None`` disables the guard (exact small-scale semantics — what
+    the DuckDB oracles re-derive). Per-row memory for the collected
+    set is members × 8-ish bytes; the caps keep it bounded exactly as
+    in the LSH banding paths.
     """
     import logging
 
     keyed = df.select(F.col(id_col).alias("_id"), *bucket_cols)
+    grouped = keyed.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        # collect_set drops NULL ids — the old a._id < b._id join
+        # predicate excluded them identically
+        F.sort_array(F.collect_set("_id")).alias("_ms"),
+    )
     # `is not None`, not truthiness: max_bucket_size=0 is a legitimate
     # (drop-everything) cap, not "disabled"
     if max_bucket_size is not None:
-        counts = (
-            keyed.groupBy(*bucket_cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=True)
-        )
-        n_dropped = counts.filter(F.col("_n") > max_bucket_size).count()
+        grouped = grouped.localCheckpoint(eager=True)
+        n_dropped = grouped.filter(F.col("_n") > max_bucket_size).count()
         if n_dropped:
             logging.getLogger(__name__).warning(
                 "cooccurrence_edges: dropped %d hot bucket(s) larger than "
@@ -164,21 +171,19 @@ def cooccurrence_edges(
                 n_dropped,
                 max_bucket_size,
             )
-        keyed = keyed.join(
-            counts.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            on=bucket_cols,
-            how="left_semi",
+        grouped = grouped.filter(F.col("_n") <= max_bucket_size)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + F.lit(2), F.size("_ms")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    )
     return (
-        a.join(
-            b,
-            on=[
-                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols],
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(F.col("a._id").alias("u"), F.col("b._id").alias("v"))
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.u", "_p.v")
         .distinct()
     )
 
@@ -249,12 +254,19 @@ def pagerank(
         return edges.sparkSession.createDataFrame([], "id long, rank double")
     base = (1.0 - damping) / n
     # fold 1/deg into the edge list ONCE: each iteration is then a
-    # single join + aggregate instead of join+join+aggregate
-    sym_w = (
-        sym.join(deg, "u")
-        .select("u", "v", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    # single join + aggregate instead of join+join+aggregate.
+    # persist, NOT localCheckpoint (round 18): a checkpointed RDD scan
+    # reports UnknownPartitioning, so every iteration's join
+    # RE-EXCHANGED and re-sorted the edge-scale side — 10 shuffles of
+    # the biggest frame in the loop. The cached plan keeps the build
+    # join's hashpartitioning(u)/ordering (cached-plan output
+    # partitioning is stable by default), so each iteration exchanges
+    # only the node-sized rank table; the count() materializes the
+    # cache eagerly, replacing the checkpoint's own job.
+    sym_w = sym.join(deg, "u").select(
+        "u", "v", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).persist()
+    sym_w.count()
     ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contrib = sym_w.join(ranks, "u").select(
@@ -265,4 +277,7 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # the final ranks checkpoint is materialized — the cache has no
+    # remaining consumer (don't leak it into the caller's session)
+    sym_w.unpersist()
     return ranks.select(F.col("u").alias("id"), "rank")

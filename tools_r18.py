@@ -65,7 +65,12 @@ def cmd_explain(out_dir: str, names: list[str], full: bool = False) -> None:
             # capture-only monkeypatch: query construction sees a
             # no-op localCheckpoint so the dump shows the FULL plan
             # (persist stays — it doesn't truncate lineage)
-            from pyspark.sql import DataFrame as _DF
+            # patch the CLASSIC DataFrame class — under Spark 4 the
+            # runtime instances are pyspark.sql.classic.dataframe.
+            # DataFrame, whose localCheckpoint OVERRIDES the base
+            # pyspark.sql.DataFrame one (patching only the base is a
+            # silent no-op)
+            from pyspark.sql.classic.dataframe import DataFrame as _DF
 
             orig = _DF.localCheckpoint
             _DF.localCheckpoint = lambda self, eager=True: self
