@@ -74,11 +74,33 @@ def ivf_top_k(
     """ANN top-k: route each query to its ``nprobe`` nearest centroids
     (broadcast centroid table), score exact cosine only inside those
     cells, rank. Output schema matches ``brute_force_top_k``."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # norms hoisted out of the per-pair cosine (round 18 — the
+    # ivf_recall_curve shape applied to the search path): one norm per
+    # query row and per corpus row; try_divide(dot, qn*cn) is the
+    # identical float expression cosine() evaluates, with the per-pair
+    # HOF work cut to the single dot. The routing leg reuses the same
+    # hoisted query norm against a per-centroid norm.
+    from .similarity import dot as _dot, norm as _norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
 
     routed = (
-        q.join(F.broadcast(centroids))
-        .withColumn("_csim", cosine(F.col("_qv"), F.col("centroid")))
+        q.join(
+            F.broadcast(
+                centroids.withColumn("_ctn", _norm(F.col("centroid")))
+            )
+        )
+        .withColumn(
+            "_csim",
+            F.try_divide(
+                _dot(F.col("_qv"), F.col("centroid")),
+                F.col("_qn") * F.col("_ctn"),
+            ),
+        )
         .withColumn(
             "_crank",
             F.row_number().over(
@@ -88,13 +110,18 @@ def ivf_top_k(
             ),
         )
         .filter(F.col("_crank") <= nprobe)
-        .select("query_id", "_qv", "cluster")
+        .select("query_id", "_qv", "_qn", "cluster")
     )
 
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "cluster",
+        _norm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = F.try_divide(
+        _dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+    )
     if round_scale is not None:
         sim = F.round(sim, round_scale)
     scored = (

@@ -54,13 +54,25 @@ def brute_force_top_k(
     result is fully deterministic. Self-matches are excluded.
     Output: (query_id, neighbor_id, cosine_sim, rank).
     """
+    # norms hoisted out of the per-pair cosine (round 18, the
+    # ivf_recall_curve precedent): cosine() re-derives both operands'
+    # norms per PAIR — three interpreted HOF aggregates per scored
+    # row. One norm per vector row and try_divide(dot, qn*cn) is the
+    # identical float expression (same ops, same order) with the
+    # per-pair HOF work cut to the single dot.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = F.try_divide(
+        dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+    )
     if round_scale is not None:
         sim = F.round(sim, round_scale)
     scored = (
@@ -165,18 +177,31 @@ def lsh_top_k(
     schema matches :func:`brute_force_top_k` — rank may include fewer
     than k rows per query when buckets are sparse.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # per-vector norms ride the bucket table (round 18): computed once
+    # per vector before the posexplode, so the per-candidate cosine
+    # degrades to a single dot — same float expression as cosine()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
 
     qb = _bucketed(q, "_qv", n_tables, n_bits, dim, seed)
     cb = _bucketed(c, "_cv", n_tables, n_bits, dim, seed)
     cand = (
         qb.join(cb, on=["_table", "_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = F.try_divide(
+        dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+    )
     if round_scale is not None:
         sim = F.round(sim, round_scale)
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
@@ -205,7 +230,13 @@ def embedding_near_duplicates(
         return corpus.sparkSession.createDataFrame([], "id_a long, id_b long, cosine_sim double")
     dim = dim_row["d"]
 
-    base = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # per-vector norm computed once, before the posexplode — the
+    # per-candidate cosine below degrades to a single dot (round 18)
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     # materialize the bucket table: both sides of the self-join consume
     # it, and without the barrier each side re-runs the Arrow-batched
     # hyperplane matmul (n_tables rows per vector — linear in corpus)
@@ -225,8 +256,10 @@ def embedding_near_duplicates(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("l._v").alias("_va"),
+            F.col("l._n").alias("_na"),
             F.col("r._id").alias("id_b"),
             F.col("r._v").alias("_vb"),
+            F.col("r._n").alias("_nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -234,7 +267,13 @@ def embedding_near_duplicates(
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
