@@ -9328,15 +9328,19 @@ def _q_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    doc_gates = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("vec_id"), "text")
-        .select("vec_id", _hard_gates_passed().alias("passed"))
+    # gates AFTER the vec_id join (round 18): the embeddings cover a
+    # subset of documents, so evaluating the five interpreted-HOF
+    # gates on the joined rows computes them only for vectors that
+    # exist instead of the whole doc corpus. A missing doc leaves
+    # text NULL → every gate NULL → coalesce False, exactly the old
+    # missing-row coalesce.
+    doc_text = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text"
     )
-    orig = emb.join(doc_gates, "vec_id", "left").select(
+    orig = emb.join(doc_text, "vec_id", "left").select(
         "vec_id",
         "embedding",
-        F.coalesce("passed", F.lit(False)).alias("passed"),
+        F.coalesce(_hard_gates_passed(), F.lit(False)).alias("passed"),
     )
     twins = emb.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),

@@ -122,10 +122,16 @@ def streaming_minhash_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
+        # persist, not eager localCheckpoint (round 18): the batch and
+        # its signatures each feed two+ consumers, but a lazy persist
+        # gives the same read-once guarantee with the materialization
+        # riding the FIRST consumer's job instead of a dedicated
+        # checkpoint job each — two fewer jobs per micro-batch, and at
+        # local volumes the fixed per-job cost IS the drain's cost.
         batch = (
             batch_df.select(id_col, text_col)
             .filter(F.col(text_col).isNotNull())
-            .localCheckpoint(eager=True)  # read once; feeds 3 jobs
+            .persist()
         )
         if os.path.isdir(sigs_dir):
             standing_docs = bspark.read.parquet(docs_dir)
@@ -136,8 +142,7 @@ def streaming_minhash_ingest(
         # sign the batch ONCE (round 17): the same signatures feed the
         # banding pass (precomputed_new_sigs) and the index append —
         # previously each batch paid the shingle-explode signature
-        # aggregation twice. The eager checkpoint materializes the
-        # (batch-sized) signature frame before both consumers.
+        # aggregation twice.
         # ensure_min_partitions first (round 17): a micro-batch often
         # arrives as ONE file — one scan partition — so the
         # shingle-explode + xxhash hot loop of the signing aggregate
@@ -151,32 +156,38 @@ def streaming_minhash_ingest(
         )
         sigs = minhash_signatures(
             batch_sh, "_id", F.col("sh"), num_hashes, seed
-        ).localCheckpoint(eager=True)
-        pairs = minhash_incremental_pairs(
-            batch,
-            standing_docs,
-            standing_sigs,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_k=shingle_k,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            seed=seed,
-            shingle_mode=shingle_mode,
-            max_bucket_size=max_bucket_size,
-            precomputed_new_sigs=sigs,
-        )
-        # pair_type (new_new vs new_standing) is a batch-boundary
-        # artifact, not a corpus property — excluded so the output is
-        # invariant to how the stream chunks into micro-batches.
-        pairs.select("id_a", "id_b", "jaccard_sim").write.mode(
-            "append"
-        ).parquet(pairs_dir)
-        # fold the batch into the standing index AFTER the pair pass
-        # (this batch must not band against itself twice)
-        sigs.write.mode("append").parquet(sigs_dir)
-        batch.write.mode("append").parquet(docs_dir)
+        ).persist()
+        try:
+            pairs = minhash_incremental_pairs(
+                batch,
+                standing_docs,
+                standing_sigs,
+                id_col=id_col,
+                text_col=text_col,
+                shingle_k=shingle_k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                seed=seed,
+                shingle_mode=shingle_mode,
+                max_bucket_size=max_bucket_size,
+                precomputed_new_sigs=sigs,
+            )
+            # pair_type (new_new vs new_standing) is a batch-boundary
+            # artifact, not a corpus property — excluded so the output
+            # is invariant to how the stream chunks into micro-batches.
+            pairs.select("id_a", "id_b", "jaccard_sim").write.mode(
+                "append"
+            ).parquet(pairs_dir)
+            # fold the batch into the standing index AFTER the pair
+            # pass (this batch must not band against itself twice)
+            sigs.write.mode("append").parquet(sigs_dir)
+            batch.write.mode("append").parquet(docs_dir)
+        finally:
+            # a long-lived production stream must not accumulate one
+            # cached frame pair per micro-batch
+            sigs.unpersist()
+            batch.unpersist()
 
     ckpt_root = (
         "/dev/shm" if os.path.isdir("/dev/shm") else state_dir
