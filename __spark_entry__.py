@@ -9073,8 +9073,9 @@ def _q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles occur ≥2 times anywhere in the corpus. The
     position-level complement to document near-dup matching (partial
     template overlap never trips a whole-doc jaccard). One explode,
-    per-doc lead() window, two hash aggregates, one shingle-keyed
-    data-proportional join."""
+    one unordered shingle-keyed window count (no join-back — the
+    round-17 rewrite; ≤2 shuffle exchanges), then the per-doc
+    rollup."""
     from mape_calculation_and_anonymization_spark.operators.dedup import (
         duplicated_span_stats,
     )

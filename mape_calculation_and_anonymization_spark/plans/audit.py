@@ -28,6 +28,16 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\s*\+?-?\s*Exchange (?:hash|range|Single)", plan, re.M))
 
 
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Occurrences of a physical operator by NODE NAME at a tree
+    position (e.g. ``Window``, ``Generate``, ``SortMergeJoin``) —
+    robust to argument-rendering changes across Spark upgrades, unlike
+    raw substring pins on the full node line (ADVICE r17)."""
+    plan = physical_plan(df)
+    pat = rf"^[\s+:\-]*(?:\*\(\d+\) )?{re.escape(node)}\b"
+    return len(re.findall(pat, plan, re.M))
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
 
