@@ -12262,63 +12262,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # more than THREE rounds without a green driver row;
         # tests/test_oracle_parity.py:test_rotation_hygiene, plan from
         # `python preflight.py --plan-window`) dictates this round's
-        # window. Round 17 is an OPTIMIZATION round: the registry SET
-        # is frozen (no debuts, no retirements — every declared query
-        # must keep computing exactly what it computed in r16), so the
-        # window is purely the 39 r13-green must-includes plus the 11
-        # oldest-green (r14) fills, alphabetical within cohort.
-        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r13
-        "embedding_near_dup": _q_embedding_near_dup,  # last green: r13
-        "exact_substring_spans": _q_exact_substring_spans,  # last green: r13
-        "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,  # last green: r13
-        "k8_targeted_delete": _q_k8_targeted_delete,  # last green: r13
-        "kanon_generalize_suppress": _q_kanon_generalize_suppress,  # last green: r13
-        "kanon_risk_profile": _q_kanon_risk_profile,  # last green: r13
-        "key_skew_stats": _q_key_skew_stats,  # last green: r13
-        "ldiversity_audit": _q_ldiversity_audit,  # last green: r13
-        "merge_upsert_snapshot": _q_merge_upsert_snapshot,  # last green: r13
-        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r13
-        "ngram_novelty": _q_ngram_novelty,  # last green: r13
-        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r13
-        "profile_orders": _q_profile_orders,  # last green: r13
-        "q10_returned_items": _q_q10_returned_items,  # last green: r13
-        "q11_important_parts": _q_q11_important_parts,  # last green: r13
-        "q13_customer_distribution": _q_q13_customer_distribution,  # last green: r13
-        "q14_promo_revenue": _q_q14_promo_revenue,  # last green: r13
-        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r13
-        "s4_folder_loop": _q_s4_folder_loop,  # last green: r13
-        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r13
-        "scd2_event_history": _q_scd2_event_history,  # last green: r13
-        "seq_packing": _q_seq_packing,  # last green: r13
-        "snapshot_diff": _q_snapshot_diff,  # last green: r13
-        "source_overlap_matrix": _q_source_overlap_matrix,  # last green: r13
-        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r13
-        "stream_drift_psi": _q_stream_drift_psi,  # last green: r13
-        "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r13
-        "stream_outer_join": _q_stream_outer_join,  # last green: r13
-        "stream_session_windows": _q_stream_session_windows,  # last green: r13
-        "text_dup_spans": _q_text_dup_spans,  # last green: r13
-        "tfidf_top_terms": _q_tfidf_top_terms,  # last green: r13
-        "time_to_convert": _q_time_to_convert,  # last green: r13
-        "train_val_test_split": _q_train_val_test_split,  # last green: r13
-        "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r13
-        "u1_union_dedup": _q_u1_union_dedup,  # last green: r13
-        "vocab_coverage_curve": _q_vocab_coverage_curve,  # last green: r13
-        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r13
-        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r13
-        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r14
-        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r14
-        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r14
-        "argmax_user_events": _q_argmax_user_events,  # last green: r14
-        "asof_join_rates": _q_asof_join_rates,  # last green: r14
-        "bigram_top_terms": _q_bigram_top_terms,  # last green: r14
-        "bm25_search": _q_bm25_search,  # last green: r14
-        "cdc_latest_events": _q_cdc_latest_events,  # last green: r14
-        "curation_fates": _q_curation_fates,  # last green: r14
-        "decile_revenue_share": _q_decile_revenue_share,  # last green: r14
-        "decontamination_removal": _q_decontamination_removal,  # last green: r14
-        # ---- below the driver's 50-row window ----
-        # oracle-backed entries oldest-green first (they rotate in next).
+        # window. Round 18 is an OPTIMIZATION round: the registry SET
+        # stays frozen (no debuts, no retirements — every declared
+        # query keeps computing exactly what it computed in r17), so
+        # the window is the 38 r14-green must-includes plus 12 fills
+        # chosen as THIS ROUND'S changed-implementation queries (the
+        # semantic-dedup family, the graph pair, the incremental
+        # minhash pair, the reverted text probes, hybrid/IVF rewires)
+        # so the driver re-proves every rewritten plan; alphabetical
+        # within cohort, triangle_count pinned directly ahead of
+        # pagerank_influencers (shared _COOC_SHARED memo attribution).
         "distinct_agg_brand": _q_distinct_agg_brand,  # last green: r14
         "doc_length_histogram": _q_doc_length_histogram,  # last green: r14
         "dq_expectations": _q_dq_expectations,  # last green: r14
@@ -12357,19 +12310,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_label_anonymization": _q_x4_label_anonymization,  # last green: r14
         "x5_uid_pseudonym": _q_x5_uid_pseudonym,  # last green: r14
         "zone_unpivot": _q_zone_unpivot,  # last green: r14
-        "minhash_incremental": _q_minhash_incremental,  # last green: r15
-        "exactsubstr_cut": _q_exactsubstr_cut,  # last green: r15
-        "semantic_dedup_gated": _q_semantic_dedup_gated,  # last green: r15
-        "anonymization_fates": _q_anonymization_fates,  # last green: r15
-        "stream_minhash_pairs": _q_stream_minhash_pairs,  # last green: r15
+        "contamination_near_dup": _q_contamination_near_dup,  # last green: r16
+        "curation_fates": _q_curation_fates,  # last green: r17
+        "hybrid_search_rrf": _q_hybrid_search_rrf,  # last green: r16
         "ivf_incremental_topk": _q_ivf_incremental_topk,  # last green: r15
+        "minhash_incremental": _q_minhash_incremental,  # last green: r15
+        "ngram_novelty": _q_ngram_novelty,  # last green: r17
+        "triangle_count": _q_triangle_count,  # last green: r15  # stays ahead of pagerank (shared _COOC_SHARED memo attribution)
+        "pagerank_influencers": _q_pagerank_influencers,  # last green: r15
+        "semantic_dedup": _q_semantic_dedup,  # last green: r16
+        "semantic_dedup_gated": _q_semantic_dedup_gated,  # last green: r15
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # last green: r16
+        "stream_minhash_pairs": _q_stream_minhash_pairs,  # last green: r15
+        # ---- below the driver's 50-row window ----
+        # remaining entries keep their previous relative order.
+        "dp_noisy_counts": _q_dp_noisy_counts,  # last green: r17
+        "embedding_near_dup": _q_embedding_near_dup,  # last green: r17
+        "exact_substring_spans": _q_exact_substring_spans,  # last green: r17
+        "forecast_metrics_by_zone": _q_forecast_metrics_by_zone,  # last green: r17
+        "k8_targeted_delete": _q_k8_targeted_delete,  # last green: r17
+        "kanon_generalize_suppress": _q_kanon_generalize_suppress,  # last green: r17
+        "kanon_risk_profile": _q_kanon_risk_profile,  # last green: r17
+        "key_skew_stats": _q_key_skew_stats,  # last green: r17
+        "ldiversity_audit": _q_ldiversity_audit,  # last green: r17
+        "merge_upsert_snapshot": _q_merge_upsert_snapshot,  # last green: r17
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,  # last green: r17
+        "pipeline_funnel_stats": _q_pipeline_funnel_stats,  # last green: r17
+        "profile_orders": _q_profile_orders,  # last green: r17
+        "q10_returned_items": _q_q10_returned_items,  # last green: r17
+        "q11_important_parts": _q_q11_important_parts,  # last green: r17
+        "q13_customer_distribution": _q_q13_customer_distribution,  # last green: r17
+        "q14_promo_revenue": _q_q14_promo_revenue,  # last green: r17
+        "rolling_hour_user_avg": _q_rolling_hour_user_avg,  # last green: r17
+        "s4_folder_loop": _q_s4_folder_loop,  # last green: r17
+        "s6_schema_evolution": _q_s6_schema_evolution,  # last green: r17
+        "scd2_event_history": _q_scd2_event_history,  # last green: r17
+        "seq_packing": _q_seq_packing,  # last green: r17
+        "snapshot_diff": _q_snapshot_diff,  # last green: r17
+        "source_overlap_matrix": _q_source_overlap_matrix,  # last green: r17
+        "stream_dedup_fingerprints": _q_stream_dedup_fingerprints,  # last green: r17
+        "stream_drift_psi": _q_stream_drift_psi,  # last green: r17
+        "stream_incremental_agg": _q_stream_incremental_agg,  # last green: r17
+        "stream_outer_join": _q_stream_outer_join,  # last green: r17
+        "stream_session_windows": _q_stream_session_windows,  # last green: r17
+        "text_dup_spans": _q_text_dup_spans,  # last green: r17
+        "tfidf_top_terms": _q_tfidf_top_terms,  # last green: r17
+        "time_to_convert": _q_time_to_convert,  # last green: r17
+        "train_val_test_split": _q_train_val_test_split,  # last green: r17
+        "trend_slope_by_type": _q_trend_slope_by_type,  # last green: r17
+        "u1_union_dedup": _q_u1_union_dedup,  # last green: r17
+        "vocab_coverage_curve": _q_vocab_coverage_curve,  # last green: r17
+        "w1_rolling_hourly": _q_w1_rolling_hourly,  # last green: r17
+        "x5_idempotent_rerun": _q_x5_idempotent_rerun,  # last green: r17
+        "agg_rollup_revenue": _q_agg_rollup_revenue,  # last green: r17
+        "ann_cosine_topk": _q_ann_cosine_topk,  # last green: r17
+        "anti_join_idle_customers": _q_anti_join_idle_customers,  # last green: r17
+        "argmax_user_events": _q_argmax_user_events,  # last green: r17
+        "asof_join_rates": _q_asof_join_rates,  # last green: r17
+        "bigram_top_terms": _q_bigram_top_terms,  # last green: r17
+        "bm25_search": _q_bm25_search,  # last green: r17
+        "cdc_latest_events": _q_cdc_latest_events,  # last green: r17
+        "decile_revenue_share": _q_decile_revenue_share,  # last green: r17
+        "decontamination_removal": _q_decontamination_removal,  # last green: r17
+        "exactsubstr_cut": _q_exactsubstr_cut,  # last green: r15
+        "anonymization_fates": _q_anonymization_fates,  # last green: r15
         "multimodal_frames": _q_multimodal_frames,  # last green: r15
         "multimodal_metadata": _q_multimodal_metadata,  # last green: r15
         "normalized_dedup_groups": _q_normalized_dedup_groups,  # last green: r15
         "o1_top_revenue": _q_o1_top_revenue,  # last green: r15
         "outer_join_order_distribution": _q_outer_join_order_distribution,  # last green: r15
-        "triangle_count": _q_triangle_count,  # last green: r15  # stays ahead of pagerank (shared _COOC_SHARED memo attribution)
-        "pagerank_influencers": _q_pagerank_influencers,  # last green: r15
         "percentile_order_prices": _q_percentile_order_prices,  # last green: r15
         "profile_orders_approx": _q_profile_orders_approx,  # last green: r15
         "q12_priority_returns": _q_q12_priority_returns,  # last green: r15
@@ -12407,9 +12416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,  # last green: r15
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,  # last green: r15
         "dedup_simhash_md5_pairs": _q_dedup_simhash_md5_pairs,  # last green: r15
-        "semantic_dedup_incremental": _q_semantic_dedup_incremental,  # last green: r16
         "leakage_safe_split": _q_leakage_safe_split,  # last green: r16
-        "hybrid_search_rrf": _q_hybrid_search_rrf,  # last green: r16
         "drift_events_scorecard": _q_drift_events_scorecard,  # last green: r16
         "drift_embedding_psi": _q_drift_embedding_psi,  # last green: r16
         "event_transitions": _q_event_transitions,  # last green: r16
@@ -12433,7 +12440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mape_hourly_portfolio": _q_mape_hourly_portfolio,  # last green: r16
         "mape_hourly_zone": _q_mape_hourly_zone,  # last green: r16
         "pq_ann_topk": _q_pq_ann_topk,  # last green: r16
-        "semantic_dedup": _q_semantic_dedup,  # last green: r16
         "source_lang_crosstab": _q_source_lang_crosstab,  # last green: r16
         "stream_distinct_users": _q_stream_distinct_users,  # last green: r16
         "stream_key_upsert": _q_stream_key_upsert,  # last green: r16
@@ -12450,17 +12456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_events": _q_approx_stats_events,  # last green: r16
         "backtest_persistence_wape": _q_backtest_persistence_wape,  # last green: r16
         "bucketed_join_orders": _q_bucketed_join_orders,  # last green: r16
-        "contamination_near_dup": _q_contamination_near_dup,  # last green: r16
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,  # last green: r16
         "dedup_incremental": _q_dedup_incremental,  # last green: r16
         "dedup_keep_best": _q_dedup_keep_best,  # last green: r16
         "dedup_keep_best_gated": _q_dedup_keep_best_gated,  # last green: r16
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,  # last green: r16
         "doc_chunking": _q_doc_chunking,  # last green: r16
-        # rows-only by design (no portable-SQL oracle); driver records
-        # err=no_oracle rows, pinned by unit tests instead. ONE entry:
-        # the PIL-gated image featurizer.
-        "multimodal_features": _q_multimodal_features,  # rows-only
+        "multimodal_features": _q_multimodal_features,  # never driver-verified
     }
 
 
